@@ -1,0 +1,69 @@
+"""Engine benchmark — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query runs against the noop sink (full materialization of every
+output column, no driver collect bottleneck), timed after a warm-up of
+the session itself. Queries are the engine's headline operators — the
+flagship analytic plus the heaviest operator families.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
+from cashback_data_pipeline_spark import queries as Q  # noqa: E402
+
+HEADLINE = [
+    "monthly_segment_summary",
+    "left_join_enrich",
+    "derived_conditional_price",
+    "rollup_summary",
+    "window_topk_per_group",
+    "donor_group_fill",
+    "sort_limit_offset",
+    "union_except_keys",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else None
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footer caches with one trivial action
+    Q.QUERIES["count_filtered"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""SparkSession factory for the engine.
+
+Design notes (100 TB stance):
+- AQE on: runtime coalescing, skew-join splitting, and dynamic join
+  strategy selection replace hand-tuned partition counts at scale.
+- ``spark.sql.ansi.enabled=false``: the reference's cast discipline is
+  lenient — bad values become null (pandas ``to_numeric(errors='coerce')``
+  in the legacy path, /root/reference/elt.py:51-53; Spark-on-Glue 3.3
+  default non-ANSI casts in the deployed path). Spark 4 defaults ANSI on,
+  so we pin it off for parity.
+- Session timezone pinned to UTC so timestamp semantics are stable across
+  the oracle (DuckDB is UTC-naive) and any cluster locale.
+- ``partitionOverwriteMode=dynamic``: the reference truncates the
+  warehouse prefix before rewriting (pull_data_glue_job_lambda.py:66-78);
+  dynamic partition overwrite is the Spark-native equivalent that scales
+  (only touched partitions rewritten).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply the engine's required configs to any builder.
+
+    Kept separate from :func:`get_spark` so the driver (which owns its own
+    SparkSession) and tests can share one source of truth.
+    """
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long and convert (sources.readers.read_testdata)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    )
+
+
+def get_spark(app_name: str = "cashback_data_pipeline_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so tests
+    and bench share sizing; on a real cluster the resource manager decides.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and SparkSession.getActiveSession() is None:
+        master = f"local[{DEFAULT_CPUS}]"
+    if master is not None:
+        builder = builder.master(master)
+    spark = configure(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_session_conf(spark: SparkSession) -> SparkSession:
+    """Set the engine's runtime-settable configs on an existing session.
+
+    The driver hands us a SparkSession it built; timezone/ANSI/AQE are all
+    runtime-settable, so queries behave identically there.
+    """
+    for key, value in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-settable on this build — engine still functions
+    return spark

