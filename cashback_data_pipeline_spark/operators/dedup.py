@@ -1,0 +1,313 @@
+"""Deduplication operators — exact and near-duplicate, designed for the
+100 TB documents case (BASELINE.json north-star).
+
+Strategy ladder (cheapest first):
+1. exact         — hash-groupBy on a content fingerprint; one shuffle of
+                   (hash, id), never the payload.
+2. ngram-Jaccard — inverted-index token join (explode → equi-join on
+                   token → per-pair intersection counts). NOT the naive
+                   O(n²) cross join: cost is Σ_token df(token)², bounded
+                   by blocking keys (language, length bucket) and
+                   hot-token removal.
+3. MinHash + LSH — constant-size signatures, band-bucket join; the scale
+                   path when even the inverted index is too hot.
+4. SimHash       — 64-bit signature, Hamming-ball candidate join via
+                   rotations; cheapest near-dup filter.
+5. embedding     — cosine near-dup over vectors (semantic dups); LSH
+                   bucketing from similarity.py for scale.
+
+All candidate generation is relational (joins Catalyst can plan); only
+verification touches full payloads, and only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators.text import fingerprint_md5, simhash_signatures, tokens
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str, keep: str = "min") -> DataFrame:
+    """Keep one row per distinct ``key_cols`` (the reference's J3 dedup
+    generalized): deterministic winner = min/max ``id_col``. Window
+    row_number — one shuffle on the key, map-side top-1 push-down."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = W.partitionBy(*key_cols).orderBy(order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact_by_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup via md5 fingerprint: shuffle carries the 32-char
+    hash instead of the document payload — at 100 TB that is the
+    difference between shuffling 100 TB and shuffling ~50 GB."""
+    with_fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    return dedup_exact(with_fp, ["__fp"], id_col).drop("__fp")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-content group stats: representative id + copy count.
+    (keep_id, n_copies, fingerprint) — the audit view of exact dedup."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram (token-shingle) Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 1) -> Column:
+    """Token n-gram shingles as an array column (n=1 → plain tokens)."""
+    t = tokens(col)
+    if n == 1:
+        return t
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(t, i + 1, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+    bag: bool = True,
+) -> DataFrame:
+    """All pairs with (bag- or set-) Jaccard ≥ threshold, via the
+    inverted-index plan:
+
+        explode shingles → (id, shingle, cnt)
+        self-join on shingle [+ blocking cols] with id_a < id_b
+        per-pair Σ min(cnt) = intersection; sizes from per-doc totals
+        jaccard = inter / (size_a + size_b − inter)
+
+    Never materializes the O(n²) cross product: candidate pairs are only
+    docs sharing ≥1 shingle within a block. ``block_cols`` (e.g. language)
+    bound the worst case; bag semantics (multiset) discriminate better on
+    small vocabularies.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(F.col(id_col).alias("id"), *(block_cols or []), shingles(text_col, n).alias("sh"))
+    exploded = sh.select("id", *(block_cols or []), F.explode("sh").alias("tok"))
+    if bag:
+        tok = exploded.groupBy("id", *(block_cols or []), "tok").agg(F.count(F.lit(1)).alias("cnt"))
+        sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
+    else:
+        tok = exploded.distinct().withColumn("cnt", F.lit(1))
+        sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
+
+    a = tok.select(
+        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in (block_cols or [])],
+        F.col("tok"), F.col("cnt").alias("cnt_a"),
+    )
+    b = tok.select(
+        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in (block_cols or [])],
+        F.col("tok"), F.col("cnt").alias("cnt_b"),
+    )
+    join_cond = (a["tok"] == b["tok"]) & (a["id_a"] < b["id_b"])
+    for c in block_cols or []:
+        join_cond = join_cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    inter = (
+        a.join(b, on=join_cond, how="inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
+    )
+
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")))
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, seed=i). Array of ``num_hashes`` longs, computed
+    with array higher-order functions — constant size regardless of
+    document length, so the shuffle payload is O(num_hashes) per doc."""
+    sh = shingles(col, n)
+
+    def min_hash_for(seed: int) -> Column:
+        # NB: the transform lambda must take exactly ONE parameter — a
+        # second parameter would be bound to the array index by Spark.
+        return F.array_min(F.transform(sh, lambda w: F.xxhash64(w, F.lit(seed))))
+
+    return F.array(*[min_hash_for(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 1,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands``, hash each band, self-join on (band_idx,
+    band_hash). Docs agreeing on ANY band become a candidate pair —
+    the classic MinHash-LSH candidate join, expressed as
+    explode + equi-join (one shuffle on band keys).
+
+    Returns distinct (id_a, id_b) candidate pairs (unverified).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, n).alias("sig"))
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 1,
+) -> DataFrame:
+    """Candidates from LSH, verified with exact set-Jaccard on the
+    candidate pairs only (join payloads back, compare distinct-shingle
+    arrays). Returns (id_a, id_b, jaccard ≥ threshold)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n)
+    sets_df = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("toks")
+    )
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            / F.size(F.array_union("toks_a", "toks_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle: int = 1,
+) -> DataFrame:
+    """Near-dups by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate join uses the block-rotation trick: split the 64-bit
+    signature into ``max_hamming+1`` 16-bit blocks — pairs within the
+    Hamming ball agree on ≥1 block (pigeonhole), so an equi-join on
+    (block_idx, block_value) finds all of them without a cross join.
+    Verification = exact popcount on the XOR.
+    """
+    nblocks = max_hamming + 1
+    bits = 64 // nblocks
+    sig = simhash_signatures(df, id_col, text_col, shingle).withColumnRenamed(id_col, "id")
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright("sig", i * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias("bv"),
+            )
+            for i in range(nblocks)
+        ]
+    )
+    blocks = sig.select("id", "sig", F.explode(block_structs).alias("b")).select(
+        "id", "sig", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cands = (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.bv") == F.col("r.bv")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold. Exact (all pairs
+    within a block); for unblocked 100 TB corpora use
+    similarity.hyperplane_lsh_bucketed first and verify within buckets."""
+    from cashback_data_pipeline_spark.operators.similarity import cosine_sim
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), *( [F.col("blk").alias("blk_a")] if block_col else [] ), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), *( [F.col("blk").alias("blk_b")] if block_col else [] ), F.col("v").alias("vb"))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("blk_a") == F.col("blk_b"))
+    pairs = a.join(b, cond)
+    return (
+        pairs.withColumn("cos", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,234 @@
+"""Vector similarity search over an embedding column (north-star).
+
+Two tiers:
+- :func:`brute_force_topk` — exact cosine top-k. Query side broadcast,
+  corpus side streamed: one pass over the corpus, per-partition top-k via
+  window group-limit. The right baseline up to ~10⁵ queries × any corpus
+  size (it's a broadcast-join scan, embarrassingly parallel).
+- :func:`ivf_topk` / :func:`hyperplane_lsh_buckets` — approximate scale
+  paths: coarse quantization (IVF) probes only the closest partitions;
+  sign-LSH buckets bound candidate sets for near-dup workloads.
+
+All vector math is Spark array higher-order functions computed in double
+(JVM codegen, no UDF, no Python). An Arrow-batched Pandas-UDF variant
+(numpy matmul) exists for very high dimensional payloads where the
+per-element expression overhead dominates — see ``cosine_topk_pandas``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
+    return df.select(F.col(id_col).alias(f"{alias}_id"), F.col(vec_col).cast("array<double>").alias(f"{alias}_v"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    Plan: broadcast(queries) ⋈ corpus (a broadcast nested-loop the size of
+    |corpus|×|queries| scored rows, streamed, never materialized), then
+    row_number window per query — Spark inserts a per-partition group
+    limit before the shuffle, so only k rows per query per partition
+    move. Excludes self-matches. Ties broken by neighbor id.
+    """
+    q = _as_double(queries, id_col, vec_col, "q")
+    c = _as_double(corpus, id_col, vec_col, "c")
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched exact top-k: numpy matmul per corpus partition against
+    the (collected, broadcast) query matrix. Same results as
+    brute_force_topk; wins when dim × |queries| is large enough that
+    per-element codegen overhead dominates (≳ a few hundred dims)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+
+    def score(batches):
+        ids_q, mat_q = bq.value
+        for pdf in batches:
+            cids = pdf[id_col].to_numpy()
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ mat_q.T  # |corpus_batch| × |queries|
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids_q[None, :], len(cids), 0).ravel(),
+                    "neighbor_id": np.repeat(cids, len(ids_q)),
+                    "cos": sims.ravel(),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Approximate paths
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Coarse quantization: assign each vector to its nearest centroid
+    (broadcast centroids, argmin by cosine distance — deterministic
+    tie-break on centroid id). Output adds ``centroid_id``; write
+    partitioned by it and ANN probes read only the probed partitions."""
+    v = df.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    cent = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).cast("array<double>").alias("__cv")
+    )
+    scored = v.join(F.broadcast(cent), F.lit(True))
+    scored = scored.withColumn("__cos", cosine_sim(F.col("__v"), F.col("__cv")))
+    w = W.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias(centroid_id))
+    )
+
+
+def make_centroids_from_sample(
+    df: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid seed: the ``n_centroids`` lowest-id vectors.
+    (A k-means refinement loop can replace this; seeding deterministically
+    keeps the operator reproducible for the oracle.)"""
+    return (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(W.orderBy(F.col(id_col).asc())).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign corpus to centroids; for each query score only the
+    ``n_probe`` nearest centroids' lists. Recall < 1 by construction;
+    at scale the corpus lists live as partitioned parquet so a probe
+    reads n_probe/n_centroids of the data (partition pruning)."""
+    cents = make_centroids_from_sample(corpus, n_centroids, id_col, vec_col)
+    corpus_a = ivf_assign(corpus, cents, id_col, vec_col)
+
+    # query → its n_probe nearest centroids
+    q = _as_double(queries, id_col, vec_col, "q")
+    cent = cents.select(F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv"))
+    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn("qc_cos", cosine_sim(F.col("q_v"), F.col("cv")))
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= n_probe).select(
+        "q_id", "q_v", "centroid_id"
+    )
+
+    c = corpus_a.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
+    )
+    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit b = sign(v · h_b) for
+    deterministic pseudo-random hyperplanes derived from (seed, plane,
+    dim) via a splitmix-style integer mix — reproducible across runs and
+    engines, no RNG state. Cosine-close vectors collide with high
+    probability; use buckets to bound near-dup verification."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = [
+        [_unit_hash(seed, p, d) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+    return df.withColumn("bucket", bucket)
+
+
+def _unit_hash(seed: int, p: int, d: int) -> float:
+    """Deterministic value in [-1, 1) from (seed, plane, dim) — splitmix64."""
+    x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    return (x / 2**63) - 1.0

@@ -1,0 +1,148 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north-star): language-ID,
+quality scoring, token counting, fingerprinting — each a pure
+Column-expression transform (JVM-side, whole-stage codegen; no Python in
+the hot path), so they scan 100 TB of documents at parquet-reader speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language lexicons for the n-gram/stopword language heuristic.
+#: Deterministic and explainable; a real deployment would swap in larger
+#: lexicons — the plan shape (per-language hit-count columns + argmax)
+#: is the operator.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(col: Column | str, pattern: str = " ") -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, pattern)
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count — whitespace tokenizer (north-star 'token counting').
+    For a BPE-ish estimate use ``bpe_token_estimate``."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token-count estimate without a tokenizer model: word pieces
+    approximated by splitting on non-alphanumerics plus a chars/4 floor —
+    the standard cheap proxy (max(words, ceil(chars/4)) bounds real BPE
+    counts for English-like text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.split(c, r"[^\p{L}\p{N}]+"))
+    return F.greatest(words, F.ceil(F.length(c) / 4).cast("int"))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """|set(tokens)| / |tokens| — repetition signal for quality scoring."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def mean_token_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(col)
+    # chars minus the single-space separators, over token count
+    return (F.length(c) - (F.size(t) - 1)) / F.size(t)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality in [0,1]: rewards reasonable length,
+    lexical diversity, and plausible word lengths. Pure arithmetic —
+    scales as a projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    diversity = distinct_token_ratio(col)
+    mtl = mean_token_length(col)
+    wordlen_score = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_score * 0.4 + diversity * 0.4 + wordlen_score * 0.2
+
+
+def lexicon_hits(col: Column | str, lexicon: tuple[str, ...]) -> Column:
+    """How many of the lexicon words occur in the document's token set."""
+    t = F.array_distinct(tokens(col))
+    hits = F.lit(0)
+    for w in lexicon:
+        hits = hits + F.array_contains(t, w).cast("int")
+    return hits
+
+
+def lang_id(col: Column | str, lexicons: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Deterministic lexicon/stopword language-ID: per-language hit counts,
+    argmax with alphabetical tie-break, 'und' (undetermined) when nothing
+    hits. One pass over the token array per language — all codegen."""
+    lexicons = lexicons or LANG_LEXICONS
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(lexicons, reverse=True):  # reverse → earlier langs win ties
+        h = lexicon_hits(col, lexicons[lang])
+        take = h >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of the lowercased,
+    whitespace-collapsed text. Exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 1
+) -> DataFrame:
+    """64-bit SimHash per document: (id_col, sig).
+
+    Relational plan, no UDF: explode shingles → xxhash64 per shingle →
+    ONE groupBy(id) with 64 conditional-sum aggregates (per-bit majority
+    votes, map-side combined) → reassemble sign bits into a long. The
+    shuffle carries 64 ints per doc regardless of document size."""
+    from cashback_data_pipeline_spark.operators.dedup import shingles
+
+    hashed = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle)).alias("__sh")
+    ).withColumn("__h", F.xxhash64("__sh"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach the full text-analysis column family to a documents table
+    (simhash joined back from its relational computation)."""
+    out = (
+        df.withColumn("token_count", token_count(text_col))
+        .withColumn("bpe_token_estimate", bpe_token_estimate(text_col))
+        .withColumn("distinct_token_ratio", distinct_token_ratio(text_col))
+        .withColumn("quality_score", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint_md5(text_col))
+    )
+    sig = simhash_signatures(df, id_col, text_col).withColumnRenamed("sig", "simhash")
+    return out.join(sig, on=id_col, how="left")

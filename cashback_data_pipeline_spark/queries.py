@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.functions import neq_null_safe
+from cashback_data_pipeline_spark.operators import dedup, similarity, text
 from cashback_data_pipeline_spark.sources import read_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -440,3 +441,247 @@ def union_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich_keys = customer.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
     closed_keys = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return open_keys.union(rich_keys).distinct().exceptAll(closed_keys.distinct())
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis over `documents` (operators.text)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    sql="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           floor(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+                 * 1000000 + 0.5) / 1000000 AS distinct_ratio,
+           n_chars AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star): whitespace token count + lexical
+    diversity, pure codegen projection — scans at parquet speed."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(text.tokens("text"))).alias("n_distinct"),
+        (F.floor(text.distinct_token_ratio("text") * 1000000 + 0.5) / 1000000).alias("distinct_ratio"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality_scores",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd
+      FROM documents
+    )
+    SELECT doc_id,
+           floor((least(n / 500.0, 1.0) * 0.4
+                  + (nd / nt) * 0.4
+                  + (CASE WHEN ((n - (nt - 1)) / nt) >= 3 AND ((n - (nt - 1)) / nt) <= 10
+                          THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star): length/diversity/word-length composite
+    (operators.text.quality_score)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.floor(text.quality_score("text") * 1000000 + 0.5) / 1000000).alias("quality"),
+    )
+
+
+@query(
+    "text_lang_id",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), h AS (
+      SELECT doc_id,
+        list_contains(toks,'der')::INT + list_contains(toks,'die')::INT + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT AS h_de,
+        list_contains(toks,'the')::INT + list_contains(toks,'a')::INT + list_contains(toks,'of')::INT + list_contains(toks,'and')::INT + list_contains(toks,'is')::INT AS h_en,
+        list_contains(toks,'el')::INT + list_contains(toks,'la')::INT + list_contains(toks,'de')::INT + list_contains(toks,'que')::INT + list_contains(toks,'y')::INT AS h_es,
+        list_contains(toks,'le')::INT + list_contains(toks,'la')::INT + list_contains(toks,'les')::INT + list_contains(toks,'et')::INT + list_contains(toks,'est')::INT AS h_fr,
+        list_contains(toks,'的')::INT + list_contains(toks,'是')::INT + list_contains(toks,'了')::INT + list_contains(toks,'在')::INT + list_contains(toks,'我')::INT AS h_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh AND h_de >= 1 THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh AND h_en >= 1 THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_zh AND h_es >= 1 THEN 'es'
+                WHEN h_fr >= h_zh AND h_fr >= 1 THEN 'fr'
+                WHEN h_zh >= 1 THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM h
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (north-star): deterministic lexicon hit-count argmax
+    (operators.text.lang_id), alphabetical tie-break, 'und' when no hits."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprints",
+    sql="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star): canonicalized-content md5 —
+    the exact-dedup key (operators.text.fingerprint_md5)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication over `documents` (operators.dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_groups",
+    sql="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (north-star): hash-groupBy on the content fingerprint,
+    deterministic representative + copy count. The shuffle carries 32-char
+    hashes, not document payloads (operators.dedup.duplicate_groups)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(docs)
+
+
+@query(
+    "near_dup_jaccard",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, lang, t AS tok, count(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup (north-star): inverted-index token join with
+    bag semantics, blocked by language — never the O(n²) cross join
+    (operators.dedup.ngram_jaccard_pairs)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=1, threshold=0.6, block_cols=["lang"], bag=True
+    )
+    return pairs.select(
+        "id_a", "id_b", (F.floor(F.col("jaccard") * 1000000 + 0.5) / 1000000).alias("jaccard")
+    )
+
+
+@query("minhash_lsh_near_dups")  # xxhash64-based — not SQL-expressible, rows-only check
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (north-star scale path): 64-hash signatures,
+    16-band bucket join, exact set-Jaccard verification of candidates only
+    (operators.dedup.minhash_near_dups). Tested against the exact
+    inverted-index result in tests/test_dedup.py."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(docs, threshold=0.9, num_hashes=64, bands=16, n=1)
+
+
+@query("simhash_near_dups")  # xxhash64-based — rows-only check
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (north-star): 64-bit signatures, Hamming-block
+    candidate join + popcount verification (operators.dedup.simhash_near_dups)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=3, shingle=1)
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over `embeddings` (operators.similarity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_near_dups",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (north-star): exact pairwise within
+    blocks (operators.dedup.embedding_near_dups); LSH bucketing bounds the
+    pair space at scale."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"))
+
+
+@query(
+    "ann_topk_cosine",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cos,
+           CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (north-star): exact brute-force cosine top-k,
+    broadcast queries × streamed corpus + windowed group-limit
+    (operators.similarity.brute_force_topk) — the recall-1 baseline ANN."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.brute_force_topk(queries_df, emb, k=5)
+    return topk.select(
+        "query_id", "neighbor_id",
+        (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
+        "rank",
+    )
+
+
+@query("ann_ivf_topk")  # approximate by construction — rows-only; recall tested in tests/
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (north-star scale path): coarse-quantize corpus to centroid
+    lists, probe the 4 nearest of 16 centroids per query
+    (operators.similarity.ivf_topk). Recall vs brute force pinned in
+    tests/test_similarity.py."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5)

@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import dedup
+from cashback_data_pipeline_spark.sources import read_testdata
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)  # one token differs
+    far = "one two three four five six seven eight nine ten " * 3
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),          # exact dup of 1
+        (3, near, "en"),          # near dup of 1
+        (4, far, "en"),
+        (5, base.upper(), "en"),  # case-variant dup of 1 (fingerprint-equal)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_dedup_exact_by_fingerprint(spark, docs_with_dups):
+    kept = dedup.dedup_exact_by_fingerprint(docs_with_dups)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4]  # 2 and 5 collapse into 1
+
+
+def test_duplicate_groups_counts(spark, docs_with_dups):
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.duplicate_groups(docs_with_dups).collect()}
+    assert groups[1] == 3 and groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.8, block_cols=["lang"])
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got      # exact dup -> jaccard 1.0
+    assert (1, 3) in got      # 1-token-of-30 change -> high bag jaccard
+    assert not any(4 in p for p in got)  # disjoint vocab never pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH+verify must agree with the exact inverted-index result wherever
+    both use set-jaccard at the same threshold (verification makes
+    precision exact; banding should keep recall ~1 at j>=0.9)."""
+    docs = read_testdata(spark, sf_dir, "documents").limit(200)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9, bag=False)
+    lsh = dedup.minhash_near_dups(docs, threshold=0.9, num_hashes=64, bands=16)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs  # verified candidates: exact precision
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_dups_detects_exact_and_near(spark, docs_with_dups):
+    pairs = dedup.simhash_near_dups(docs_with_dups, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical text -> identical signature
+    assert (1, 3) in got         # near dup within hamming ball
+
+
+def test_embedding_near_dups_symmetric_pairs_once(spark, sf_dir):
+    emb = read_testdata(spark, sf_dir, "embeddings").limit(100)
+    pairs = dedup.embedding_near_dups(emb, threshold=0.3).collect()
+    seen = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert all(a < b for a, b in seen)
+    assert len(seen) == len(pairs)  # no dupes

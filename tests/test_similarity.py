@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import similarity
+from cashback_data_pipeline_spark.sources import read_testdata
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def numpy_topk(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def topk(query_ids, k):
+        out = {}
+        for qid in query_ids:
+            qi = int(np.where(ids == qid)[0][0])
+            sims = mat @ mat[qi]
+            order = sorted(
+                ((s, int(i)) for s, i in zip(sims, ids) if i != qid),
+                key=lambda t: (-t[0], t[1]),
+            )
+            out[qid] = [i for _, i in order[:k]]
+        return out
+
+    return topk
+
+
+def test_brute_force_topk_matches_numpy(emb, numpy_topk):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.brute_force_topk(queries, emb, k=10).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == numpy_topk([0, 1, 2, 3, 4], 10)
+
+
+def test_pandas_topk_matches_builtin(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = similarity.brute_force_topk(queries, emb, k=8)
+    b = similarity.cosine_topk_pandas(queries, emb, k=8)
+    sa = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in a.collect()}
+    sb = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in b.collect()}
+    assert sa == sb
+
+
+def test_ivf_recall_against_brute_force(emb, numpy_topk):
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk(queries, emb, n_centroids=16, n_probe=8, k=10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = numpy_topk(list(got), 10)
+    recalls = [len(got[q] & set(truth[q])) / 10 for q in got]
+    assert sum(recalls) / len(recalls) >= 0.5, f"IVF recall too low: {recalls}"
+
+
+def test_hyperplane_buckets_deterministic(emb, spark):
+    b1 = similarity.hyperplane_lsh_buckets(emb.limit(50), n_planes=8)
+    b2 = similarity.hyperplane_lsh_buckets(emb.limit(50), n_planes=8)
+    m1 = {r["vec_id"]: r["bucket"] for r in b1.collect()}
+    m2 = {r["vec_id"]: r["bucket"] for r in b2.collect()}
+    assert m1 == m2
+    assert 1 < len(set(m1.values()))  # actually buckets into multiple cells

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import text
+from cashback_data_pipeline_spark.sources import read_testdata
+
+
+def test_analyze_family_schema_and_values(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents").limit(50)
+    out = text.analyze(docs)
+    row = out.filter(F.col("doc_id") == 0).first()
+    py_tokens = row["text"].split(" ")
+    assert row["token_count"] == len(py_tokens)
+    assert row["n_chars"] == len(row["text"])
+    assert 0.0 < row["distinct_token_ratio"] <= 1.0
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert isinstance(row["simhash"], int)
+    assert len(row["fingerprint"]) == 32
+
+
+def test_lang_id_lexicon_argmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is a pet"),       # en hits: the,a,and,is
+            (2, "el perro y la casa de que"),          # es hits
+            (3, "xyzzy qwerty plugh"),                 # no hits -> und
+            (4, "la table"),                            # tie es/fr (la) -> alphabetical: es
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["l"] for r in df.select("doc_id", text.lang_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "es", 3: "und", 4: "es"}
+
+
+def test_fingerprint_canonicalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello  WORLD"), (4, "different")],
+        "doc_id int, text string",
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_simhash_similar_docs_close(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    far = "completely unrelated words about spark catalyst optimizer physical plans"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id int, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in text.simhash_signatures(df).collect()}
+    ham_near = bin((sigs[1] ^ sigs[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham_far = bin((sigs[1] ^ sigs[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_near < ham_far
+
+
+def test_bpe_estimate_at_least_words(spark):
+    df = spark.createDataFrame([(1, "internationalization is extraordinarily long")], "doc_id int, text string")
+    row = df.select(
+        text.token_count("text").alias("w"), text.bpe_token_estimate("text").alias("b")
+    ).first()
+    assert row["b"] >= row["w"]
