@@ -685,3 +685,274 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Function-surface + lifecycle queries (SURVEY §2.7-2.9, §2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lenient_casts",
+    sql="""
+    SELECT event_id,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8/E9 — lenient cast discipline: bad values become null, matching
+    the reference's pandas ``to_numeric(errors='coerce')`` (elt.py:51-53).
+    With ``spark.sql.ansi.enabled=false`` a plain cast behaves this way;
+    try_cast is the ANSI-proof spelling the engine uses."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("event_type").try_cast("integer").alias("type_as_int"),
+        F.floor("value").cast("bigint").alias("value_floor"),
+        F.get_json_object("props", "$.k").try_cast("integer").alias("k"),
+    )
+
+
+@query(
+    "string_functions",
+    sql="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+           concat(c_mktsegment, ':', c_name) AS seg_name,
+           trim(c_mktsegment) AS seg_trim
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String builtin surface (SURVEY §2.7 note): upper/length/substr/
+    regexp_extract/concat/trim — all codegen'd, no UDFs."""
+    c = read_testdata(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+        F.concat_ws("", F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.trim(F.col("c_mktsegment")).alias("seg_trim"),
+    )
+
+
+@query(
+    "math_functions",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice) AS abs_price,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           sqrt(l_extendedprice) AS price_sqrt,
+           ln(l_extendedprice) AS price_ln,
+           l_orderkey % 7 AS key_mod,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math builtin surface: abs/ceil/floor/sqrt/ln/mod/sign (E1/E7/E11
+    family). sqrt/ln are IEEE-deterministic — safe to hash unrounded."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs("l_extendedprice").alias("abs_price"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "pivot_event_counts",
+    sql="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit so
+    the plan is ONE pass (no distinct-values pre-query) and the output
+    schema is stable at any scale."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "cube_summary",
+    sql="""
+    SELECT event_type AS event_type,
+           CAST(user_id % 4 AS BIGINT) AS user_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 4)
+    """,
+)
+def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations in one shuffle (free in Spark,
+    absent in the reference; SURVEY §2.6)."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", (F.col("user_id") % 4))
+        .cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "first_match_per_group",
+    sql="""
+    SELECT user_id,
+           arg_min(event_id, ts) AS first_event_id,
+           min(ts) AS first_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def first_match_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — first-match pick per group (api.py:144's head(1) distributed):
+    min_by/arg_min, one partial-aggregated pass. ts is unique in the
+    testdata so the pick is deterministic."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@query(
+    "sessionization",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag window + gap flag +
+    count. The batch twin of streaming session_window — one shuffle on
+    user_id, sort within partitions."""
+    events = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        lag_us.isNull() | ((F.unix_micros("ts") - lag_us) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        events.select("user_id", "ts")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("bigint").alias("n_sessions"))
+    )
+
+
+@query(
+    "windowed_event_counts",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type AS event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the BATCH twin of the streaming
+    windowed agg (streaming.windowed_counts shares this exact shape;
+    1h tumbling windows align with date_trunc)."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
+    "warehouse_roundtrip",
+    sql="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — partitioned parquet warehouse write + catalog-free partition
+    discovery on read-back (the reference's glue_script.py:77-78 +
+    crawler, collapsed). The oracle sees only the source table: the
+    write→read cycle must be lossless, INCLUDING the hive-partition
+    string column round-trip."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import write_warehouse
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    staged = orders.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+    out = tempfile.mkdtemp(prefix="warehouse_rt_")
+    write_warehouse(staged, out, partition_by="order_month")
+    back = spark.read.parquet(out)
+    return back.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "incremental_append",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 10 < 8
+    """,
+)
+def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6/J3 — the reference's idempotent serving load (NOT EXISTS insert,
+    load_to_redshift_lambda.py:88-100): seed the target with keys %10<5,
+    then append a batch with keys %10<8 TWICE. The anti-join must admit
+    each key exactly once; final state = distinct keys %10<8."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import append_if_absent
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    target = tempfile.mkdtemp(prefix="serving_") + "/cashback"
+    seed = orders.filter(F.col("o_orderkey") % 10 < 5)
+    batch = orders.filter(F.col("o_orderkey") % 10 < 8)
+    append_if_absent(spark, seed, target, key="o_orderkey")
+    n1 = append_if_absent(spark, batch, target, key="o_orderkey")
+    n2 = append_if_absent(spark, batch, target, key="o_orderkey")
+    assert n2 == 0, f"idempotence violated: second append added {n2} rows"
+    return spark.read.parquet(target)

@@ -1,0 +1,108 @@
+"""Structured Streaming jobs.
+
+The reference is batch-only (SURVEY §2.10): recurrence = re-run the whole
+pipeline, idempotence = the NOT-EXISTS load. These jobs are the streaming
+generalization of exactly those seams:
+
+- :func:`windowed_counts_stream` — the streaming twin of the batch
+  ``windowed_event_counts`` query: tumbling event-time windows + watermark
+  for late data. State is bounded by the watermark horizon regardless of
+  stream length — the 100 TB/day version runs with the same code.
+- :func:`incremental_upsert_stream` — ``foreachBatch`` + the batch
+  anti-join append (sinks.append_if_absent): per-micro-batch exactly the
+  reference's idempotent load (load_to_redshift_lambda.py:88-100), which
+  also makes replays safe (at-least-once source → exactly-once-by-key sink).
+- :func:`sessionized_counts_stream` — ``session_window`` gap sessions,
+  the streaming twin of the batch ``sessionization`` query.
+
+All take a DataFrame from ``readStream`` so sources are pluggable
+(parquet dir for tests, Kafka/Kinesis in production — same plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events directory (parquet/json files
+    dropped into ``path``). ``maxFilesPerTrigger`` bounds micro-batch size
+    so backlog catch-up doesn't OOM executors."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums with a watermark: late rows within
+    ``watermark`` still update their window; older state is evicted.
+    Same output shape as the batch ``windowed_event_counts`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionized_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user (streaming twin of the batch
+    ``sessionization`` query): events within ``gap`` of each other merge
+    into one session; watermark bounds open-session state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def incremental_upsert_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Stream → idempotent serving table: every micro-batch runs the batch
+    anti-join append (K6/J3 semantics). Checkpointing + key-dedup together
+    give exactly-once-by-key even across restarts — the streaming
+    upgrade of the reference's re-runnable load. Returns the started
+    StreamingQuery (caller awaits/stops)."""
+    from cashback_data_pipeline_spark.sinks import append_if_absent
+
+    def load_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # dedup within the batch first (a micro-batch can carry key dups),
+        # then against the target
+        deduped = batch_df.dropDuplicates([key])
+        append_if_absent(spark, deduped, target_path, key=key)
+
+    writer = source.writeStream.foreachBatch(load_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,119 @@
+"""End-to-end lifecycle + nested + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import multimodal, nested
+from cashback_data_pipeline_spark.plans import run_pipeline, with_retry
+from cashback_data_pipeline_spark.schemas import CONTIS_TRANSACTION
+
+from tests.fixtures import make_rewards, make_transactions
+
+
+def test_full_pipeline_idempotent(spark):
+    base = tempfile.mkdtemp(prefix="pipeline_")
+    rewards, transactions = make_rewards(spark), make_transactions(spark)
+    res1 = run_pipeline(spark, rewards, transactions, f"{base}/warehouse", f"{base}/serving")
+    assert res1.rows_transformed == 5
+    assert res1.rows_loaded == 5
+    # re-run: warehouse rewritten, serving load admits nothing (J3)
+    res2 = run_pipeline(spark, rewards, transactions, f"{base}/warehouse", f"{base}/serving")
+    assert res2.rows_loaded == 0
+    assert spark.read.parquet(f"{base}/serving").count() == 5
+    # partition layout: string yyyy-MM-dd partition dirs (K2 parity)
+    parts = spark.read.parquet(f"{base}/warehouse").select("transaction_date").distinct().count()
+    assert parts >= 3
+
+
+def test_with_retry_succeeds_after_failures():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retry(flaky, attempts=3, base_delay=0.01) == "ok"
+    with pytest.raises(RuntimeError):
+        with_retry(lambda: (_ for _ in ()).throw(RuntimeError("always")), attempts=2, base_delay=0.01)
+
+
+def test_nested_blob_parse_and_dotted_access(spark):
+    rewards = make_rewards(spark)
+    staged = rewards.withColumnRenamed("type", "reward_type")
+    parsed = nested.parse_reward_blobs(staged)
+    row = parsed.filter(F.col("id") == "r1").first()
+    assert row["fiat"]["card_transactions"]["description"] == "CRV*PIZZA HUT"
+    assert row["fiat"]["card_transactions"]["api_response"]["MerchantDetails"]["MerchantName"] == "PIZZA HUT"
+
+
+def test_nested_pandas_parse_handles_hostile_blobs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "{'description': 'BOB'S DINER', 'transaction_amount': 5.0}"),  # embedded quote
+            (2, "{'description': 'OK', 'transaction_amount': None, 'transaction_currency': 'GBP'}"),
+            (3, None),
+            (4, "not a dict at all"),
+        ],
+        "id int, blob string",
+    )
+    out = nested.parse_pydict_blobs_pandas(df, "blob", CONTIS_TRANSACTION, "parsed")
+    rows = {r["id"]: r["parsed"] for r in out.collect()}
+    assert rows[2]["description"] == "OK" and rows[2]["transaction_amount"] is None
+    assert rows[3] is None and rows[4] is None  # null/garbage -> null, no crash
+
+
+def test_legacy_repair_pipeline_coalesces(spark):
+    rewards = make_rewards(spark).withColumnRenamed("type", "reward_type")
+    out = nested.legacy_repair_pipeline(rewards)
+    r1 = out.filter(F.col("id") == "r1").first()
+    assert r1["merchant_description"] == "CRV*PIZZA HUT"
+    assert r1["merchant_name"] == "PIZZA HUT"
+    # r3/r4/r5 have no blobs and are not REBATE_BONUS -> dropped (F4);
+    # r2 is REBATE_BONUS -> kept despite null descriptions
+    kept = {r["id"] for r in out.collect()}
+    assert kept == {"r1", "r2"}
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", (64, 48, None, 1024), b"\x89PNG-fake-bytes-1"),
+        (2, "image", "image/png", (64, 48, None, 1024), b"\x89PNG-fake-bytes-1"),  # exact dup
+        (3, "audio", "audio/wav", (None, None, 2500, 4096), b"RIFF-fake"),
+        (4, "video", "video/mp4", (640, 480, 3500, 9999), b"\x00\x00ftyp-fake"),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_metadata_and_dedup(spark, media):
+    with_meta = multimodal.attach_byte_metadata(media)
+    row = with_meta.filter(F.col("media_id") == 1).first()
+    assert row["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
+    deduped = multimodal.dedup_binary_exact(media)
+    assert sorted(r["media_id"] for r in deduped.collect()) == [1, 3, 4]
+
+
+def test_multimodal_feature_extraction_batch_shape(spark, media):
+    feats = multimodal.extract_features(media, dim=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 4
+    assert len(rows[1]["feature"]) == 8
+    assert rows[1]["feature"] == rows[2]["feature"]  # same payload -> same feature
+    assert rows[1]["payload_sha"] == rows[2]["payload_sha"]
+
+
+def test_frame_sample_plan_fanout(spark, media):
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    got = [r["frame_ts_ms"] for r in frames.orderBy("frame_ts_ms").collect()]
+    assert got == [0, 1000, 2000]  # 3500ms video -> frames at 0/1000/2000
+
+
+def test_decode_real_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"bytes")
