@@ -23,6 +23,7 @@ from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
 from cashback_data_pipeline_spark import queries as Q  # noqa: E402
 
 HEADLINE = [
+    # reference-parity operator families (SURVEY §2)
     "monthly_segment_summary",
     "left_join_enrich",
     "derived_conditional_price",
@@ -31,6 +32,20 @@ HEADLINE = [
     "donor_group_fill",
     "sort_limit_offset",
     "union_except_keys",
+    "sessionization",
+    "windowed_event_counts",
+    "pivot_event_counts",
+    "incremental_append",
+    # north-star scale paths (dedup / text / similarity)
+    "dedup_exact_groups",
+    "text_quality_scores",
+    "text_lang_id",
+    "doc_fingerprints",
+    "simhash_near_dups",
+    "minhash_trigram_near_dups",
+    "ann_topk_cosine",
+    "ann_topk_batch",
+    "embedding_near_dups_fast",
 ]
 
 

@@ -64,12 +64,17 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 def shingles(col: Column | str, n: int = 1) -> Column:
-    """Token n-gram shingles as an array column (n=1 → plain tokens)."""
+    """Token n-gram shingles as an array column (n=1 → plain tokens).
+
+    Built with element_at per offset (O(L·n)) — NOT slice-per-position,
+    which is O(L²) and dominated runtime at 174 s/5k docs in v1."""
     t = tokens(col)
     if n == 1:
         return t
     idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(t, i + 1, n)))
+    return F.transform(
+        idx, lambda i: F.concat_ws("\x1f", *[F.element_at(t, i + j + 1) for j in range(n)])
+    )
 
 
 def ngram_jaccard_pairs(
@@ -137,10 +142,14 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Column:
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, seed=i). Array of ``num_hashes`` longs, computed
-    with array higher-order functions — constant size regardless of
-    document length, so the shuffle payload is O(num_hashes) per doc."""
+    """MinHash signature as a single Column: per seed i, min over shingles
+    of xxhash64(shingle, seed=i).
+
+    ⚠ Column-API convenience only: projection collapse re-inlines the
+    shingle expression into all ``num_hashes`` branches, so this is
+    O(num_hashes · shingle-cost) per row. The scan-scale path is
+    :func:`minhash_signatures` (relational: explode once, codegen'd
+    min-aggs)."""
     sh = shingles(col, n)
 
     def min_hash_for(seed: int) -> Column:
@@ -149,6 +158,27 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Co
         return F.array_min(F.transform(sh, lambda w: F.xxhash64(w, F.lit(seed))))
 
     return F.array(*[min_hash_for(i) for i in range(num_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 1,
+) -> DataFrame:
+    """MinHash signatures, relational plan: (id, sig array<long>).
+
+    explode shingles ONCE → one groupBy(id) computing ``num_hashes``
+    ``min(xxhash64(shingle, seed))`` aggregates — everything whole-stage
+    codegen, shingle construction evaluated once per document, map-side
+    partial mins before the shuffle (the shuffle carries num_hashes longs
+    per doc regardless of document size)."""
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__sh"))
+    mins = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -168,7 +198,7 @@ def minhash_lsh_candidates(
     Returns distinct (id_a, id_b) candidate pairs (unverified).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, n).alias("sig"))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "id",

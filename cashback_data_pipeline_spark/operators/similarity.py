@@ -232,3 +232,44 @@ def _unit_hash(seed: int, p: int, d: int) -> float:
     x = (x * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
     x ^= x >> 31
     return (x / 2**63) - 1.0
+
+
+def embedding_pairs_fast(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via blocked GEMM: normalize the
+    (collected, broadcast) corpus matrix once, then each partition
+    matmuls its block against it and emits only pairs over threshold
+    with id_a < id_b.
+
+    ~100× the throughput of per-pair expression cosine (numpy SIMD vs
+    interpreted higher-order functions). Results match the exact
+    expression operator up to summation order (|Δcos| ≲ 1e-15 — see
+    tests/test_similarity.py). For corpora whose matrix exceeds driver
+    memory, LSH-bucket first (hyperplane_lsh_buckets) and run this
+    per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bq = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def kernel(batches):
+        all_ids, all_mat = bq.value
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy()
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ all_mat.T
+            bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": bids[bi], "id_b": all_ids[aj], "cos": sims[bi, aj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema="id_a long, id_b long, cos double")

@@ -96,6 +96,55 @@ def lang_id(col: Column | str, lexicons: dict[str, tuple[str, ...]] | None = Non
     return best_lang
 
 
+def lang_id_relational(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lexicons: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Scan-scale language-ID: (id, lang_pred). Same semantics as
+    :func:`lang_id` (hit-count argmax, alphabetical tie-break, 'und').
+
+    Plan: explode distinct tokens once → broadcast-join the lexicon table
+    → one groupBy(id) with per-language conditional-count aggregates →
+    argmax CASE. All codegen; the Column-API :func:`lang_id` re-evaluates
+    the token array per lexicon word, which costs ~25× more per row."""
+    lexicons = lexicons or LANG_LEXICONS
+    langs = sorted(lexicons)
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang in langs for w in lexicons[lang]], "lang string, word string"
+    )
+    toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("word"))
+    hits = (
+        toks.join(F.broadcast(lex), on="word", how="inner")
+        .groupBy("id")
+        .agg(*[F.count(F.when(F.col("lang") == lang, 1)).alias(f"h_{lang}") for lang in langs])
+    )
+    # argmax with alphabetical tie-break: lang L wins iff it has ≥1 hit,
+    # ≥ every later language, and > every earlier one (self-contained per
+    # branch, so the when-chain order can't change the semantics).
+    case = None
+    for lang in langs:
+        later = [o for o in langs if o > lang]
+        cond = F.col(f"h_{lang}") >= F.lit(1)
+        for o in later:
+            cond = cond & (F.col(f"h_{lang}") >= F.col(f"h_{o}"))
+        earlier = [o for o in langs if o < lang]
+        for o in earlier:
+            cond = cond & (F.col(f"h_{lang}") > F.col(f"h_{o}"))
+        case = F.when(cond, F.lit(lang)) if case is None else case.when(cond, F.lit(lang))
+    case = case.otherwise(F.lit("und"))
+    scored = hits.select("id", case.alias("lang_pred"))
+    # docs with zero lexicon hits never reach `hits` (inner join) → 'und'
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(scored, on="id", how="left")
+        .select("id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"))
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Canonical content fingerprint: md5 of the lowercased,
     whitespace-collapsed text. Exact-dedup key."""

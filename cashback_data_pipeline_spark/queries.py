@@ -527,7 +527,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (north-star): deterministic lexicon hit-count argmax
     (operators.text.lang_id), alphabetical tie-break, 'und' when no hits."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+    return text.lang_id_relational(docs)
 
 
 @query(
@@ -956,3 +956,33 @@ def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = append_if_absent(spark, batch, target, key="o_orderkey")
     assert n2 == 0, f"idempotence violated: second append added {n2} rows"
     return spark.read.parquet(target)
+
+
+@query("embedding_near_dups_fast")  # numpy blocked-GEMM — summation order differs from SQL; rows-only
+def embedding_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for pairwise embedding near-dup: blocked GEMM over a
+    broadcast normalized matrix (operators.similarity.embedding_pairs_fast).
+    Pair set identical to the exact expression operator (pytest-pinned);
+    cos differs only in summation order (≲1e-15), hence rows-only here."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_pairs_fast(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"))
+
+
+@query("minhash_trigram_near_dups")  # xxhash64-based — rows-only
+def minhash_trigram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over TRIGRAM shingles — the production configuration for
+    prose: trigram sets are discriminative (unigram sets saturate on small
+    vocabularies), so candidates ≈ true near-dups and the verify join
+    stays tiny even on self-similar corpora."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(docs, threshold=0.8, num_hashes=64, bands=16, n=3)
+
+
+@query("ann_topk_batch")  # numpy kernel — rows-only (matches brute_force_topk per tests)
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN serving shape: 100 query vectors × full corpus via the
+    Arrow/numpy kernel (operators.similarity.cosine_topk_pandas)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 100)
+    return similarity.cosine_topk_pandas(queries_df, emb, k=10)

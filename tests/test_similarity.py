@@ -71,3 +71,12 @@ def test_hyperplane_buckets_deterministic(emb, spark):
     m2 = {r["vec_id"]: r["bucket"] for r in b2.collect()}
     assert m1 == m2
     assert 1 < len(set(m1.values()))  # actually buckets into multiple cells
+
+
+def test_fast_pairs_match_exact_expression(spark, emb):
+    from cashback_data_pipeline_spark.operators import dedup as dd
+
+    exact = {(r["id_a"], r["id_b"]): r["cos"] for r in dd.embedding_near_dups(emb, threshold=0.35).collect()}
+    fast = {(r["id_a"], r["id_b"]): r["cos"] for r in similarity.embedding_pairs_fast(emb, threshold=0.35).collect()}
+    assert set(exact) == set(fast)
+    assert all(abs(exact[p] - fast[p]) < 1e-9 for p in exact)
