@@ -986,3 +986,164 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 100)
     return similarity.cosine_topk_pandas(queries_df, emb, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Analytics depth: multi-join / SQL-API / percentile (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical pricing-summary scan+agg. One pass,
+    partial+final agg on a 2-value × 2-value key; the shipdate predicate
+    reaches the parquet reader (min/max row-group skip)."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    sql="""
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — 3-way join with selective dim filter. The filtered
+    customer side broadcasts; lineitem (the fact) never shuffles before
+    the join. Grouped revenue on the join output."""
+    c = read_testdata(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_testdata(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15 00:00:00")
+    l = read_testdata(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15 00:00:00")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "supplier_volume_by_nation",
+    sql="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — snowflake join chain (fact → 3 dims). All three
+    dims broadcast (region filter prunes first), so the fact table
+    streams through the join pipeline in one stage with zero shuffles
+    before the final agg."""
+    l = read_testdata(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = read_testdata(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "sql_api_order_stats",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_api_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (SURVEY §3.3's hand-written-SQL seam):
+    temp view + spark.sql — Catalyst produces the identical plan to the
+    DataFrame form, proving both surfaces stay in sync."""
+    read_testdata(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders_v
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "value_percentiles",
+    sql="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 2) AS p50,
+           round(quantile_cont(value, 0.9), 2) AS p90,
+           round(quantile_cont(value, 0.99), 2) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≙
+    DuckDB ``quantile_cont``). At 100 TB swap to ``percentile_approx``
+    (t-digest sketch, mergeable map-side) — kept exact here so the oracle
+    can hash-match."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+    )

@@ -106,3 +106,45 @@ def incremental_upsert_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count + value sum maintained across micro-batches, emitting the
+    updated totals for every user seen in each batch.
+
+    This is the seam the built-in windowed aggs can't express: arbitrary
+    user-defined state transitions (counters, ML feature state, CDC
+    folds). State is one row of two longs/doubles per user — partitioned
+    by the group key, so it shards across executors; at 100 TB/day the
+    state store (RocksDB in prod config) holds |users| rows, not |events|.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("sum_value", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("sum_value", T.DoubleType(), False),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", "NoTimeout"
+    )

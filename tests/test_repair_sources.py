@@ -1,0 +1,104 @@
+"""Coverage for repair operators (SURVEY §2 F4/F5, J2, E10-E12) and the
+source-reader layer (S1-S6)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cashback_data_pipeline_spark.operators import repair
+from cashback_data_pipeline_spark.schemas import TRANSACTIONS_RAW
+from cashback_data_pipeline_spark.sources import (
+    read_csv,
+    read_json_records,
+    read_jsonl,
+    read_table_with_fallback,
+)
+
+
+@pytest.fixture()
+def repairable(spark):
+    rows = [
+        # (id, exchange_rate_id, amount, descr, reward_type)
+        (1, "x1", 10.0, "SHOP A", "DAILY_REBATE_DISTRIBUTION"),
+        (2, "x1", None, None, "DAILY_REBATE_DISTRIBUTION"),   # donor-fillable from x1
+        (3, "x2", None, None, "DAILY_REBATE_DISTRIBUTION"),   # no donor -> stays null
+        (4, "x2", None, None, "REBATE_BONUS"),                # bonus: never a candidate
+    ]
+    return spark.createDataFrame(
+        rows, "id int, exchange_rate_id string, amount double, descr string, reward_type string"
+    )
+
+
+def test_repair_candidates_f5(spark, repairable):
+    cands = repair.repair_candidates(repairable, "amount")
+    assert sorted(r["id"] for r in cands.collect()) == [2, 3]
+
+
+def test_fill_from_donor_group_j2(spark, repairable):
+    filled = repair.fill_from_donor_group(repairable, "exchange_rate_id", ["amount", "descr"])
+    rows = {r["id"]: r for r in filled.collect()}
+    assert rows[2]["amount"] == 10.0 and rows[2]["descr"] == "SHOP A"
+    assert rows[3]["amount"] is None  # group x2 has no donor
+    assert rows[1]["amount"] == 10.0  # donors untouched
+
+
+def test_fill_from_sibling_with_scale_e10_e11(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, 300.0, 7.0)], "id int, amount double, fiat double"
+    )
+    out = {r["id"]: r["amount"] for r in repair.fill_from_sibling(df, "amount", "fiat", scale=100).collect()}
+    assert out[1] == 500.0  # filled from sibling * 100 (api.py:137)
+    assert out[2] == 300.0  # existing value wins
+
+
+def test_drop_unrepairable_f4(spark, repairable):
+    kept = repair.drop_unrepairable(repairable, ["amount", "descr"])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4]  # 4 kept: REBATE_BONUS
+
+
+def test_format_number_e12(spark):
+    # E12 — minor-units int -> "xx.yy" display string (api.py:177)
+    df = spark.createDataFrame([(12345,), (99,)], "pence long")
+    got = [r["s"] for r in df.select(F.format_number(F.col("pence") / 100, 2).alias("s")).collect()]
+    assert got == ["123.45", "0.99"]
+
+
+def test_read_csv_allstring_vs_typed(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as fh:
+        fh.write("id,amount\na,12\nb,oops\n")
+    untyped = read_csv(spark, p)
+    assert dict(untyped.dtypes) == {"id": "string", "amount": "string"}
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("amount", T.LongType())]
+    )
+    typed = read_csv(spark, p, schema=schema)
+    rows = {r["id"]: r["amount"] for r in typed.collect()}
+    assert rows == {"a": 12, "b": None}  # lenient: bad value -> null
+
+
+def test_read_jsonl_and_records(spark, tmp_path):
+    p = str(tmp_path / "t.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"id": "x", "amount": 5}\n{"id": "y", "amount": 6}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("amount", T.LongType())]
+    )
+    assert read_jsonl(spark, p, schema).count() == 2
+    recs = read_json_records(spark, [{"id": "z", "amount": 7}], schema)
+    assert recs.first()["amount"] == 7
+
+
+def test_fallback_seam_s3(spark, tmp_path):
+    fallback = str(tmp_path / "fixture.csv")
+    with open(fallback, "w") as fh:
+        fh.write("id\n1\n")
+    df = read_table_with_fallback(spark, str(tmp_path / "missing.csv"), fallback)
+    assert df.count() == 1
+    with pytest.raises(Exception):
+        read_table_with_fallback(spark, str(tmp_path / "m1.csv"), str(tmp_path / "m2.csv"))

@@ -77,3 +77,35 @@ def test_incremental_upsert_stream_idempotent_by_key(spark, sf_dir, events_dir):
     q2 = streaming.incremental_upsert_stream(spark, source2, target, "event_id", ckpt2)
     q2.awaitTermination(120)
     assert spark.read.parquet(target).count() == n_events
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir):
+    from cashback_data_pipeline_spark.streaming.jobs import running_user_totals_stream
+
+    events = streaming.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals_stream(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user must equal the batch ground truth
+    latest = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM totals_out
+        ) WHERE rn = 1
+        """
+    )
+    truth = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    lt = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4)) for r in latest.collect()}
+    tr = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4)) for r in truth.collect()}
+    assert lt == tr
