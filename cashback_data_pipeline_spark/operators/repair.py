@@ -79,3 +79,29 @@ def repair_candidates(df: DataFrame, amount_col: str, type_col: str = "reward_ty
     """F5 — rows whose amount is null and type is not the bonus type
     (api.py:140): the set the donor fill targets."""
     return df.filter(F.col(amount_col).isNull() & (F.col(type_col) != keep_type))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-buster equi-join: salt the (skewed) left side's key with
+    hash(row)%n_salts and explode the right side across all salts, so one
+    hot key spreads over ``n_salts`` reducers instead of one straggler.
+
+    AQE's skew-join split handles moderate skew automatically; this is the
+    structural fallback for pathological keys (a single key holding >10%
+    of rows) or for engines/stages where AQE can't split (e.g. a skewed
+    aggregation feeding the join). Semantics identical to
+    ``left.join(right, key, how)`` for equi-joins.
+    """
+    salt = (F.abs(F.xxhash64(*left.columns)) % n_salts).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.functions import neq_null_safe
 from cashback_data_pipeline_spark.operators import dedup, similarity, text
-from cashback_data_pipeline_spark.sources import read_testdata
+from cashback_data_pipeline_spark.sources import read_events_range, read_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -212,8 +212,8 @@ def range_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 — timestamp range predicate (the GraphQL pushdown api.py:195,
     in-engine). Pushed to the parquet scan by Catalyst (min/max row-group
     skipping at scale)."""
-    events = read_testdata(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
-    return events.filter(F.col("ts").between("2024-01-10 00:00:00", "2024-01-20 00:00:00"))
+    events = read_events_range(spark, sf_dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return events.select("event_id", "ts", "user_id", "event_type")
 
 
 @query(
@@ -249,13 +249,8 @@ def compound_null_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — ungrouped count over F2∧F3 (the GraphQL totalCount aggregate)."""
-    events = read_testdata(spark, sf_dir, "events")
-    return (
-        events.filter(
-            (F.col("event_type") == "purchase")
-            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-25 00:00:00")
-        ).agg(F.count(F.lit(1)).alias("n"))
-    )
+    events = read_events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+    return events.filter(F.col("event_type") == "purchase").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(

@@ -8,6 +8,7 @@ both resolve through Hadoop FS, so there is no cloud coupling in the API.
 
 from cashback_data_pipeline_spark.sources.readers import (
     read_csv,
+    read_events_range,
     read_json_records,
     read_jsonl,
     read_parquet,
@@ -17,6 +18,7 @@ from cashback_data_pipeline_spark.sources.readers import (
 
 __all__ = [
     "read_csv",
+    "read_events_range",
     "read_json_records",
     "read_jsonl",
     "read_parquet",

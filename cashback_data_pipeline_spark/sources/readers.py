@@ -119,3 +119,30 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return read_parquet(spark, testdata_path(sf_dir, table))
+
+
+def read_events_range(spark: SparkSession, sf_dir: str, ts_lo: str, ts_hi: str) -> DataFrame:
+    """Events scan with the time-range predicate PUSHED TO THE SCAN.
+
+    Because ``ts`` is derived (nanos-long → timestamp), a filter on the
+    converted column cannot be pushed through by Catalyst — the scan would
+    read every row group. Filtering the raw long column with ns bounds
+    restores min/max row-group skipping, which is the difference between
+    scanning a day and scanning a year at 100 TB. Bounds are inclusive,
+    interpreted as UTC.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    def to_ns(s: str) -> int:
+        d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000 + d.microsecond * 1000
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = read_parquet(spark, testdata_path(sf_dir, "events"))
+    if dict(raw.dtypes).get("ts") != "bigint":
+        return raw.filter(F.col("ts").between(ts_lo, ts_hi))
+    return raw.filter(F.col("ts").between(to_ns(ts_lo), to_ns(ts_hi))).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )

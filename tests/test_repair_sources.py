@@ -102,3 +102,55 @@ def test_fallback_seam_s3(spark, tmp_path):
     assert df.count() == 1
     with pytest.raises(Exception):
         read_table_with_fallback(spark, str(tmp_path / "m1.csv"), str(tmp_path / "m2.csv"))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from cashback_data_pipeline_spark.operators.repair import salted_join
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey"
+    )
+    customer = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = {(r["o_orderkey"], r["c_name"]) for r in orders.join(customer, "k").collect()}
+    salted = {(r["o_orderkey"], r["c_name"]) for r in salted_join(orders, customer, "k").collect()}
+    assert plain == salted
+
+
+def test_schema_ddl_and_catalog_table(spark, tmp_path):
+    from cashback_data_pipeline_spark.functions.catalog import register_warehouse_table, schema_ddl
+    from cashback_data_pipeline_spark.schemas import CASHBACK
+
+    ddl = schema_ddl(CASHBACK, "public.cashback", partition_cols=["transaction_date"])
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS public.cashback")
+    assert "reward_id VARCHAR(256)" in ddl
+    assert "plu_amount DOUBLE PRECISION" in ddl
+    assert "rebate_rate INTEGER" in ddl
+    assert ddl.rstrip().endswith("PARTITIONED BY (transaction_date)")
+    # partition col ordered last, like the reference's columns += partition_keys
+    assert ddl.index("transaction_amount DOUBLE") < ddl.index("transaction_date VARCHAR")
+
+    # S7: mount a parquet dir as a catalog table and query it by name
+    p = str(tmp_path / "wh")
+    spark.range(10).selectExpr("id", "id % 3 AS g").write.partitionBy("g").parquet(p)
+    spark.sql("DROP TABLE IF EXISTS wh_test")
+    register_warehouse_table(spark, p, "wh_test")
+    assert spark.table("wh_test").count() == 10
+    parts = {r["g"] for r in spark.table("wh_test").select("g").distinct().collect()}
+    assert parts == {0, 1, 2}  # partition discovery without any crawler
+    spark.sql("DROP TABLE wh_test")
+
+
+def test_plan_shape_pushdown_and_broadcast(spark, sf_dir):
+    """Guardrails on physical plans: predicate pushdown reaches the scan
+    and the dim side of the flagship join broadcasts."""
+    from cashback_data_pipeline_spark.queries import monthly_segment_summary, range_filter_events
+
+    plan = range_filter_events(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the range reaches the parquet scan as long bounds (ns) -> row-group skipping
+    assert "GreaterThanOrEqual(ts,1704844800000000000)" in plan
+
+    jplan = monthly_segment_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan
