@@ -1142,3 +1142,147 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics / as-of join / source roundtrips / sketches
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_analytics",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           row_number()   OVER w AS rn,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           ntile(4) OVER w AS quartile,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface (§2.11 — absent in the reference, core
+    to any warehouse engine): row_number/lag/lead/running sum/ntile/rank
+    over one per-customer ordering — ONE shuffle on o_custkey serves all
+    frames that share the ordering."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(wrank).alias("price_rank"),
+    )
+
+
+@query(
+    "asof_last_signup",
+    sql="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+      FROM events
+    )
+    SELECT event_id, user_id, ts, last_signup_ts
+    FROM tagged WHERE event_type = 'error'
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §4 note: Spark has no native one): for every
+    error event, the most recent prior signup of the same user — the
+    running-max-over-tagged-union formulation, ONE window pass instead of
+    a range join. The same shape implements merge_asof for two tables
+    (union with a source tag first)."""
+    events = read_testdata(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return (
+        events.withColumn("last_signup_ts", F.max(signup_ts).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "last_signup_ts")
+    )
+
+
+@query(
+    "csv_roundtrip",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+    FROM customer
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/K1 — CSV staging round-trip with the engine's cast discipline:
+    write header CSV (all values stringified), read back all-string
+    (schema-on-read, glue_script.py:19-20 parity), then explicit casts
+    restore types losslessly — the reference's staging layer end-to-end."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import write_csv
+    from cashback_data_pipeline_spark.sources import read_csv
+
+    customer = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    staging = tempfile.mkdtemp(prefix="staging_csv_")
+    write_csv(customer, staging)
+    back = read_csv(spark, staging)  # all strings
+    return back.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    sql="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S6 — landed-JSONL source path (the scale form of the API pull):
+    write documents metadata as JSONL, read back with a DECLARED schema
+    (no inference pass — at 100 TB inference is a full extra scan)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cashback_data_pipeline_spark.sources import read_jsonl
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    landing = tempfile.mkdtemp(prefix="landing_jsonl_")
+    docs.write.mode("overwrite").json(landing)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return read_jsonl(spark, landing, schema)
+
+
+@query("approx_sketches")  # HLL / t-digest sketches are engine-specific — rows-only
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for the 100 TB tier: HyperLogLog distinct
+    counts and t-digest quantiles — mergeable sketches, map-side partial,
+    constant memory per group (the exact forms are the oracle-checked
+    distinct_agg / value_percentiles). Accuracy pinned in
+    tests/test_repair_sources.py::test_approx_sketch_accuracy."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

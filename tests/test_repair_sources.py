@@ -154,3 +154,43 @@ def test_plan_shape_pushdown_and_broadcast(spark, sf_dir):
 
     jplan = monthly_segment_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan
+
+
+def test_approx_sketch_accuracy(spark, sf_dir):
+    from cashback_data_pipeline_spark.queries import approx_sketches, distinct_agg, value_percentiles
+
+    approx = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
+    exact_d = {r["event_type"]: r["n_users"] for r in distinct_agg(spark, sf_dir).collect()}
+    exact_p = {r["event_type"]: r["p50"] for r in value_percentiles(spark, sf_dir).collect()}
+    for et, row in approx.items():
+        assert abs(row["approx_users"] - exact_d[et]) <= max(2, 0.05 * exact_d[et])
+        assert abs(row["approx_p50"] - exact_p[et]) <= max(1.0, 0.05 * abs(exact_p[et]))
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketing co-locates join keys at write time: a join of two tables
+    bucketed on the same key runs WITHOUT any Exchange (the 100 TB answer
+    to repeated fact-to-fact joins)."""
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    read_testdata(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable("orders_b")
+    read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "lineitem_b"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
