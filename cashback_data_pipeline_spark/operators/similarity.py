@@ -273,3 +273,62 @@ def embedding_pairs_fast(
             )
 
     return df.select(id_col, vec_col).mapInPandas(kernel, schema="id_a long, id_b long, cos double")
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: corpus written ``partitionBy(centroid_id)``
+    plus a ``centroids`` side table. Probing then reads ONLY the probed
+    centroid partitions (hive partition pruning) — at 100 TB a 4-of-256
+    probe touches ~1.6% of the bytes."""
+    cents = make_centroids_from_sample(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(f"{path}/lists")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN lookup against a persisted IVF index: per query pick the
+    ``n_probe`` nearest centroids, scan only those list partitions
+    (`centroid_id IN (...)` prunes at the file level), score, window
+    top-k. Same output schema as brute_force_topk."""
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
+    )
+    q = _as_double(queries, id_col, vec_col, "q")
+    qc = q.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_v", "centroid_id")
+    )
+    probed_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+
+    lists = spark.read.parquet(f"{path}/lists").filter(F.col("centroid_id").isin(probed_ids))
+    c = lists.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
+    )
+    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )

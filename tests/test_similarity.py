@@ -80,3 +80,17 @@ def test_fast_pairs_match_exact_expression(spark, emb):
     fast = {(r["id_a"], r["id_b"]): r["cos"] for r in similarity.embedding_pairs_fast(emb, threshold=0.35).collect()}
     assert set(exact) == set(fast)
     assert all(abs(exact[p] - fast[p]) < 1e-9 for p in exact)
+
+
+def test_ivf_persisted_index_matches_inline_and_prunes(spark, emb, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = similarity.ivf_topk(queries, emb, n_centroids=16, n_probe=4, k=5)
+    persisted = similarity.ivf_query_index(spark, path, queries, n_probe=4, k=5)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in inline.collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in persisted.collect()}
+    assert a == b
+    # partition pruning: the list scan must carry a partition filter
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan
