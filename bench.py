@@ -36,6 +36,11 @@ HEADLINE = [
     "windowed_event_counts",
     "pivot_event_counts",
     "incremental_append",
+    "pricing_summary",
+    "shipping_priority",
+    "supplier_volume_by_nation",
+    "window_analytics",
+    "asof_last_signup",
     # north-star scale paths (dedup / text / similarity)
     "dedup_exact_groups",
     "text_quality_scores",
@@ -47,6 +52,59 @@ HEADLINE = [
     "ann_topk_batch",
     "embedding_near_dups_fast",
 ]
+
+
+def reference_pipeline_bench(spark, sf: float, base: str) -> float:
+    """Time the full reference-parity lifecycle (transform → partitioned
+    warehouse → idempotent serving load) on deterministic synthetic data
+    sized by sf: 6M·sf transactions ⟕ 4M·sf rewards — the actual workload
+    the reference runs at ~2k rows, scaled ~300×."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.plans import run_pipeline
+
+    n_txn = int(6_000_000 * sf)
+    n_rew = int(4_000_000 * sf)
+    transactions = spark.range(n_txn).select(
+        F.concat(F.lit("t"), F.col("id")).alias("id"),
+        F.when(F.col("id") % 2 == 0, "ContisTransaction").otherwise("FiatTransaction").alias("model"),
+        F.lit("u1").alias("user_id"),
+        F.lit("GBP").alias("currency"),
+        ((F.col("id") * 7919) % 400000 - 200000).alias("amount"),
+        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("date"),
+        F.lit("CARD_SETTLEMENT").alias("type"),
+        F.lit(None).cast("boolean").alias("is_debit"),
+        F.concat(F.lit("MERCHANT "), F.col("id") % 1000).alias("description"),
+        F.lit("transactions_view").alias("__typename"),
+    )
+    rewards = spark.range(n_rew).select(
+        F.concat(F.lit("r"), F.col("id")).alias("id"),
+        F.lit("u1").alias("user_id"),
+        ((F.col("id") % 1000) / 100.0 + 0.01).alias("amount"),
+        (F.col("id") % 6).cast("int").alias("rebate_rate"),
+        F.when(F.col("id") % 50 == 0, "REBATE_BONUS").otherwise("DAILY_REBATE_DISTRIBUTION").alias("type"),
+        F.lit("contis_transactions").alias("reference_type"),
+        F.when(F.col("id") % 20 == 0, F.lit(None)).otherwise(F.concat(F.lit("t"), F.col("id") % n_txn)).alias("reference_id"),
+        (F.col("id") % 10 != 0).alias("available"),
+        F.when(F.col("id") % 12 == 0, "Rejected by admin").when(F.col("id") % 30 == 0, F.lit(None)).otherwise("Automated approval. Trx below 500").alias("reason"),
+        F.lit(3).alias("base_rate"),
+        F.lit(0).alias("staking_rate"),
+        F.lit("premium").alias("subscription_plan"),
+        F.concat(F.lit("x"), F.col("id") % 500).alias("exchange_rate_id"),
+        ((F.col("id") * 13) % 500000 / 1.0).alias("fiat_amount_rewarded"),
+        F.lit(None).cast("string").alias("approved_by"),
+        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("createdAt"),
+        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("updatedAt"),
+        F.lit(None).cast("string").alias("contis_transaction"),
+        F.lit(None).cast("string").alias("fiat_transaction"),
+    )
+    t0 = time.time()
+    result = run_pipeline(spark, rewards, transactions, f"{base}/warehouse", f"{base}/serving")
+    elapsed = time.time() - t0
+    assert result.rows_transformed == n_rew
+    return round(elapsed, 3)
 
 
 def main() -> None:
@@ -66,6 +124,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    import tempfile
+
+    timings["reference_pipeline"] = reference_pipeline_bench(
+        spark, sf or 0.1, tempfile.mkdtemp(prefix="ref_pipeline_bench_")
+    )
 
     print(
         json.dumps(
