@@ -1286,3 +1286,46 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "array_agg_functions",
+    sql="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv,
+           len(list_distinct(list(event_type))) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: collect_set → sort → join (string output
+    keeps the oracle hash stable across engines' list renderings)."""
+    events = read_testdata(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+@query(
+    "null_handling",
+    sql="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'error'), 'UNKNOWN') AS type_or_unknown,
+           CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END AS was_error,
+           ifnull(nullif(value, 0.0), -1.0) AS value_or_neg
+    FROM events
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling builtins (nullif/coalesce/nvl + null flags) — the
+    engine's equivalents of the reference's fillna/isna usage (E10, F4/F5)."""
+    events = read_testdata(spark, sf_dir, "events")
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return events.select(
+        "event_id",
+        F.coalesce(nulled, F.lit("UNKNOWN")).alias("type_or_unknown"),
+        F.when(nulled.isNull(), 1).otherwise(0).alias("was_error"),
+        F.nvl(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias("value_or_neg"),
+    )

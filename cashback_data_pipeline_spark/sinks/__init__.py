@@ -2,8 +2,9 @@
 
 from cashback_data_pipeline_spark.sinks.writers import (
     append_if_absent,
+    merge_upsert,
     write_csv,
     write_warehouse,
 )
 
-__all__ = ["append_if_absent", "write_csv", "write_warehouse"]
+__all__ = ["append_if_absent", "merge_upsert", "write_csv", "write_warehouse"]

@@ -97,3 +97,48 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(hconf).exists(hpath)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    key: str,
+) -> tuple[int, int]:
+    """MERGE-style upsert without a transactional table format: rows whose
+    ``key`` exists in the target are REPLACED by the incoming version,
+    new keys are appended. Returns (n_updated, n_inserted).
+
+    Plan: target ∖ incoming-keys (anti-join on the key only) ∪ incoming,
+    rewritten atomically via write-to-temp + swap. At 100 TB this is the
+    emulation tier — with the warehouse partitioned, only partitions
+    containing incoming keys need the rewrite (pair with dynamic
+    partition overwrite); Delta/Iceberg MERGE INTO is the drop-in upgrade
+    when a transactional format is available (not in this image).
+    """
+    import shutil
+    import uuid
+
+    if not _path_exists(spark, target_path):
+        incoming.write.parquet(target_path)
+        return (0, incoming.count())
+
+    target = spark.read.parquet(target_path)
+    incoming_keys = incoming.select(key).distinct()
+    n_updated = target.join(incoming_keys, on=key, how="left_semi").count()
+    n_inserted = incoming.count() - n_updated
+    survivors = target.join(incoming_keys, on=key, how="left_anti")
+    merged = survivors.unionByName(incoming)
+
+    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(tmp)
+    if "://" not in target_path:
+        shutil.rmtree(target_path)
+        shutil.move(tmp, target_path)
+    else:  # hadoop fs rename for object/dfs paths
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(target_path).getFileSystem(hconf)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(target_path), True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(target_path))
+    return (n_updated, n_inserted)

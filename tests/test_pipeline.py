@@ -117,3 +117,32 @@ def test_frame_sample_plan_fanout(spark, media):
 def test_decode_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"bytes")
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import merge_upsert
+
+    target = tempfile.mkdtemp(prefix="merge_") + "/t"
+    v1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    upd, ins = merge_upsert(spark, v1, target, "k")
+    assert (upd, ins) == (0, 3)
+    v2 = spark.createDataFrame([(2, "B2"), (4, "d")], "k int, v string")
+    upd, ins = merge_upsert(spark, v2, target, "k")
+    assert (upd, ins) == (1, 1)
+    final = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert final == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_append_schema_evolution_merge_schema(spark):
+    import tempfile
+
+    p = tempfile.mkdtemp(prefix="evolve_") + "/t"
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    back = spark.read.option("mergeSchema", True).parquet(p)
+    rows = {r["k"]: (r["v"], r["score"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old rows null-extend
