@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
     bag: bool = True,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """All pairs with (bag- or set-) Jaccard ≥ threshold, via the
     inverted-index plan:
@@ -99,6 +100,14 @@ def ngram_jaccard_pairs(
     bound the worst case; bag semantics (multiset) discriminate better on
     small vocabularies.
 
+    ``max_token_df`` drops shingles whose document frequency exceeds the
+    cap from the inverted index — the Σ df(token)² skew term is exactly
+    the hot tokens, and a shingle shared by half the corpus carries no
+    near-dup signal. Document sizes still count every shingle, so the
+    computed score is a LOWER BOUND of the true Jaccard: precision is
+    preserved (no false positives), recall drops only for pairs whose
+    similarity rides on stop-shingles.
+
     Returns (id_a, id_b, jaccard).
     """
     sh = df.select(F.col(id_col).alias("id"), *(block_cols or []), shingles(text_col, n).alias("sh"))
@@ -109,6 +118,15 @@ def ngram_jaccard_pairs(
     else:
         tok = exploded.distinct().withColumn("cnt", F.lit(1))
         sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
+
+    if max_token_df is not None:
+        hot = (
+            tok.groupBy("tok")
+            .agg(F.countDistinct("id").alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("tok")
+        )
+        tok = tok.join(F.broadcast(hot), on="tok", how="left_anti")
 
     a = tok.select(
         F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in (block_cols or [])],

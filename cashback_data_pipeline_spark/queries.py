@@ -1329,3 +1329,38 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nulled.isNull(), 1).otherwise(0).alias("was_error"),
         F.nvl(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias("value_or_neg"),
     )
+
+
+@query(
+    "table_stats",
+    sql="""
+    SELECT col AS column, n_rows, n_null, n_distinct, min_str, max_str FROM (
+      SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_str, CAST(max(o_orderkey) AS VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      FROM orders
+    )
+    """,
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats collection (SURVEY §7.2.5): per-column null/distinct/min/max
+    in ONE partial+final aggregate pass + stack to long format
+    (operators.profile.profile_table) — the numbers that drive broadcast/
+    skew/partition decisions at scale."""
+    from cashback_data_pipeline_spark.operators.profile import profile_table
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    return profile_table(orders, ["o_orderkey", "o_orderstatus", "o_custkey"])

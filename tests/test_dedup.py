@@ -69,3 +69,15 @@ def test_embedding_near_dups_symmetric_pairs_once(spark, sf_dir):
     seen = {(r["id_a"], r["id_b"]) for r in pairs}
     assert all(a < b for a, b in seen)
     assert len(seen) == len(pairs)  # no dupes
+
+
+def test_hot_token_cap_is_lower_bound(spark, sf_dir):
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(150)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_token_df=100)
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped_pairs.collect()}
+    assert set(capped) <= set(exact)  # lower bound: no false positives
+    for p, j in capped.items():
+        assert j <= exact[p] + 1e-9

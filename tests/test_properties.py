@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the engine's invariants.
+
+Hypothesis drives the INPUT GENERATION; each property runs one Spark job
+over the generated batch (not one per example) to stay fast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.functions import minor_units_to_major, neq_null_safe
+from cashback_data_pipeline_spark.queries import r2
+
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=50))
+def test_r2_matches_python_half_up(spark, xs):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    got = {r["i"]: r["y"] for r in df.select("i", r2(F.col("x")).alias("y")).collect()}
+    for i, x in enumerate(xs):
+        want = math.floor(x * 100 + 0.5) / 100
+        assert got[i] == want, (x, got[i], want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=50))
+def test_minor_units_nonnegative_and_scaled(spark, xs):
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x long")
+    got = {r["i"]: r["y"] for r in df.select("i", minor_units_to_major("x").alias("y")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == abs(x) / 100
+        assert got[i] >= 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "Rejected"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_neq_null_safe_keeps_nulls_drops_only_target(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v string")
+    kept = {r["i"] for r in df.filter(neq_null_safe("v", "Rejected")).collect()}
+    want = {i for i, v in enumerate(vals) if v is None or v != "Rejected"}
+    assert kept == want
