@@ -1364,3 +1364,47 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_testdata(spark, sf_dir, "orders")
     return profile_table(orders, ["o_orderkey", "o_orderstatus", "o_custkey"])
+
+
+@query("dedup_clusters")  # iterative label propagation — not single-query SQL; rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the pair graph (north-star dedup endgame):
+    bag-Jaccard pairs → connected components via small-label propagation
+    (operators.dedup.connected_components). cluster_id = smallest member,
+    i.e. the row to keep; everything else in the cluster is droppable."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.7, block_cols=["lang"], bag=True
+    )
+    return dedup.connected_components(pairs)
+
+
+@query(
+    "text_char_classes",
+    sql="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower,
+           length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           floor((length(text) - length(regexp_replace(text, ' ', '', 'g')))
+                 / length(text) * 1000000 + 0.5) / 1000000 AS space_ratio
+    FROM documents
+    """,
+)
+def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile (quality-scoring inputs): counts via
+    length-difference after class removal — avoids regexp_count dialect
+    differences, identical semantics on both engines."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    n = F.length("text")
+    def klass(pattern: str) -> F.Column:
+        return n - F.length(F.regexp_replace("text", pattern, ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        klass("[a-z]").alias("n_lower"),
+        klass(" ").alias("n_spaces"),
+        klass("[0-9]").alias("n_digits"),
+        (F.floor(klass(" ") / n * 1000000 + 0.5) / 1000000).alias("space_ratio"),
+    )

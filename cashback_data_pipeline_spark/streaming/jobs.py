@@ -148,3 +148,47 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def purchases_after_signup_stream(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same user's
+    signups that happened in the preceding ``within`` interval.
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    signup can be evicted once event time passes signup_ts + within +
+    watermark. The equi-key (user_id) shards state; the time bound is the
+    interval condition Spark's stream-stream join requires for cleanup."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user_id") == F.col("s_user_id"))
+        & (F.col("purchase_ts") > F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return purchases.join(signups, cond, "inner").select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_event_id",
+        "signup_event_id",
+        "purchase_ts",
+        "signup_ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -81,3 +81,20 @@ def test_hot_token_cap_is_lower_bound(spark, sf_dir):
     assert set(capped) <= set(exact)  # lower bound: no false positives
     for p, j in capped.items():
         assert j <= exact[p] + 1e-9
+
+
+def test_connected_components_clusters(spark):
+    # two chains and a singleton edge: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_end_to_end_near_dups(spark, docs_with_dups):
+    pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.8, block_cols=["lang"])
+    labels = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    # docs 1,2,3 form one near-dup cluster (exact dup + 1-token change)
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert 4 not in labels  # disjoint doc never entered the pair graph

@@ -109,3 +109,40 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
     lt = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4)) for r in latest.collect()}
     tr = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4)) for r in truth.collect()}
     assert lt == tr
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    from cashback_data_pipeline_spark.streaming.jobs import purchases_after_signup_stream
+
+    events = streaming.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        purchases_after_signup_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_event_id"], r["signup_event_id"])
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+
+    ev = read_testdata(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts"), F.col("event_id").alias("sid")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    want = {
+        (r["pid"], r["sid"])
+        for r in p.join(
+            s,
+            (F.col("pu") == F.col("su"))
+            & (F.col("pts") > F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
