@@ -51,6 +51,11 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_topk_batch",
     "embedding_near_dups_fast",
+    # curate_corpus / dedup_clusters are correctness queries only: on this
+    # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
+    # is inherently quadratic, which benchmarks the data pathology rather
+    # than the engine (see SCALE.md); the trigram/simhash entries above are
+    # the representative near-dup bench paths.
 ]
 
 

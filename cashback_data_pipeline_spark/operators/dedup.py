@@ -383,6 +383,9 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .cache()  # materialize ONCE — every round re-joins these edges, and
+        # without the cache each iteration would re-execute the (expensive)
+        # upstream pair-generation plan from scratch
     )
     if nodes is None:
         nodes = edges.select(F.col("src").alias("id")).distinct()
@@ -415,4 +418,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels

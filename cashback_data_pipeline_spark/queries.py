@@ -1408,3 +1408,74 @@ def text_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         klass("[0-9]").alias("n_digits"),
         (F.floor(klass(" ") / n * 1000000 + 0.5) / 1000000).alias("space_ratio"),
     )
+
+
+@query(
+    "curate_corpus",
+    sql="""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars, text,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd
+      FROM documents
+    ), exact_kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fp
+      ) WHERE rn = 1
+    ), tok AS (
+      SELECT doc_id, lang, t AS tok, count(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM exact_kept)
+      GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM tok GROUP BY 1
+    ), near_drop AS (
+      SELECT DISTINCT id_b AS doc_id FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.75
+    )
+    SELECT e.doc_id, e.lang, e.n_chars,
+           floor((least(length(e.text) / 500.0, 1.0) * 0.4 + (e.nd / e.nt) * 0.4
+                  + (CASE WHEN ((length(e.text) - (e.nt - 1)) / e.nt) >= 3
+                               AND ((length(e.text) - (e.nt - 1)) / e.nt) <= 10
+                          THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
+    FROM exact_kept e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drop)
+      AND (least(length(e.text) / 500.0, 1.0) * 0.4 + (e.nd / e.nt) * 0.4
+           + (CASE WHEN ((length(e.text) - (e.nt - 1)) / e.nt) >= 3
+                        AND ((length(e.text) - (e.nt - 1)) / e.nt) <= 10
+                   THEN 1.0 ELSE 0.5 END) * 0.2) >= 0.5
+    """,
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline end-to-end (north-star capstone):
+
+        exact dedup (fingerprint row_number)
+          → near-dup drop (bag-Jaccard ≥ 0.75 within language; the
+            HIGHER id of each pair is dropped — deterministic, and
+            SQL-expressible unlike transitive clustering, which
+            `dedup_clusters` provides separately)
+          → quality gate (composite score ≥ 0.5)
+
+    One lazy plan: Catalyst pipelines the whole chain; the only shuffles
+    are the fingerprint window, the token join, and the drop anti-join."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    exact_kept = dedup.dedup_exact_by_fingerprint(docs)
+    pairs = dedup.ngram_jaccard_pairs(
+        exact_kept, n=1, threshold=0.75, block_cols=["lang"], bag=True
+    )
+    near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    quality = text.quality_score("text")
+    return (
+        exact_kept.join(near_drop, on="doc_id", how="left_anti")
+        .filter(quality >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.floor(quality * 1000000 + 0.5) / 1000000).alias("quality"),
+        )
+    )
