@@ -58,6 +58,13 @@ def get_spark(app_name: str = "cashback_data_pipeline_spark", master: str | None
         master = f"local[{DEFAULT_CPUS}]"
     if master is not None:
         builder = builder.master(master)
+    if SparkSession.getActiveSession() is None:
+        # pre-JVM-launch knobs (no effect on an already-running session):
+        # local mode = driver-only, so the driver heap IS the executor heap —
+        # the 1g default GC-thrashes wide joins; UI off for non-interactive.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        ).config("spark.ui.enabled", "false")
     spark = configure(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
