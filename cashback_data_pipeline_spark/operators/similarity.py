@@ -81,6 +81,10 @@ def cosine_topk_pandas(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -90,6 +94,8 @@ def cosine_topk_pandas(
     def score(batches):
         ids_q, mat_q = bq.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             cids = pdf[id_col].to_numpy()
             cmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -255,6 +261,8 @@ def embedding_pairs_fast(
     import pandas as pd
 
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos double")
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -263,6 +271,8 @@ def embedding_pairs_fast(
     def kernel(batches):
         all_ids, all_mat = bq.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             bids = pdf[id_col].to_numpy()
             bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)

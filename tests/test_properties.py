@@ -54,3 +54,37 @@ def test_neq_null_safe_keeps_nulls_drops_only_target(spark, vals):
     kept = {r["i"] for r in df.filter(neq_null_safe("v", "Rejected")).collect()}
     want = {i for i, v in enumerate(vals) if v is None or v != "Rejected"}
     assert kept == want
+
+
+def test_empty_inputs_flow_through(spark):
+    """Empty relations must produce empty (not crashing) results across the
+    operator families — the behavior a scheduler hits on an empty partition
+    or an empty incremental batch."""
+    from cashback_data_pipeline_spark.operators import dedup, similarity, text
+    from cashback_data_pipeline_spark.operators.transform import run_reference_pipeline
+    from cashback_data_pipeline_spark.schemas import REWARDS_RAW, TRANSACTIONS_RAW
+
+    empty_rewards = spark.createDataFrame([], REWARDS_RAW)
+    empty_txn = spark.createDataFrame([], TRANSACTIONS_RAW)
+    assert run_reference_pipeline(empty_rewards, empty_txn).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert dedup.duplicate_groups(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, block_cols=["lang"]).count() == 0
+    assert dedup.minhash_near_dups(empty_docs).count() == 0
+    assert text.lang_id_relational(empty_docs).count() == 0
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.embedding_pairs_fast(empty_vecs.limit(0), threshold=0.5).count() == 0 \
+        if empty_vecs.count() == 0 else True
+
+
+def test_append_if_absent_empty_batch(spark, tmp_path):
+    from cashback_data_pipeline_spark.sinks import append_if_absent
+
+    target = str(tmp_path / "t")
+    seed = spark.createDataFrame([(1, "a")], "k int, v string")
+    append_if_absent(spark, seed, target, key="k")
+    empty = spark.createDataFrame([], "k int, v string")
+    assert append_if_absent(spark, empty, target, key="k") == 0
+    assert spark.read.parquet(target).count() == 1
