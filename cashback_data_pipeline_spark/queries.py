@@ -1479,3 +1479,118 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(quality * 1000000 + 0.5) / 1000000).alias("quality"),
         )
     )
+
+
+@query(
+    "statistical_aggs",
+    sql="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS var,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance, correlation,
+    covariance — single-pass partial+final (Welford-style merge)."""
+    events = read_testdata(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    sql="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(week(o_orderdate) AS INT) AS week_of_year
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface (E4-E6 family extended): interval add,
+    month add, datediff, day-of-week, ISO week."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(F.to_date(F.date_trunc("month", "o_orderdate")), 3).alias("quarter_later"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("week_of_year"),
+    )
+
+
+@query(
+    "forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure filter+agg: every predicate pushes to the
+    scan, the agg is a single partial+final sum. The canonical 'is the
+    scan path fast' probe."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "large_orders",
+    sql="""
+    SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — agg-then-join with HAVING: the aggregation
+    reduces the fact side BEFORE the join (semi-join pushdown done by
+    hand), so the join input is |qualifying orders|, not |lineitem|."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders = read_testdata(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
