@@ -2,9 +2,10 @@
 
 from cashback_data_pipeline_spark.sinks.writers import (
     append_if_absent,
+    compact_warehouse,
     merge_upsert,
     write_csv,
     write_warehouse,
 )
 
-__all__ = ["append_if_absent", "merge_upsert", "write_csv", "write_warehouse"]
+__all__ = ["append_if_absent", "compact_warehouse", "merge_upsert", "write_csv", "write_warehouse"]

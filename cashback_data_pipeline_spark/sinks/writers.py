@@ -142,3 +142,51 @@ def merge_upsert(
         fs.delete(jvm.org.apache.hadoop.fs.Path(target_path), True)
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(target_path))
     return (n_updated, n_inserted)
+
+
+def compact_warehouse(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction — the warehouse maintenance operator.
+
+    Streaming/incremental appends accumulate small files (each micro-batch
+    or load writes its own); scan cost then scales with FILE COUNT (footer
+    reads, task scheduling) rather than bytes. Rewrite each partition into
+    ⌈bytes / target_file_mb⌉ files via a repartition keyed like the
+    layout. Returns the number of files after compaction.
+
+    Atomicity matches merge_upsert: write to temp, swap. At 100 TB run it
+    per-partition (the partition column filter makes each rewrite
+    partition-local and parallelizable across maintenance jobs).
+    """
+    import math
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*.parquet")
+        if f.is_file()
+    ) if "://" not in path else None
+    n_files = max(1, math.ceil((total_bytes or 2**28) / (target_file_mb * 2**20)))
+
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        df.repartition(n_files, *cols).write.partitionBy(*cols).parquet(tmp)
+    else:
+        df.repartition(n_files).write.parquet(tmp)
+    if "://" not in path:
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+    else:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
+    return len([f for f in __import__("pathlib").Path(path).rglob("*.parquet") if f.is_file()]) if "://" not in path else n_files

@@ -146,3 +146,21 @@ def test_append_schema_evolution_merge_schema(spark):
     back = spark.read.option("mergeSchema", True).parquet(p)
     rows = {r["k"]: (r["v"], r["score"]) for r in back.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old rows null-extend
+
+
+def test_compact_warehouse_reduces_files(spark):
+    import pathlib
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import append_if_absent, compact_warehouse
+
+    target = tempfile.mkdtemp(prefix="compact_") + "/t"
+    # simulate many small incremental loads -> many small files
+    for i in range(8):
+        batch = spark.range(i * 100, (i + 1) * 100).selectExpr("id AS k", "id * 2 AS v")
+        append_if_absent(spark, batch, target, key="k")
+    before = len([f for f in pathlib.Path(target).rglob("*.parquet") if f.is_file()])
+    assert before >= 8
+    after = compact_warehouse(spark, target)
+    assert after < before
+    assert spark.read.parquet(target).count() == 800  # lossless
