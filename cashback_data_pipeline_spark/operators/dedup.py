@@ -187,15 +187,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures, relational plan: (id, sig array<long>).
 
-    explode shingles ONCE → one groupBy(id) computing ``num_hashes``
-    ``min(xxhash64(shingle, seed))`` aggregates — everything whole-stage
-    codegen, shingle construction evaluated once per document, map-side
-    partial mins before the shuffle (the shuffle carries num_hashes longs
-    per doc regardless of document size)."""
+    explode shingles ONCE → one groupBy(id) with ``num_hashes`` min
+    aggregates — everything whole-stage codegen, shingle construction
+    evaluated once per document, map-side partial mins before the shuffle
+    (the shuffle carries num_hashes longs per doc regardless of document
+    size).
+
+    Each ``xxhash64(shingle, seed)`` is split into TWO independent 32-bit
+    hash functions (low and high word), so num_hashes functions need only
+    num_hashes/2 distinct xxhash expressions. (Wall-clock is dominated by
+    the explode + 64 aggregation buffers, not hashing, so this is a
+    hash-budget nicety rather than a measured speedup; signature values
+    are the 32-bit minima as longs.)"""
     exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__sh"))
-    mins = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
-    )
+    n_seeds = (num_hashes + 1) // 2
+    aggs = []
+    for i in range(n_seeds):
+        h = F.xxhash64("__sh", F.lit(i))
+        aggs.append(F.min(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias(f"__m{2 * i}"))
+        if 2 * i + 1 < num_hashes:
+            aggs.append(F.min(F.shiftrightunsigned(h, 32)).alias(f"__m{2 * i + 1}"))
+    mins = exploded.groupBy("id").agg(*aggs)
     return mins.select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
 
 

@@ -342,3 +342,48 @@ def ivf_query_index(
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement of IVF centroids, fully relational:
+
+        assign (broadcast centroids, argmin)            — existing ivf_assign
+        → posexplode vectors to (centroid, pos, val)
+        → groupBy(centroid, pos).avg                    — element-wise mean
+        → collect_list ordered by pos → new centroid vectors
+
+    Each iteration is one assign + one two-level aggregate; no vectors
+    ever collect to the driver. Empty clusters keep their previous
+    centroid (join-coalesce), so k never shrinks. Deterministic given the
+    deterministic seeding (make_centroids_from_sample)."""
+    current = centroids
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, current, id_col, vec_col)
+        elem = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+        )
+        means = elem.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+        new_cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid_new"),
+            )
+        )
+        current = (
+            current.join(new_cents, on="centroid_id", how="left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("centroid_new").cast("array<float>"), F.col("centroid")
+                ).alias("centroid"),
+            )
+        )
+    return current

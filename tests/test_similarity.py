@@ -94,3 +94,24 @@ def test_ivf_persisted_index_matches_inline_and_prunes(spark, emb, tmp_path):
     # partition pruning: the list scan must carry a partition filter
     plan = persisted._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [centroid_id" in plan
+
+
+def test_kmeans_refine_improves_quantization(spark, emb):
+    """Refined centroids must reduce mean quantization error (1 - cos to
+    assigned centroid) vs the lowest-id seeding — the Lloyd's guarantee."""
+    seeds = similarity.make_centroids_from_sample(emb, 16)
+
+    def mean_err(cents):
+        assigned = similarity.ivf_assign(emb, cents, "vec_id", "embedding")
+        scored = assigned.join(
+            F.broadcast(cents.select("centroid_id", F.col("centroid").cast("array<double>").alias("cv"))),
+            on="centroid_id",
+        ).select(
+            similarity.cosine_sim(F.col("embedding").cast("array<double>"), F.col("cv")).alias("cos")
+        )
+        return 1.0 - scored.agg(F.avg("cos")).first()[0]
+
+    refined = similarity.kmeans_refine(emb, seeds, n_iter=3)
+    assert refined.count() == 16
+    e_seed, e_ref = mean_err(seeds), mean_err(refined)
+    assert e_ref < e_seed, (e_seed, e_ref)
