@@ -63,48 +63,17 @@ def reference_pipeline_bench(spark, sf: float, base: str) -> float:
     """Time the full reference-parity lifecycle (transform → partitioned
     warehouse → idempotent serving load) on deterministic synthetic data
     sized by sf: 6M·sf transactions ⟕ 4M·sf rewards — the actual workload
-    the reference runs at ~2k rows, scaled ~300×."""
+    the reference runs at ~2k rows, scaled ~300×. Same generator as the
+    oracle-checked reference_pipeline_parity query (testgen.py)."""
     import time
 
-    from pyspark.sql import functions as F
-
     from cashback_data_pipeline_spark.plans import run_pipeline
+    from cashback_data_pipeline_spark.testgen import gen_rewards, gen_transactions
 
     n_txn = int(6_000_000 * sf)
     n_rew = int(4_000_000 * sf)
-    transactions = spark.range(n_txn).select(
-        F.concat(F.lit("t"), F.col("id")).alias("id"),
-        F.when(F.col("id") % 2 == 0, "ContisTransaction").otherwise("FiatTransaction").alias("model"),
-        F.lit("u1").alias("user_id"),
-        F.lit("GBP").alias("currency"),
-        ((F.col("id") * 7919) % 400000 - 200000).alias("amount"),
-        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("date"),
-        F.lit("CARD_SETTLEMENT").alias("type"),
-        F.lit(None).cast("boolean").alias("is_debit"),
-        F.concat(F.lit("MERCHANT "), F.col("id") % 1000).alias("description"),
-        F.lit("transactions_view").alias("__typename"),
-    )
-    rewards = spark.range(n_rew).select(
-        F.concat(F.lit("r"), F.col("id")).alias("id"),
-        F.lit("u1").alias("user_id"),
-        ((F.col("id") % 1000) / 100.0 + 0.01).alias("amount"),
-        (F.col("id") % 6).cast("int").alias("rebate_rate"),
-        F.when(F.col("id") % 50 == 0, "REBATE_BONUS").otherwise("DAILY_REBATE_DISTRIBUTION").alias("type"),
-        F.lit("contis_transactions").alias("reference_type"),
-        F.when(F.col("id") % 20 == 0, F.lit(None)).otherwise(F.concat(F.lit("t"), F.col("id") % n_txn)).alias("reference_id"),
-        (F.col("id") % 10 != 0).alias("available"),
-        F.when(F.col("id") % 12 == 0, "Rejected by admin").when(F.col("id") % 30 == 0, F.lit(None)).otherwise("Automated approval. Trx below 500").alias("reason"),
-        F.lit(3).alias("base_rate"),
-        F.lit(0).alias("staking_rate"),
-        F.lit("premium").alias("subscription_plan"),
-        F.concat(F.lit("x"), F.col("id") % 500).alias("exchange_rate_id"),
-        ((F.col("id") * 13) % 500000 / 1.0).alias("fiat_amount_rewarded"),
-        F.lit(None).cast("string").alias("approved_by"),
-        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("createdAt"),
-        F.timestamp_seconds(F.lit(1710000000) + F.col("id") % 7776000).alias("updatedAt"),
-        F.lit(None).cast("string").alias("contis_transaction"),
-        F.lit(None).cast("string").alias("fiat_transaction"),
-    )
+    transactions = gen_transactions(spark, n_txn)
+    rewards = gen_rewards(spark, n_rew, n_txn)
     t0 = time.time()
     result = run_pipeline(spark, rewards, transactions, f"{base}/warehouse", f"{base}/serving")
     elapsed = time.time() - t0

@@ -1652,3 +1652,62 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_mktsegment")
     )
+
+
+@query(
+    "reference_pipeline_parity",
+    sql="""
+    WITH txn AS (
+      SELECT 't' || i AS transaction_id,
+             ((i * 7919) % 400000 - 200000) AS amount,
+             make_timestamp((1710000000 + i % 7776000) * 1000000) AS date,
+             'MERCHANT ' || (i % 1000) AS description,
+             'GBP' AS currency
+      FROM range(6000) t(i)
+    ), rew AS (
+      SELECT 'r' || i AS reward_id,
+             ((i % 1000) / 100.0 + 0.01) AS plu_amount,
+             CAST(i % 6 AS INT) AS rebate_rate,
+             CASE WHEN i % 50 = 0 THEN 'REBATE_BONUS' ELSE 'DAILY_REBATE_DISTRIBUTION' END AS reward_type,
+             'contis_transactions' AS reference_type,
+             CASE WHEN i % 20 = 0 THEN NULL ELSE 't' || (i % 6000) END AS reference_id,
+             (i % 10 <> 0) AS available,
+             CASE WHEN i % 12 = 0 THEN 'Rejected by admin'
+                  WHEN i % 30 = 0 THEN NULL
+                  ELSE 'Automated approval. Trx below 500' END AS reason,
+             ((i * 13) % 500000 / 1.0) AS fiat_amount_rewarded,
+             make_timestamp((1710000000 + i % 7776000) * 1000000) AS created_at,
+             make_timestamp((1710000000 + i % 7776000) * 1000000) AS updated_at
+      FROM range(4000) r(i)
+    ), joined AS (
+      SELECT r.*, t.transaction_id, t.description, t.currency, t.date,
+             abs(t.amount) / 100 AS transaction_amount
+      FROM rew r LEFT JOIN txn t ON r.reference_id = t.transaction_id
+    )
+    SELECT reward_id, transaction_id, description, plu_amount,
+           available, reason, created_at, updated_at, rebate_rate,
+           CAST(abs(fiat_amount_rewarded) / 100 AS VARCHAR) AS fiat_amount_rewarded,
+           currency, reference_type, reward_type, transaction_amount,
+           date AS transaction_timestamp,
+           CASE WHEN rebate_rate = 0.0 THEN fiat_amount_rewarded / plu_amount
+                ELSE (abs(transaction_amount) / 100 * rebate_rate) / plu_amount
+           END AS plu_price,
+           strftime(date, '%Y-%m-%d') AS transaction_date
+    FROM joined
+    """,
+)
+def reference_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE parity statement: the complete reference transform
+    (stage → J1 left join → E1 → P1/P2 → E4/E5 → E2 plu_price → E3 → E9
+    casts; glue_script.py:19-74 semantics including the double-divide and
+    string-cast quirks) oracle-checked END-TO-END against an independent
+    SQL restatement of the same pipeline over identical generated data.
+
+    NOTE the oracle computes plu_price from the PRE-string-cast
+    fiat_amount_rewarded, mirroring the reference's expression order —
+    any deviation in our cast sequencing would hash-mismatch."""
+    from cashback_data_pipeline_spark.operators.transform import run_reference_pipeline
+    from cashback_data_pipeline_spark.testgen import gen_rewards, gen_transactions
+
+    out = run_reference_pipeline(gen_rewards(spark, 4000, 6000), gen_transactions(spark, 6000))
+    return out
