@@ -1711,3 +1711,83 @@ def reference_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_reference_pipeline(gen_rewards(spark, 4000, 6000), gen_transactions(spark, 6000))
     return out
+
+
+@query(
+    "nested_blob_parse",
+    sql="""
+    WITH raw AS (
+      SELECT i AS rec_id,
+             CASE WHEN i % 3 = 0 THEN NULL
+                  ELSE '{''description'': ''MERCHANT ' || (i % 100) ||
+                       ''', ''transaction_amount'': ' || (i % 500) || '.25}'
+             END AS blob
+      FROM range(2000) t(i)
+    )
+    SELECT rec_id,
+           json_extract_string(replace(blob, '''', '"'), '$.description') AS merchant,
+           CAST(json_extract(replace(blob, '''', '"'), '$.transaction_amount') AS DOUBLE) AS amount
+    FROM raw
+    """,
+)
+def nested_blob_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 nested-record columns under the oracle: Python-dict-literal
+    blobs (single quotes, nulls) repaired and parsed to typed fields via
+    functions.parse_pydict_blob (regexp repair + from_json), checked
+    against DuckDB's independent repair + JSON extraction over identical
+    generated blobs."""
+    from cashback_data_pipeline_spark.functions import parse_pydict_blob
+    from cashback_data_pipeline_spark.schemas import CONTIS_TRANSACTION
+
+    raw = spark.range(2000).select(
+        F.col("id").alias("rec_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("{'description': 'MERCHANT "),
+                F.col("id") % 100,
+                F.lit("', 'transaction_amount': "),
+                F.col("id") % 500,
+                F.lit(".25}"),
+            )
+        ).alias("blob"),
+    )
+    parsed = raw.withColumn("p", parse_pydict_blob("blob", CONTIS_TRANSACTION))
+    return parsed.select(
+        "rec_id",
+        F.col("p.description").alias("merchant"),
+        F.col("p.transaction_amount").alias("amount"),
+    )
+
+
+@query(
+    "trailing_window_sum",
+    sql="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_24h_sum,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_24h_n
+    FROM events
+    """,
+)
+def trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-24h sum/count ordered by
+    event time — the rolling-metric shape (fraud scoring, rate limiting).
+    The frame is value-based (epoch µs), not row-based, so irregular
+    event spacing is handled exactly; one shuffle on user_id."""
+    events = read_testdata(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_24h_sum"),
+        F.count(F.lit(1)).over(w).alias("trailing_24h_n"),
+    )
