@@ -66,3 +66,18 @@ def register_warehouse_table(spark, path: str, table: str) -> None:
         spark.sql(f"MSCK REPAIR TABLE {table}")
     except Exception:
         pass  # unpartitioned table — nothing to recover
+
+
+def analyze_table(spark, table: str, columns: list[str] | None = None) -> None:
+    """Collect table + column statistics into the catalog (row counts,
+    sizes, per-column ndv/null/min/max). Feeds Spark's cost-based
+    optimizer: join reordering and broadcast decisions use these numbers
+    when AQE's runtime stats aren't available (e.g. first stage of a
+    query). The engine's replacement for the reference's crawler-derived
+    metadata, but with actual statistics."""
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+    else:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")

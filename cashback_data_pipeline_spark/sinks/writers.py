@@ -32,15 +32,30 @@ def write_warehouse(
     path: str,
     partition_by: str | list[str] = "transaction_date",
     mode: str = "overwrite",
+    sort_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> None:
     """Partitioned snappy-parquet warehouse write (K2).
 
     With ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
     session.configure) overwrite mode replaces only the partitions present
     in ``df`` — the scale-safe version of the reference's prefix truncate.
+
+    Layout knobs for the 100 TB tier:
+    - ``sort_by``: sortWithinPartitions before writing → tighter row-group
+      min/max bounds (better skipping on those columns) and better RLE/
+      dictionary compression. No extra shuffle — sorts within tasks.
+    - ``bloom_filter_cols``: parquet bloom filters per column → point
+      lookups (e.g. the serving anti-join probing reward_id) skip row
+      groups that provably lack the key.
     """
     cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    df.write.partitionBy(*cols).mode(mode).parquet(path)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.partitionBy(*cols).mode(mode)
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.parquet(path)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -192,3 +192,12 @@ def purchases_after_signup_stream(
         "signup_ts",
         F.round("purchase_value", 2).alias("purchase_value"),
     )
+
+
+def deduped_stream(events: DataFrame, key: str = "event_id", watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys across micro-batches
+    within the watermark horizon. State holds one entry per key seen in
+    the horizon — the streaming complement to the sink-side anti-join
+    (which guards the TABLE; this guards the STREAM, e.g. against
+    at-least-once sources double-delivering)."""
+    return events.withWatermark("ts", watermark).dropDuplicates([key])

@@ -194,3 +194,39 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_warehouse_layout_options(spark, tmp_path, sf_dir):
+    from cashback_data_pipeline_spark.sinks import write_warehouse
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    p = str(tmp_path / "wh")
+    write_warehouse(
+        orders, p, partition_by="month", sort_by=["o_orderkey"], bloom_filter_cols=["o_orderkey"]
+    )
+    back = spark.read.parquet(p)
+    assert back.count() == orders.count()
+    # point lookup on the sorted+bloomed key returns correctly
+    key = orders.select(F.min("o_orderkey")).first()[0]
+    assert back.filter(F.col("o_orderkey") == key).count() >= 1
+
+
+def test_analyze_table_collects_stats(spark, tmp_path):
+    from cashback_data_pipeline_spark.functions.catalog import analyze_table, register_warehouse_table
+
+    p = str(tmp_path / "t")
+    spark.range(1000).selectExpr("id", "id % 7 AS g").write.parquet(p)
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+    register_warehouse_table(spark, p, "stats_t")
+    analyze_table(spark, "stats_t")
+    analyze_table(spark, "stats_t", columns=["g"])
+    detail = spark.sql("DESCRIBE TABLE EXTENDED stats_t").collect()
+    stats_row = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats_row and "rows" in stats_row[0]["data_type"]
+    coldesc = spark.sql("DESCRIBE EXTENDED stats_t g").collect()
+    ndv = {r["info_name"]: r["info_value"] for r in coldesc}
+    assert ndv.get("distinct_count") == "7"
+    spark.sql("DROP TABLE stats_t")

@@ -146,3 +146,32 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_deduped_stream_drops_cross_batch_duplicates(spark, sf_dir, events_dir):
+    import tempfile
+
+    from cashback_data_pipeline_spark.streaming.jobs import deduped_stream
+
+    # duplicate the whole events dir as extra files -> every key delivered twice
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    read_testdata(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(dup_dir)
+    import shutil as _sh
+    import pathlib as _pl
+
+    for i, f in enumerate(_pl.Path(events_dir).glob("part-*.parquet")):
+        _sh.copy(f, _pl.Path(dup_dir) / f"dup-{i}.parquet")
+
+    events = streaming.read_events_stream(spark, dup_dir, max_files_per_trigger=2)
+    q = (
+        deduped_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_unique = read_testdata(spark, sf_dir, "events").count()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
+    assert got["n"] == got["d"] == n_unique
