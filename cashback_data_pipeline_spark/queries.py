@@ -1791,3 +1791,43 @@ def trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("trailing_24h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_24h_n"),
     )
+
+
+@query(
+    "dq_violations",
+    sql="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_not_null,
+             CAST(sum(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(sum(CASE WHEN event_type IS NOT NULL
+                           AND event_type NOT IN ('click','error','purchase','signup','view')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_accepted
+      FROM events
+    )
+    SELECT 'not_null_event_type' AS rule, v_not_null AS n_violations, n_rows FROM agg
+    UNION ALL
+    SELECT 'range_value', v_range, n_rows FROM agg
+    UNION ALL
+    SELECT 'accepted_event_type', v_accepted, n_rows FROM agg
+    """,
+)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations in one aggregate pass (operators.quality):
+    null checks, range checks, accepted-value checks — the declarative
+    guardrail layer the reference's try/except+fixture-fallback implies."""
+    from cashback_data_pipeline_spark.operators import quality as dq
+
+    events = read_testdata(spark, sf_dir, "events")
+    return dq.check(
+        events,
+        [
+            dq.not_null("event_type"),
+            dq.in_range("value", 0, 1000),
+            dq.accepted_values("event_type", ["click", "error", "purchase", "signup", "view"]),
+        ],
+    ).select(
+        F.col("rule"),
+        F.col("n_violations"),
+        F.col("n_rows"),
+    )

@@ -230,3 +230,30 @@ def test_analyze_table_collects_stats(spark, tmp_path):
     ndv = {r["info_name"]: r["info_value"] for r in coldesc}
     assert ndv.get("distinct_count") == "7"
     spark.sql("DROP TABLE stats_t")
+
+
+def test_quality_rules_and_unique_key(spark):
+    from cashback_data_pipeline_spark.operators import quality as dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -3.0), (3, "zz", 50.0), (3, "a", 2.0)],
+        "k int, s string, v double",
+    )
+    res = {r["rule"]: r["n_violations"] for r in dq.check(
+        df, [dq.not_null("s"), dq.in_range("v", 0, 10), dq.accepted_values("s", ["a", "b"])]
+    ).collect()}
+    assert res == {"not_null_s": 1, "range_v": 2, "accepted_s": 1}  # -3.0 and 50.0 both out of range
+    dups = dq.unique_key_violations(df, ["k"]).collect()
+    assert len(dups) == 1 and dups[0]["k"] == 3 and dups[0]["n_copies"] == 2
+
+
+def test_count_distinct_salted_exact(spark, sf_dir):
+    from cashback_data_pipeline_spark.operators.quality import count_distinct_salted
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    events = read_testdata(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["d"] for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("d")).collect()}
+    salted = {r["event_type"]: r["n_distinct"] for r in
+              count_distinct_salted(events, "event_type", "user_id", n_salts=8).collect()}
+    assert salted == exact
