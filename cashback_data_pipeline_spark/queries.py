@@ -1831,3 +1831,22 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_violations"),
         F.col("n_rows"),
     )
+
+
+@query(
+    "sequence_explode",
+    sql="""
+    SELECT o_orderkey, unnest(range(1, o_orderkey % 5 + 2)) AS step
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array generation + lateral explode (the generic fan-out primitive
+    behind shingling, frame sampling, and date spines): per row a
+    1..(key%5+1) sequence exploded to rows."""
+    orders = read_testdata(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1))).alias("step"),
+    )

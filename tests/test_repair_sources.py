@@ -257,3 +257,20 @@ def test_count_distinct_salted_exact(spark, sf_dir):
     salted = {r["event_type"]: r["n_distinct"] for r in
               count_distinct_salted(events, "event_type", "user_id", n_salts=8).collect()}
     assert salted == exact
+
+
+def test_map_type_surface(spark):
+    """Map columns: build from arrays, access, explode — the §1.3 'maps
+    absent in reference' surface the engine still ships."""
+    df = spark.createDataFrame([(1,)], "id int").select(
+        "id",
+        F.create_map(F.lit("a"), F.lit(10), F.lit("b"), F.lit(20)).alias("m"),
+    )
+    row = df.select(
+        F.map_keys("m").alias("ks"),
+        F.col("m")["b"].alias("b_val"),
+        F.map_concat("m", F.create_map(F.lit("c"), F.lit(30))).alias("m2"),
+    ).first()
+    assert sorted(row["ks"]) == ["a", "b"] and row["b_val"] == 20 and row["m2"]["c"] == 30
+    exploded = df.select("id", F.explode("m").alias("k", "v")).collect()
+    assert {(r["k"], r["v"]) for r in exploded} == {("a", 10), ("b", 20)}
