@@ -167,15 +167,32 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Co
     shingle expression into all ``num_hashes`` branches, so this is
     O(num_hashes · shingle-cost) per row. The scan-scale path is
     :func:`minhash_signatures` (relational: explode once, codegen'd
-    min-aggs)."""
+    min-aggs). Hash scheme (32-bit low/high words per xxhash64 seed) is
+    IDENTICAL to minhash_signatures, so the two APIs produce the same
+    signature values and can be banded/compared interchangeably —
+    pinned by tests/test_dedup.py."""
     sh = shingles(col, n)
+    n_seeds = (num_hashes + 1) // 2
 
-    def min_hash_for(seed: int) -> Column:
-        # NB: the transform lambda must take exactly ONE parameter — a
-        # second parameter would be bound to the array index by Spark.
-        return F.array_min(F.transform(sh, lambda w: F.xxhash64(w, F.lit(seed))))
+    # NB: transform lambdas must take exactly ONE parameter — a second
+    # parameter would be bound to the array index by Spark (the original
+    # all-seeds-identical bug); seeds are captured via enclosing functions.
+    def lo_for(seed: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda w: F.xxhash64(w, F.lit(seed)).bitwiseAND(F.lit(0xFFFFFFFF)))
+        )
 
-    return F.array(*[min_hash_for(i) for i in range(num_hashes)])
+    def hi_for(seed: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda w: F.shiftrightunsigned(F.xxhash64(w, F.lit(seed)), 32))
+        )
+
+    mins: list[Column] = []
+    for i in range(n_seeds):
+        mins.append(lo_for(i))
+        if 2 * i + 1 < num_hashes:
+            mins.append(hi_for(i))
+    return F.array(*mins)
 
 
 def minhash_signatures(
@@ -386,11 +403,16 @@ def connected_components(
 
     Iterative relational plan (label = min(label, neighbors' labels) until
     fixpoint): each round is one join + one agg, checkpoint-free because
-    the label table is re-derived per round. Near-dup clusters are
-    small-diameter (pairs come from a similarity ball), so convergence is
-    fast — typically ≤ log(max cluster size) + 1 rounds; ``max_iter``
-    bounds pathological chains. Each round caches its label table and
-    unpersists the previous one to keep the lineage short."""
+    the label table is re-derived per round. The minimum label advances
+    ONE HOP per round, so rounds needed = the largest component's
+    diameter; near-dup clusters are usually shallow similarity balls, but
+    drifting-chain corpora can be deep — if ``max_iter`` rounds pass
+    without reaching the fixpoint the function RAISES rather than return
+    silently-split clusters (raise max_iter, or pre-collapse chains with
+    exact dedup first). Each round ``localCheckpoint``s its label table:
+    caching alone is NOT enough for iterative plans — the logical plan
+    still grows per round and Catalyst analysis time explodes; the
+    checkpoint truncates lineage to a leaf."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -401,8 +423,9 @@ def connected_components(
     )
     if nodes is None:
         nodes = edges.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("cluster_id")).cache()
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -417,7 +440,7 @@ def connected_components(
                     "cluster_id"
                 ),
             )
-            .cache()
+            .localCheckpoint()  # truncate lineage — see docstring
         )
         changed = (
             new_labels.alias("n")
@@ -426,9 +449,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds it); raise max_iter"
+        )
     return labels

@@ -38,9 +38,12 @@ def fill_from_donor_group(
     fill_cols: list[str],
     not_null_col: str | None = None,
 ) -> DataFrame:
-    """J2 — for rows with null ``fill_cols``, copy values from any row in
-    the same ``group_key`` group that has them (api.py:142-150's
-    ``head(1)`` pick ≙ ``first(…, ignorenulls=True)``).
+    """J2 — for rows with null ``fill_cols``, copy values from a row in
+    the same ``group_key`` group that has them. The reference picks an
+    arbitrary donor (``head(1)``, api.py:144); the engine picks the
+    DETERMINISTIC one — the donor row whose (not_null_col, *fill_cols)
+    tuple sorts lowest (lexicographic struct-min, which is total even
+    when not_null_col ties) — so repeated runs and the oracle agree.
 
     Plan shape: one partial-aggregated groupBy over the donor columns (the
     map-side combine collapses each group to ≤1 row before the shuffle),
@@ -50,10 +53,20 @@ def fill_from_donor_group(
     """
     if not_null_col is None:
         not_null_col = fill_cols[0]
+    donor_tuple = F.min(
+        F.struct(
+            F.col(not_null_col).alias("__k"),
+            *[F.col(c).alias(f"__f{i}") for i, c in enumerate(fill_cols)],
+        )
+    ).alias("__donor")
     donors = (
         df.filter(F.col(not_null_col).isNotNull())
         .groupBy(group_key)
-        .agg(*[F.first(c, ignorenulls=True).alias(f"__donor_{c}") for c in fill_cols])
+        .agg(donor_tuple)
+        .select(
+            group_key,
+            *[F.col(f"__donor.__f{i}").alias(f"__donor_{c}") for i, c in enumerate(fill_cols)],
+        )
     )
     out = df.join(donors, on=group_key, how="left")
     for c in fill_cols:
@@ -89,16 +102,25 @@ def salted_join(
     n_salts: int = 16,
 ) -> DataFrame:
     """Skew-buster equi-join: salt the (skewed) left side's key with
-    hash(row)%n_salts and explode the right side across all salts, so one
-    hot key spreads over ``n_salts`` reducers instead of one straggler.
+    pmod(hash(row), n_salts) and explode the right side across all salts,
+    so one hot key spreads over ``n_salts`` reducers instead of one
+    straggler.
 
     AQE's skew-join split handles moderate skew automatically; this is the
     structural fallback for pathological keys (a single key holding >10%
     of rows) or for engines/stages where AQE can't split (e.g. a skewed
     aggregation feeding the join). Semantics identical to
-    ``left.join(right, key, how)`` for equi-joins.
+    ``left.join(right, key, how)`` for ``inner``/``left``/``left_semi``/
+    ``left_anti`` ONLY — right/full-outer would null-pad the n_salts-1
+    unmatched salt copies of each right row, so those modes are rejected.
     """
-    salt = (F.abs(F.xxhash64(*left.columns)) % n_salts).cast("int")
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; '{how}' would duplicate "
+            "unmatched right rows across salts — salt the other side instead"
+        )
+    salt = F.pmod(F.xxhash64(*left.columns), F.lit(n_salts)).cast("int")
     salted_left = left.withColumn("__salt", salt)
     salted_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -212,7 +212,10 @@ def hyperplane_lsh_buckets(
     dim) via a splitmix-style integer mix — reproducible across runs and
     engines, no RNG state. Cosine-close vectors collide with high
     probability; use buckets to bound near-dup verification."""
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:  # empty input — bucket column still materializes
+        return df.withColumn("bucket", F.lit(0).cast("long"))
+    dim = len(first[0])
     planes = [
         [_unit_hash(seed, p, d) for d in range(dim)]
         for p in range(n_planes)

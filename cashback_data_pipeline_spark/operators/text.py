@@ -183,15 +183,18 @@ def simhash_signatures(
 
 
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Attach the full text-analysis column family to a documents table
-    (simhash joined back from its relational computation)."""
+    """Attach the full text-analysis column family to a documents table.
+
+    Language-ID and simhash come from their RELATIONAL implementations
+    (joined back on id) — the Column-API lang_id re-scans the token array
+    once per lexicon word, which this scan-scale entry point avoids."""
     out = (
         df.withColumn("token_count", token_count(text_col))
         .withColumn("bpe_token_estimate", bpe_token_estimate(text_col))
         .withColumn("distinct_token_ratio", distinct_token_ratio(text_col))
         .withColumn("quality_score", quality_score(text_col))
-        .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint_md5(text_col))
     )
+    lang = lang_id_relational(df, id_col, text_col)
     sig = simhash_signatures(df, id_col, text_col).withColumnRenamed("sig", "simhash")
-    return out.join(sig, on=id_col, how="left")
+    return out.join(lang, on=id_col, how="left").join(sig, on=id_col, how="left")

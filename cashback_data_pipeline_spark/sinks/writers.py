@@ -69,7 +69,6 @@ def append_if_absent(
     incoming: DataFrame,
     target_path: str,
     key: str = "reward_id",
-    broadcast_incoming_threshold: int | None = 10_000_000,
 ) -> int:
     """Idempotent incremental load: append rows whose ``key`` is not already
     in the serving table; return the affected-row count (A3).
@@ -80,10 +79,12 @@ def append_if_absent(
 
     Plan shape: if the target doesn't exist yet, plain write. Otherwise
     scan ONLY the key column of the target (column pruning keeps this
-    cheap even on a huge serving table) and left-anti join. The incoming
-    batch is usually the small side, so Spark's AQE broadcasts it; the
-    anti-join then streams the target keys against a broadcast hash set —
-    no shuffle of either full relation.
+    cheap even on a huge serving table — bloom filters from
+    write_warehouse sharpen it further) and anti-join the incoming batch
+    against those keys. Join strategy is left to AQE: it broadcasts
+    whichever side is small at runtime; with both sides large it falls
+    back to a shuffled anti-join of KEYS only — the full-width target is
+    never shuffled either way.
     """
     target_exists = _path_exists(spark, target_path)
     if not target_exists:
@@ -122,41 +123,79 @@ def merge_upsert(
 ) -> tuple[int, int]:
     """MERGE-style upsert without a transactional table format: rows whose
     ``key`` exists in the target are REPLACED by the incoming version,
-    new keys are appended. Returns (n_updated, n_inserted).
+    new keys are appended. Returns (n_updated, n_inserted), counted in
+    DISTINCT KEYS.
 
-    Plan: target ∖ incoming-keys (anti-join on the key only) ∪ incoming,
-    rewritten atomically via write-to-temp + swap. At 100 TB this is the
-    emulation tier — with the warehouse partitioned, only partitions
-    containing incoming keys need the rewrite (pair with dynamic
-    partition overwrite); Delta/Iceberg MERGE INTO is the drop-in upgrade
-    when a transactional format is available (not in this image).
+    The incoming batch is key-deduplicated first (deterministic winner =
+    the row whose full tuple sorts lowest for that key), so the target
+    keeps its one-row-per-key invariant even when a micro-batch carries
+    duplicates. Swap is rename-based (write tmp → rename old aside →
+    rename tmp in → drop old): the no-table window is two metadata
+    renames, not a full delete-then-copy; a crash between them leaves the
+    data recoverable in the ``__old_`` path. True atomicity needs a
+    transactional format (Delta/Iceberg MERGE INTO — not in this image).
     """
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(*[c for c in incoming.columns])
+    incoming_unique = (
+        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+    if not _path_exists(spark, target_path):
+        incoming_unique = incoming_unique.cache()
+        try:
+            n = incoming_unique.count()
+            incoming_unique.write.parquet(target_path)
+        finally:
+            incoming_unique.unpersist()
+        return (0, n)
+
+    target = spark.read.parquet(target_path)
+    incoming_keys = incoming_unique.select(key).distinct().cache()
+    try:
+        n_incoming_keys = incoming_keys.count()
+        n_updated = target.select(key).distinct().join(incoming_keys, on=key, how="left_semi").count()
+        n_inserted = n_incoming_keys - n_updated
+        survivors = target.join(incoming_keys, on=key, how="left_anti")
+        merged = survivors.unionByName(incoming_unique)
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(tmp)
+        _swap_paths(spark, tmp, target_path)
+    finally:
+        incoming_keys.unpersist()
+    return (n_updated, n_inserted)
+
+
+def _swap_paths(spark: SparkSession, new_path: str, target_path: str) -> None:
+    """Rename-based swap: target → __old_, new → target, drop __old_.
+    The unavailable window is two renames; a crash in between leaves the
+    previous data intact under ``__old_`` for manual recovery."""
     import shutil
     import uuid
 
-    if not _path_exists(spark, target_path):
-        incoming.write.parquet(target_path)
-        return (0, incoming.count())
-
-    target = spark.read.parquet(target_path)
-    incoming_keys = incoming.select(key).distinct()
-    n_updated = target.join(incoming_keys, on=key, how="left_semi").count()
-    n_inserted = incoming.count() - n_updated
-    survivors = target.join(incoming_keys, on=key, how="left_anti")
-    merged = survivors.unionByName(incoming)
-
-    tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.parquet(tmp)
+    old = f"{target_path}__old_{uuid.uuid4().hex[:8]}"
     if "://" not in target_path:
-        shutil.rmtree(target_path)
-        shutil.move(tmp, target_path)
-    else:  # hadoop fs rename for object/dfs paths
+        import os as _os
+
+        _os.rename(target_path, old)
+        _os.rename(new_path, target_path)
+        shutil.rmtree(old)
+    else:
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.Path(target_path).getFileSystem(hconf)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(target_path), True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(target_path))
-    return (n_updated, n_inserted)
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(target_path).getFileSystem(hconf)
+        if not fs.rename(P(target_path), P(old)):
+            raise IOError(f"rename {target_path} -> {old} failed")
+        if not fs.rename(P(new_path), P(target_path)):
+            # put the old data back before failing
+            fs.rename(P(old), P(target_path))
+            raise IOError(f"rename {new_path} -> {target_path} failed")
+        fs.delete(P(old), True)
 
 
 def compact_warehouse(
@@ -173,21 +212,18 @@ def compact_warehouse(
     ⌈bytes / target_file_mb⌉ files via a repartition keyed like the
     layout. Returns the number of files after compaction.
 
-    Atomicity matches merge_upsert: write to temp, swap. At 100 TB run it
-    per-partition (the partition column filter makes each rewrite
+    Swap semantics match merge_upsert (_swap_paths): rename-based, crash
+    window is two renames with the previous data recoverable. At 100 TB
+    run it per-partition (the partition column filter makes each rewrite
     partition-local and parallelizable across maintenance jobs).
     """
     import math
-    import shutil
+
     import uuid
 
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*.parquet")
-        if f.is_file()
-    ) if "://" not in path else None
-    n_files = max(1, math.ceil((total_bytes or 2**28) / (target_file_mb * 2**20)))
+    total_bytes = _dir_bytes(spark, path)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 2**20)))
 
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     if partition_by:
@@ -195,13 +231,35 @@ def compact_warehouse(
         df.repartition(n_files, *cols).write.partitionBy(*cols).parquet(tmp)
     else:
         df.repartition(n_files).write.parquet(tmp)
+    _swap_paths(spark, tmp, path)
+    return _count_parquet_files(spark, path)
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path — local stat or Hadoop ContentSummary, so
+    sizing works the same for file:// and object-store URIs."""
     if "://" not in path:
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
-    else:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(path))
-    return len([f for f in __import__("pathlib").Path(path).rglob("*.parquet") if f.is_file()]) if "://" not in path else n_files
+        import pathlib
+
+        return sum(f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet") if f.is_file())
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(hconf).getContentSummary(hpath).getLength()
+
+
+def _count_parquet_files(spark: SparkSession, path: str) -> int:
+    if "://" not in path:
+        import pathlib
+
+        return len([f for f in pathlib.Path(path).rglob("*.parquet") if f.is_file()])
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    it = fs.listFiles(hpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

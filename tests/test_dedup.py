@@ -98,3 +98,26 @@ def test_connected_components_end_to_end_near_dups(spark, docs_with_dups):
     # docs 1,2,3 form one near-dup cluster (exact dup + 1-token change)
     assert labels[1] == labels[2] == labels[3] == 1
     assert 4 not in labels  # disjoint doc never entered the pair graph
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 30)], "id_a long, id_b long")
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
+    labels = {r["id"]: r["cluster_id"] for r in dedup.connected_components(chain, max_iter=40).collect()}
+    assert set(labels.values()) == {1}
+
+
+def test_column_api_minhash_matches_relational(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id int, text string",
+    )
+    col_sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", dedup.minhash_signature("text", 16, 1).alias("sig")).collect()
+    }
+    rel_sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(df, num_hashes=16).collect()}
+    assert col_sigs == rel_sigs

@@ -164,3 +164,21 @@ def test_compact_warehouse_reduces_files(spark):
     after = compact_warehouse(spark, target)
     assert after < before
     assert spark.read.parquet(target).count() == 800  # lossless
+
+
+def test_merge_upsert_dedups_incoming_batch(spark):
+    """Review finding: a batch carrying duplicate keys must not break the
+    one-row-per-key invariant or the update/insert counts."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import merge_upsert
+
+    target = tempfile.mkdtemp(prefix="merge_dup_") + "/t"
+    merge_upsert(spark, spark.createDataFrame([(1, "a")], "k int, v string"), target, "k")
+    dup_batch = spark.createDataFrame([(1, "x1"), (1, "x2"), (2, "y"), (2, "z")], "k int, v string")
+    upd, ins = merge_upsert(spark, dup_batch, target, "k")
+    assert (upd, ins) == (1, 1)  # distinct keys: 1 updated, 2 inserted-as-one
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 2  # one row per key survives
+    final = {r["k"]: r["v"] for r in rows}
+    assert final == {1: "x1", 2: "y"}  # deterministic winner: lowest tuple

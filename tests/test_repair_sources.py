@@ -274,3 +274,29 @@ def test_map_type_surface(spark):
     assert sorted(row["ks"]) == ["a", "b"] and row["b_val"] == 20 and row["m2"]["c"] == 30
     exploded = df.select("id", F.explode("m").alias("k", "v")).collect()
     assert {(r["k"], r["v"]) for r in exploded} == {("a", 10), ("b", 20)}
+
+
+def test_salted_join_rejects_right_outer(spark):
+    from cashback_data_pipeline_spark.operators.repair import salted_join
+
+    a = spark.createDataFrame([(1, "l")], "k int, lv string")
+    b = spark.createDataFrame([(1, "r")], "k int, rv string")
+    with pytest.raises(ValueError):
+        salted_join(a, b, "k", how="full")
+    # left join parity incl. unmatched left rows
+    a2 = spark.createDataFrame([(1, "l"), (9, "m")], "k int, lv string")
+    got = {(r["k"], r["rv"]) for r in salted_join(a2, b, "k", how="left").collect()}
+    assert got == {(1, "r"), (9, None)}
+
+
+def test_donor_fill_deterministic_winner(spark):
+    from cashback_data_pipeline_spark.operators import repair
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0, "B"), (2, "g", 5.0, "A"), (3, "g", None, None)],
+        "id int, grp string, amount double, descr string",
+    )
+    for _ in range(3):
+        filled = repair.fill_from_donor_group(df, "grp", ["amount", "descr"])
+        row = {r["id"]: (r["amount"], r["descr"]) for r in filled.collect()}[3]
+        assert row == (5.0, "A")  # lexicographic struct-min on ties

@@ -115,3 +115,9 @@ def test_kmeans_refine_improves_quantization(spark, emb):
     assert refined.count() == 16
     e_seed, e_ref = mean_err(seeds), mean_err(refined)
     assert e_ref < e_seed, (e_seed, e_ref)
+
+
+def test_hyperplane_buckets_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.hyperplane_lsh_buckets(empty, n_planes=4)
+    assert out.count() == 0 and "bucket" in out.columns
