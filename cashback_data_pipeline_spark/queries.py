@@ -1850,3 +1850,57 @@ def sequence_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.explode(F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1))).alias("step"),
     )
+
+
+@query(
+    "multimodal_features",
+    sql="""
+    SELECT i AS media_id,
+           sha256('payload-' || i) AS payload_sha,
+           CAST(length('payload-' || i) AS BIGINT) AS n_bytes
+    FROM range(1000) t(i)
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: binary payloads generated
+    relationally (utf-8 bytes of a deterministic string), run through the
+    REAL distributed path — byte metadata (codegen sha256/length) plus the
+    Arrow-batched feature kernel (operators.multimodal.extract_features) —
+    and the kernel's per-payload sha must agree with the JVM-side sha2 AND
+    with DuckDB hashing the same bytes independently."""
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    media = spark.range(1000).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("payload"),
+    )
+    with_meta = multimodal.attach_byte_metadata(media)
+    feats = multimodal.extract_features(media).withColumnRenamed("payload_sha", "kernel_sha")
+    joined = with_meta.join(feats, on="media_id")
+    # the Arrow kernel's python-side sha must equal the JVM-side sha2 —
+    # enforced in-plan: a mismatch filters rows out and fails the oracle's
+    # row-count comparison
+    return joined.filter(F.col("payload_sha") == F.col("kernel_sha")).select(
+        "media_id",
+        "payload_sha",
+        "n_bytes",
+    )
+
+
+@query(
+    "distinct_users_salted",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct (operators.quality.count_distinct_salted):
+    value space partitioned by hash salt, per-(key,salt) distincts summed —
+    oracle-checked equal to the plain COUNT(DISTINCT), proving the
+    decomposition exact while no reducer ever sees a whole hot key."""
+    from cashback_data_pipeline_spark.operators.quality import count_distinct_salted
+
+    events = read_testdata(spark, sf_dir, "events")
+    return count_distinct_salted(events, "event_type", "user_id", n_salts=8)
