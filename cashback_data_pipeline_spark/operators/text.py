@@ -8,7 +8,7 @@ the hot path), so they scan 100 TB of documents at parquet-reader speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 #: tiny per-language lexicons for the n-gram/stopword language heuristic.
@@ -198,3 +198,71 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     lang = lang_id_relational(df, id_col, text_col)
     sig = simhash_signatures(df, id_col, text_col).withColumnRenamed("sig", "simhash")
     return out.join(lang, on=id_col, how="left").join(sig, on=id_col, how="left")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the LLM
+    training/RAG preprocessing primitive. Returns (id, chunk_idx,
+    chunk_text, n_tokens).
+
+    Relational fan-out: token array → sequence of window starts (stride =
+    chunk_tokens − overlap) → explode → slice + rejoin. One projection +
+    one explode, no shuffle at all; scales with output bytes. Chunk
+    boundaries are token-aligned and deterministic."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    # window starts: 0, stride, 2*stride, … while start < n_tokens
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        t.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 512,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign short documents to fixed-budget packs (sequence packing for
+    training batches): documents are taken in ``order_col`` order (default
+    the id) and each document joins pack ``floor(exclusive_running_token_
+    sum / target_tokens)`` — i.e. a document starts a new pack once the
+    documents before it have crossed the next multiple of the budget, and
+    a pack's LAST document may overflow the budget (the standard
+    pack-then-truncate discipline). Returns (id, n_tokens, pack_id).
+
+    The greedy scan is a running-sum window — sequential semantics
+    expressed as one window pass. A single global ordering means ONE
+    window partition; for 100 TB shard first (e.g. by hash(id) % n_shards
+    as an extra partition column) and pack within shards — pack quality
+    is unaffected because packs never need to cross shards."""
+    order = F.col(order_col if order_col is not None else id_col)
+    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    n_tok = token_count(text_col)
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    # pack boundary: ceil-division bucketing of the EXCLUSIVE running sum
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "n_tokens",
+        F.floor(running / target_tokens).cast("bigint").alias("pack_id"),
+    )

@@ -1904,3 +1904,49 @@ def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_testdata(spark, sf_dir, "events")
     return count_distinct_salted(events, "event_type", "user_id", n_salts=8)
+
+
+@query(
+    "doc_chunks",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 56)) AS start,
+             generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 56), 1) - 1 AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+           CAST(least(64, len(toks) - start) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (LLM preprocessing): overlapping 64-token windows
+    with stride 56 (operators.text.chunk_documents) — pure fan-out, no
+    shuffle; oracle replicates the windowing with list slicing."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+@query(
+    "doc_packing",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                      / 512.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM batch assembly): greedy fixed-budget packs via
+    one exclusive-running-sum window (operators.text.pack_documents);
+    512-token budget, id order."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return text.pack_documents(docs, target_tokens=512)

@@ -59,3 +59,30 @@ def test_bpe_estimate_at_least_words(spark):
         text.token_count("text").alias("w"), text.bpe_token_estimate("text").alias("b")
     ).first()
     assert row["b"] >= row["w"]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    doc = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    chunks = text.chunk_documents(df, chunk_tokens=64, overlap=8).orderBy("chunk_idx").collect()
+    assert [r["n_tokens"] for r in chunks] == [64, 64, 38]
+    c0, c1 = chunks[0]["chunk_text"].split(" "), chunks[1]["chunk_text"].split(" ")
+    assert c0[-8:] == c1[:8]  # overlap region repeats
+    covered = {t for r in chunks for t in r["chunk_text"].split(" ")}
+    assert covered == {f"w{i}" for i in range(150)}  # lossless coverage
+    with __import__("pytest").raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_pack_documents_budget_discipline(spark):
+    sizes = [100, 200, 300, 250, 50, 400]
+    df = spark.createDataFrame(
+        [(i, " ".join(["x"] * n)) for i, n in enumerate(sizes)], "doc_id int, text string"
+    )
+    packs = {r["doc_id"]: r["pack_id"] for r in text.pack_documents(df, target_tokens=512).collect()}
+    assert packs == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    # every pack except possibly the last STARTS under budget (exclusive sums)
+    running = 0
+    for i, n in enumerate(sizes):
+        assert packs[i] == running // 512
+        running += n
