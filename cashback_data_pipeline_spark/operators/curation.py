@@ -1,0 +1,211 @@
+"""Training-data curation operators: deterministic splits, domain
+mixtures, repetition quality metrics, PII redaction, stratified samples.
+
+These are the corpus-assembly primitives an LLM data pipeline runs after
+dedup/quality filtering (reference scope: the ETL curation stage —
+glue_script.py's select/derive discipline — generalized to corpus
+curation). Everything is expressed with built-in JVM functions (md5,
+regexp_replace, arrays, windows) — no Python in the hot path — so every
+operator scans at parquet-reader speed and parallelizes per-row or
+per-group with no driver involvement.
+
+Determinism note: all sampling/splitting here is HASH-derived, never
+``rand()``. At 100 TB, re-runs, retries, and incremental loads must
+assign every row the same way on every executor — a salted md5 of the
+row key is the standard trick (and is engine-portable, so DuckDB
+oracles can replicate it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: width of the hex prefix used for bucketing: 4 hex chars = 65536 buckets,
+#: giving fraction resolution of ~0.0015% — plenty for split/mixture work.
+_HEX_WIDTH = 4
+_BUCKETS = 16 ** _HEX_WIDTH
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform bucket for a row key, as a FIXED-WIDTH hex
+    string: ``substr(md5(key || salt), 1, 4)``.
+
+    Kept as a hex *string* (not parsed to int) so thresholds are plain
+    lexicographic comparisons — identical semantics in Spark, DuckDB,
+    and any ANSI engine, with no hex-parsing portability trap."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(k.cast("string"), F.lit(salt))), 1, _HEX_WIDTH)
+
+
+def _boundary(cum_fraction: float) -> str:
+    """Hex threshold such that ``bucket < boundary`` keeps cum_fraction.
+
+    Fraction 1.0 returns ``"g"`` — lexicographically after every hex
+    string of any length — because ``format(65536) == "10000"`` is FIVE
+    chars and would sort *before* ``"2000"``, silently dropping ~94%."""
+    if cum_fraction >= 1.0:
+        return "g"
+    return format(int(cum_fraction * _BUCKETS), f"0{_HEX_WIDTH}x")
+
+
+def split_boundaries(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, upper_hex_boundary) pairs in declaration order."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, frac in splits.items():
+        cum += frac
+        out.append((name, _boundary(cum)))
+    return out
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from the salted-md5 bucket of ``key_col``.
+
+    Pure projection — no shuffle, no state, embarrassingly parallel; the
+    assignment of any row is independent of every other row, so it holds
+    under incremental appends (new rows never reshuffle old splits) and
+    at any scale. Change ``salt`` to draw a fresh independent split."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(key_col, salt)
+    expr: Column | None = None
+    names = split_boundaries(splits)
+    # build CASE from the last ELSE inward
+    expr = F.lit(names[-1][0])
+    for name, bound in reversed(names[:-1]):
+        expr = F.when(b < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep a per-group deterministic
+    fraction of rows (e.g. ``{"src0": 1.0, "src1": 0.25}`` to reweight
+    sources in a training mixture).
+
+    One filter on a salted hash bucket — no shuffle, no sampling state,
+    reproducible across retries/executors. Groups absent from
+    ``fractions`` keep ``default_fraction``."""
+    b = hash_bucket(key_col, salt)
+    g = F.col(group_col)
+    expr: Column = F.lit(_boundary(default_fraction))
+    for name, frac in fractions.items():
+        expr = F.when(g == name, F.lit(_boundary(frac))).otherwise(expr)
+    return df.filter(b < expr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by their salted md5 (a reproducible shuffle order) and keep the
+    first ``k``. Adds ``sample_rank`` (1-based).
+
+    One hash-partition shuffle on ``group_col``; rank order is the hash,
+    so the sample is uniform-without-replacement yet stable across runs.
+    At 100 TB with few giant groups, swap the full sort inside each
+    partition for a per-partition top-k (Spark's window TopK already
+    avoids materializing beyond rank k when followed by the filter)."""
+    from pyspark.sql import Window as W
+
+    # order by the FULL md5 digest (not the 4-hex bucket — birthday
+    # collisions would make ranks ambiguous), key as final tiebreak
+    full = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    w = W.partitionBy(group_col).orderBy(full.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality metrics (Gopher-style rules)
+# ---------------------------------------------------------------------------
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent-token bigram array (``"a b", "b c", …``) from a
+    whitespace-tokenized text column. size = n_tokens − 1 (empty for
+    single-token docs)."""
+    t = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram repetition scores (the Gopher repetition
+    rules): ``top_bigram_frac`` (occurrences of the most frequent bigram
+    over all bigram occurrences) and ``dup_bigram_frac`` (occurrences of
+    bigrams seen more than once over all occurrences). High values flag
+    boilerplate/spam for the quality gate.
+
+    Relational plan: explode bigrams once → count per (doc, bigram) →
+    per-doc ratios from one partial-aggregated groupBy. Both aggs are
+    map-side combinable; the shuffle key is (doc, bigram) then doc —
+    naturally balanced (a document's bigrams are its own partition
+    weight; no global hot key). Docs with <2 tokens have no bigrams and
+    drop out (join back with a left join if completeness matters)."""
+    ex = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("__bg"))
+    counts = ex.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy(id_col).agg(
+        (F.max("cnt") / F.sum("cnt")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0)))
+            / F.sum("cnt")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: conservative patterns using only syntax shared by Java regex and RE2,
+#: so DuckDB oracles behave identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}[-. ]\d{3,4}[-. ]\d{4}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[PII]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Scrub emails and phone-shaped numbers from a text column (the
+    pre-training privacy pass). Adds ``n_pii`` (match count before
+    redaction) beside the redacted text.
+
+    Two JVM ``regexp_replace`` passes — codegen'd, no UDF, scans at
+    reader speed; patterns are deliberately RE2-compatible so the same
+    regexes run in validation oracles."""
+    out = out_col or text_col
+    c = F.col(text_col)
+    n = F.regexp_count(c, F.lit(EMAIL_RE)) + F.regexp_count(c, F.lit(PHONE_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, replacement), PHONE_RE, replacement
+    )
+    return df.withColumn("n_pii", n.cast("int")).withColumn(out, red)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.functions import neq_null_safe
-from cashback_data_pipeline_spark.operators import dedup, similarity, text
+from cashback_data_pipeline_spark.operators import curation, dedup, similarity, text
 from cashback_data_pipeline_spark.sources import read_events_range, read_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1950,3 +1950,130 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     512-token budget, id order."""
     docs = read_testdata(spark, sf_dir, "documents")
     return text.pack_documents(docs, target_tokens=512)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: splits, mixtures, repetition metrics, PII, strata
+# (operators.curation — training-data assembly primitives)
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_split",
+    sql="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted md5
+    bucket (curation.assign_split) — pure projection, no shuffle, stable
+    under incremental appends; oracle replays the exact hex thresholds."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.assign_split(docs, "doc_id", salt="v1").select("doc_id", "split")
+
+
+@query(
+    "domain_mixture",
+    sql="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 4) <
+          CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+                      WHEN 'src2' THEN '4000' ELSE '1999' END
+    """,
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (curation.weighted_sample): keep 100%
+    of src0, 50% of src1, 25% of src2, 10% elsewhere — one deterministic
+    hash filter, no shuffle, reproducible across retries."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    mix = curation.weighted_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        key_col="doc_id", salt="mix1", default_fraction=0.1,
+    )
+    return mix.select("doc_id", "source")
+
+
+@query(
+    "repetition_scores",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t
+    ), c AS (
+      SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE) AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (curation.repetition_
+    metrics): top-bigram share and duplicated-bigram share per document —
+    explode-once relational plan, map-side-combinable aggs."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.repetition_metrics(docs)
+
+
+@query(
+    "pii_redaction",
+    sql="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-123-4567' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}')) AS INT) AS n_pii,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}', '[PII]', 'g') AS text
+    FROM t
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (curation.redact_pii): synthesize a deterministic email +
+    phone per doc (the corpus has none), then count and redact both with
+    JVM regexp passes; oracle runs the identical RE2-compatible regexes."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    )
+    return curation.redact_pii(seeded).select("doc_id", "n_pii", "text")
+
+
+@query(
+    "stratified_sample",
+    sql="""
+    SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'strat1'), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-language stratified sample (curation.stratified_
+    sample_exact): deterministic md5 shuffle order inside each stratum,
+    one hash-partition window."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = curation.stratified_sample_exact(docs, "lang", 50, key_col="doc_id", salt="strat1")
+    return out.select("doc_id", "lang", "sample_rank")

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import curation
+from cashback_data_pipeline_spark.sources import read_testdata
+
+
+def _bucket(key, salt: str) -> str:
+    return hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:4]
+
+
+def test_assign_split_matches_python_md5_and_fractions(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = {r["doc_id"]: r["split"] for r in curation.assign_split(docs, "doc_id").collect()}
+    for doc_id, split in out.items():
+        b = _bucket(doc_id, "v1")
+        expect = "train" if b < "cccc" else ("val" if b < "e666" else "test")
+        assert split == expect
+    # distribution roughly honors 80/10/10 (hash-uniform; loose bounds)
+    n = len(out)
+    frac_train = sum(1 for s in out.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+
+
+def test_assign_split_stable_under_append(spark):
+    base = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    more = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in curation.assign_split(base, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in curation.assign_split(more, "doc_id").collect()}
+    assert all(b[k] == v for k, v in a.items())  # old rows never reassigned
+
+
+def test_split_boundaries_validation():
+    with pytest.raises(ValueError):
+        curation.split_boundaries({"train": 0.8, "val": 0.1})
+    assert curation.split_boundaries({"all": 1.0}) == [("all", "g")]
+
+
+def test_weighted_sample_full_fraction_keeps_everything(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("src0").alias("source")
+    )
+    kept = curation.weighted_sample(df, "source", {"src0": 1.0}, key_col="doc_id")
+    assert kept.count() == 500  # the 'g' boundary regression guard
+    none = curation.weighted_sample(df, "source", {"src0": 0.0}, key_col="doc_id")
+    assert none.count() == 0
+
+
+def test_weighted_sample_fraction_approx(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("source")
+    )
+    kept = curation.weighted_sample(df, "source", {"a": 0.25}, key_col="doc_id").count()
+    assert 400 < kept < 600
+
+
+def test_stratified_sample_exact_k_and_determinism(spark, sf_dir):
+    docs = read_testdata(spark, sf_dir, "documents")
+    s1 = curation.stratified_sample_exact(docs, "lang", 10)
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in curation.stratified_sample_exact(docs, "lang", 10).collect())
+    assert ids1 == ids2  # deterministic across runs
+
+
+def test_repetition_metrics_known_values(spark):
+    # "a b a b a b" → bigrams: [a b, b a, a b, b a, a b]; top = a b (3/5), dup = 5/5
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in curation.repetition_metrics(df).collect()}
+    assert rows[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(1.0)
+    assert rows[2]["top_bigram_frac"] == pytest.approx(1 / 5)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.user+tag@sub.example.org now or call 555-123-4567 ok"),
+         (2, "nothing sensitive here")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+    assert rows[1]["n_pii"] == 2
+    assert rows[1]["text"] == "mail [PII] now or call [PII] ok"
+    assert rows[2]["n_pii"] == 0
+    assert rows[2]["text"] == "nothing sensitive here"
