@@ -674,12 +674,12 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk")  # approximate by construction — rows-only; recall tested in tests/
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (north-star scale path): coarse-quantize corpus to centroid
-    lists, probe the 4 nearest of 16 centroids per query
-    (operators.similarity.ivf_topk). Recall vs brute force pinned in
-    tests/test_similarity.py."""
+    lists refined with 2 Lloyd rounds (kmeans_refine), probe the 4
+    nearest of 16 centroids per query (operators.similarity.ivf_topk).
+    Recall vs brute force pinned in tests/test_similarity.py."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5)
+    return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5, refine_iters=2)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,18 @@ def test_ivf_recall_against_brute_force(emb, numpy_topk):
     assert sum(recalls) / len(recalls) >= 0.5, f"IVF recall too low: {recalls}"
 
 
+def test_ivf_topk_with_refined_centroids(emb, numpy_topk):
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk(queries, emb, n_centroids=16, n_probe=8, k=10, refine_iters=2)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert all(len(v) == 10 for v in got.values())
+    truth = numpy_topk(list(got), 10)
+    recalls = [len(got[q] & set(truth[q])) / 10 for q in got]
+    assert sum(recalls) / len(recalls) >= 0.5, f"refined-IVF recall too low: {recalls}"
+
+
 def test_hyperplane_buckets_deterministic(emb, spark):
     b1 = similarity.hyperplane_lsh_buckets(emb.limit(50), n_planes=8)
     b2 = similarity.hyperplane_lsh_buckets(emb.limit(50), n_planes=8)
