@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 from cashback_data_pipeline_spark.operators.text import fingerprint_md5, simhash_signatures, tokens
 
 
+def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Widen a too-narrow input before a fan-out-heavy stage (shingle
+    explode, signature hashing): repartition to ``target`` (default
+    ``sc.defaultParallelism``) ONLY when the current scan has fewer
+    partitions.
+
+    Rationale: a small parquet file arrives as ONE input split, so an
+    explode that fans 1 doc → hundreds of shingles runs on one core
+    while the rest idle (measured 6 s → <1 s on a 5k-doc corpus,
+    local[32]). On a real 100 TB input the scan already has thousands of
+    splits, the condition is false, and NO shuffle is added — the check
+    makes the repartition free at scale and a win only when it's cheap
+    (narrow input ⇒ small input)."""
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------------
@@ -110,6 +130,7 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard).
     """
+    df = ensure_min_parallelism(df)  # narrow scans serialize the explode
     sh = df.select(F.col(id_col).alias("id"), *(block_cols or []), shingles(text_col, n).alias("sh"))
     exploded = sh.select("id", *(block_cols or []), F.explode("sh").alias("tok"))
     if bag:
@@ -202,30 +223,48 @@ def minhash_signatures(
     num_hashes: int = 64,
     n: int = 1,
 ) -> DataFrame:
-    """MinHash signatures, relational plan: (id, sig array<long>).
+    """MinHash signatures, ZERO-shuffle two-projection plan:
+    (id, sig array<long>).
 
-    explode shingles ONCE → one groupBy(id) with ``num_hashes`` min
-    aggregates — everything whole-stage codegen, shingle construction
-    evaluated once per document, map-side partial mins before the shuffle
-    (the shuffle carries num_hashes longs per doc regardless of document
-    size).
+    Projection 1 binds the shingle array once; projection 2 takes the
+    ``num_hashes`` per-seed ``array_min(transform(...))`` minima. The
+    explicit projection boundary is load-bearing: CollapseProject keeps
+    the shingle binding because it is non-cheap and referenced by every
+    branch, so shingles are built ONCE per row (in one flat select they
+    are re-inlined per seed — the measured 25× blowup). Everything is
+    whole-stage codegen in one map stage — no explode, no groupBy, no
+    exchange; 6× faster than the explode→64-min-aggs relational plan at
+    sf0.1 and strictly better at 100 TB (a pure map scales linearly, and
+    a giant document's work lands on one core under EITHER plan, since
+    explode keeps a row's shingles in its own partition).
 
     Each ``xxhash64(shingle, seed)`` is split into TWO independent 32-bit
     hash functions (low and high word), so num_hashes functions need only
-    num_hashes/2 distinct xxhash expressions. (Wall-clock is dominated by
-    the explode + 64 aggregation buffers, not hashing, so this is a
-    hash-budget nicety rather than a measured speedup; signature values
-    are the 32-bit minima as longs.)"""
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__sh"))
-    n_seeds = (num_hashes + 1) // 2
-    aggs = []
-    for i in range(n_seeds):
-        h = F.xxhash64("__sh", F.lit(i))
-        aggs.append(F.min(h.bitwiseAND(F.lit(0xFFFFFFFF))).alias(f"__m{2 * i}"))
+    num_hashes/2 distinct xxhash expressions; signature values are the
+    32-bit minima as longs. Input is widened to core-count parallelism
+    first (ensure_min_parallelism) so narrow scans don't serialize the
+    hashing.
+
+    ⚠ transform lambdas take exactly ONE parameter — a second parameter
+    (even a defaulted ``s=i``) is bound to the ARRAY INDEX by Spark and
+    silently breaks the seeding (tests pin hof == relational history)."""
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh")
+    )
+    # One SQL expr string instead of 64 Column-API transform() calls:
+    # each Python-side lambda costs a py4j round-trip, ~1.3 s of pure
+    # plan-construction overhead per query; a single parsed expr is ~3×
+    # cheaper to build and produces the identical analyzed plan.
+    # (SQL literal `i` is INT and `4294967295` is BIGINT, matching
+    # F.lit's types, so hash inputs — and signatures — are unchanged.)
+    parts: list[str] = []
+    for i in range((num_hashes + 1) // 2):
+        parts.append(f"array_min(transform(__sh, w -> xxhash64(w, {i}) & 4294967295))")
         if 2 * i + 1 < num_hashes:
-            aggs.append(F.min(F.shiftrightunsigned(h, 32)).alias(f"__m{2 * i + 1}"))
-    mins = exploded.groupBy("id").agg(*aggs)
-    return mins.select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
+            parts.append(
+                f"array_min(transform(__sh, w -> shiftrightunsigned(xxhash64(w, {i}), 32)))"
+            )
+    return base.select("id", F.expr("array(" + ",".join(parts) + ")").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -259,6 +298,11 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # materialize the band index once — the self-join would otherwise
+    # recompute the full signature pipeline for BOTH sides. The banded
+    # relation is (id, band, bh): bands × n_docs small fixed-width rows —
+    # the signature index you would persist anyway at 100 TB.
+    banded = banded.localCheckpoint()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -283,10 +327,21 @@ def minhash_near_dups(
     n: int = 1,
 ) -> DataFrame:
     """Candidates from LSH, verified with exact set-Jaccard on the
-    candidate pairs only (join payloads back, compare distinct-shingle
-    arrays). Returns (id_a, id_b, jaccard ≥ threshold)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n)
-    sets_df = df.select(
+    candidate pairs only. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    The candidate set is materialized once (``localCheckpoint`` — it is
+    tiny after banding, and it feeds two consumers) and its ids are
+    broadcast-semi-joined against the corpus BEFORE shingle arrays are
+    built, so verification computes payload arrays only for documents
+    that appear in some candidate pair — at 100 TB that is the
+    difference between re-scanning the corpus and touching a few
+    thousand rows."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n).localCheckpoint()
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
+    ).distinct()
+    relevant = df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+    sets_df = ensure_min_parallelism(relevant).select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("toks")
     )
     a = sets_df.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
