@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     bag: bool = True,
     max_token_df: int | None = None,
+    length_block: bool = False,
 ) -> DataFrame:
     """All pairs with (bag- or set-) Jaccard ≥ threshold, via the
     inverted-index plan:
@@ -128,6 +129,16 @@ def ngram_jaccard_pairs(
     preserved (no false positives), recall drops only for pairs whose
     similarity rides on stop-shingles.
 
+    ``length_block=True`` adds LOSSLESS length-bucket blocking: Jaccard ≥ t
+    forces min(|A|,|B|) ≥ t·max(|A|,|B|) (inter ≤ min and inter(1+t) ≥
+    t(|A|+|B|)), so qualifying pairs sit within a size factor 1/t — bucket
+    postings by floor(log_{1/t}(size)) and any qualifying pair is in the
+    SAME or ADJACENT buckets. The index joins twice (Δbucket = 0 with
+    id_a < id_b, Δbucket = 1 unordered then id-normalized — each pair
+    lands in exactly one branch) but each join's Σ df(token)² term is per
+    (token, bucket) instead of per token: a hot shingle shared across all
+    document lengths no longer pairs short docs with every long doc.
+
     Returns (id_a, id_b, jaccard).
     """
     df = ensure_min_parallelism(df)  # narrow scans serialize the explode
@@ -149,22 +160,48 @@ def ngram_jaccard_pairs(
         )
         tok = tok.join(F.broadcast(hot), on="tok", how="left_anti")
 
+    extra = list(block_cols or [])
+    if length_block:
+        import math
+
+        if not (0.0 < threshold < 1.0):
+            raise ValueError("length_block requires 0 < threshold < 1")
+        bucket = F.floor(F.log(F.col("size").cast("double")) / math.log(1.0 / threshold))
+        tok = tok.join(sizes.select("id", bucket.alias("__lb")), on="id")
+        extra = extra + ["__lb"]
+
     a = tok.select(
-        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in (block_cols or [])],
+        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in extra],
         F.col("tok"), F.col("cnt").alias("cnt_a"),
     )
     b = tok.select(
-        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in (block_cols or [])],
+        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in extra],
         F.col("tok"), F.col("cnt").alias("cnt_b"),
     )
     join_cond = (a["tok"] == b["tok"]) & (a["id_a"] < b["id_b"])
     for c in block_cols or []:
         join_cond = join_cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    if length_block:
+        join_cond = join_cond & (F.col("__lb_a") == F.col("__lb_b"))
     inter = (
         a.join(b, on=join_cond, how="inner")
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
     )
+    if length_block:
+        # adjacent-bucket branch: Δbucket = 1 exactly, ids normalized so
+        # each cross-bucket pair is counted once (it can never appear in
+        # the same-bucket branch)
+        adj_cond = (a["tok"] == b["tok"]) & (F.col("__lb_a") + 1 == F.col("__lb_b"))
+        for c in block_cols or []:
+            adj_cond = adj_cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+        pairs_adj = a.join(b, on=adj_cond, how="inner").select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("cnt_a", "cnt_b").alias("__mn"),
+        )
+        inter_adj = pairs_adj.groupBy("id_a", "id_b").agg(F.sum("__mn").alias("inter"))
+        inter = inter.unionByName(inter_adj)
 
     sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))

@@ -586,11 +586,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup (north-star): inverted-index token join with
-    bag semantics, blocked by language — never the O(n²) cross join
+    bag semantics, blocked by language AND length bucket (lossless — the
+    bucket bound is derived from the threshold, so the oracle is the
+    UNBLOCKED SQL and still hash-matches) — never the O(n²) cross join
     (operators.dedup.ngram_jaccard_pairs)."""
     docs = read_testdata(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", n=1, threshold=0.6, block_cols=["lang"], bag=True
+        docs, id_col="doc_id", text_col="text", n=1, threshold=0.6, block_cols=["lang"],
+        bag=True, length_block=True,
     )
     return pairs.select(
         "id_a", "id_b", (F.floor(F.col("jaccard") * 1000000 + 0.5) / 1000000).alias("jaccard")

@@ -121,3 +121,25 @@ def test_column_api_minhash_matches_relational(spark):
     }
     rel_sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(df, num_hashes=16).collect()}
     assert col_sigs == rel_sigs
+
+
+def test_length_block_is_lossless(spark, sf_dir):
+    """Length-bucket blocking must return EXACTLY the unblocked pairs —
+    the bucket bound (size ratio ≥ threshold ⇒ Δbucket ≤ 1) is a proof,
+    not a heuristic; adjacent-bucket probing covers the boundary."""
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").limit(300)
+    plain = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    blocked = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, length_block=True)
+    p = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in plain.collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in blocked.collect()}
+    assert p == b and len(p) > 0
+
+
+def test_length_block_validates_threshold(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="length_block"):
+        dedup.ngram_jaccard_pairs(df, threshold=1.0, length_block=True).collect()
