@@ -51,6 +51,17 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_topk_batch",
     "embedding_near_dups_fast",
+    # TPC-H shapes (multi-join / disjunctive pushdown / scalar subquery)
+    "local_supplier_volume",
+    "disjunctive_predicate_revenue",
+    "idle_rich_customers",
+    # LLM-corpus curation paths
+    "doc_chunks",
+    "doc_packing",
+    "corpus_split",
+    "repetition_scores",
+    "pii_redaction",
+    "stratified_sample",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather

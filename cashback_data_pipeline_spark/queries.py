@@ -2080,3 +2080,140 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     out = curation.stratified_sample_exact(docs, "lang", 50, key_col="doc_id", salt="strat1")
     return out.select("doc_id", "lang", "sample_rank")
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H shapes on the trimmed star schema (Q5/Q14/Q19/Q22)
+# ---------------------------------------------------------------------------
+
+@query(
+    "local_supplier_volume",
+    sql="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way snowflake join (region→nation→{customer,
+    supplier}→orders→lineitem) with the 'local supplier' same-nation
+    constraint, revenue per nation for one region-year.
+
+    Scale: region/nation broadcast (tiny); customer and supplier
+    broadcast at testdata scale and would sort-merge at 100 TB; the
+    orders date filter prunes at the scan (pushed predicate) BEFORE the
+    fact-fact join; the agg is partial+final on ~25 nation keys."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    orders = read_testdata(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "promo_revenue_share",
+    sql="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship-month —
+    broadcast part (dim) into the date-pruned lineitem scan, one
+    conditional-sum aggregate; single-row result."""
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev), 2
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "disjunctive_predicate_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size, quantity)
+    triples across the join — exercises Catalyst's CNF extraction: the
+    common `p_size >= 1` / quantity-range envelope and the brand IN-list
+    are derivable pushdowns, while the residual OR evaluates post-join.
+    Single-row revenue."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    part = read_testdata(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    c1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11)
+    c2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20)
+    c3 = (F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30)
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "idle_rich_customers",
+    sql="""
+    SELECT c_mktsegment, count(*) AS numcust, round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders — scalar subquery (global avg broadcast as a 1-row cross
+    join, never collected to the driver) + anti-join on the date-pruned
+    orders scan (the NOT EXISTS), grouped by segment. The anti-join
+    probes only (o_custkey, o_orderdate) — column-pruned, and the date
+    predicate is pushed to the scan."""
+    cust = read_testdata(spark, sf_dir, "customer")
+    orders = (
+        read_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__ab"))
+    rich = cust.join(F.broadcast(avg_bal), F.lit(True)).filter(F.col("c_acctbal") > F.col("__ab"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
