@@ -2217,3 +2217,29 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "orc_roundtrip",
+    sql="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, round(p_retailprice, 2) AS p_retailprice
+    FROM part
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary columnar format (Hive interop): write part as ORC, read
+    it back (sinks.write_orc / sources.read_orc). ORC preserves the
+    parquet types losslessly, so the oracle is the plain parquet read —
+    a hash-match proves format fidelity end-to-end."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import write_orc
+    from cashback_data_pipeline_spark.sources import read_orc
+
+    part = read_testdata(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+    )
+    staging = tempfile.mkdtemp(prefix="staging_orc_")
+    write_orc(part, staging)
+    return read_orc(spark, staging, schema=part.schema)

@@ -263,3 +263,15 @@ def _count_parquet_files(spark: SparkSession, path: str) -> int:
         if it.next().getPath().getName().endswith(".parquet"):
             n += 1
     return n
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (Hive-warehouse interop). Same layout discipline as the
+    parquet warehouse: hive-style partition directories when
+    ``partition_by`` is given, so partition pruning works for readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

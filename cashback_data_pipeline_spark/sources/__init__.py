@@ -11,6 +11,7 @@ from cashback_data_pipeline_spark.sources.readers import (
     read_events_range,
     read_json_records,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_table_with_fallback,
     read_testdata,
@@ -21,6 +22,7 @@ __all__ = [
     "read_events_range",
     "read_json_records",
     "read_jsonl",
+    "read_orc",
     "read_parquet",
     "read_table_with_fallback",
     "read_testdata",

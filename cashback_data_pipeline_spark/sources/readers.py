@@ -146,3 +146,14 @@ def read_events_range(spark: SparkSession, sf_dir: str, ts_lo: str, ts_hi: str) 
     return raw.filter(F.col("ts").between(to_ns(ts_lo), to_ns(ts_hi))).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the engine's secondary columnar format (interop with
+    Hive-era warehouses). Same posture as parquet: declared schema when
+    known (skips footer-merge inference across many files), predicate
+    pushdown and column pruning work natively."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
