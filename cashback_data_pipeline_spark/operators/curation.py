@@ -76,10 +76,9 @@ def assign_split(
     at any scale. Change ``salt`` to draw a fresh independent split."""
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
     b = hash_bucket(key_col, salt)
-    expr: Column | None = None
     names = split_boundaries(splits)
     # build CASE from the last ELSE inward
-    expr = F.lit(names[-1][0])
+    expr: Column = F.lit(names[-1][0])
     for name, bound in reversed(names[:-1]):
         expr = F.when(b < bound, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
@@ -144,7 +143,9 @@ def bigrams(col: Column | str) -> Column:
     """Adjacent-token bigram array (``"a b", "b c", …``) from a
     whitespace-tokenized text column. size = n_tokens − 1 (empty for
     single-token docs)."""
-    t = F.split(F.col(col) if isinstance(col, str) else col, " ")
+    from cashback_data_pipeline_spark.operators.text import tokens
+
+    t = tokens(col)
     n = F.size(t)
     return F.zip_with(
         F.slice(t, 1, n - 1),

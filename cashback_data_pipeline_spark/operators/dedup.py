@@ -285,8 +285,14 @@ def minhash_signatures(
     ⚠ transform lambdas take exactly ONE parameter — a second parameter
     (even a defaulted ``s=i``) is bound to the ARRAY INDEX by Spark and
     silently breaks the seeding (tests pin hof == relational history)."""
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh")
+    # null text must yield NO signature (the explode-based plan this
+    # replaced dropped such docs naturally; array_min over a null array
+    # would instead emit an all-null signature, making every null-text
+    # doc an LSH candidate of every other)
+    base = (
+        ensure_min_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
     )
     # One SQL expr string instead of 64 Column-API transform() calls:
     # each Python-side lambda costs a py4j round-trip, ~1.3 s of pure
@@ -377,7 +383,11 @@ def minhash_near_dups(
     cand_ids = cands.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
-    relevant = df.join(F.broadcast(cand_ids), on=id_col, how="leftsemi")
+    # no broadcast hint: cand_ids is usually tiny (AQE will broadcast it
+    # at runtime) but is unbounded in the worst case — a forced broadcast
+    # would hard-fail at the 8 GB exchange limit exactly when banding
+    # saturates, where a semi join only degrades
+    relevant = df.join(cand_ids, on=id_col, how="leftsemi")
     sets_df = ensure_min_parallelism(relevant).select(
         F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("toks")
     )

@@ -171,9 +171,16 @@ def simhash_signatures(
     overhead per query)."""
     from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism, shingles
 
-    base = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.transform(shingles(text_col, shingle), lambda w: F.xxhash64(w)).alias("__hs"),
+    # null text yields NO signature row (parity with the explode-based
+    # plan this replaced — aggregates over a null array would instead
+    # emit sig=0 for every null doc, pairing them all at Hamming 0)
+    base = (
+        ensure_min_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.transform(shingles(text_col, shingle), lambda w: F.xxhash64(w)).alias("__hs"),
+        )
     )
     bits = []
     for b in range(64):
@@ -214,13 +221,22 @@ def chunk_documents(
     Relational fan-out: token array → sequence of window starts (stride =
     chunk_tokens − overlap) → explode → slice + rejoin. One projection +
     one explode, no shuffle at all; scales with output bytes. Chunk
-    boundaries are token-aligned and deterministic."""
+    boundaries are token-aligned and deterministic.
+
+    Start bound is ``n_tokens − overlap − 1`` (not ``n_tokens − 1``): a
+    start inside the final overlap region would emit a chunk wholly
+    contained in its predecessor — pure duplicate content, which a
+    dedup-driven pipeline must not fabricate. Coverage stays lossless:
+    stride = chunk − overlap ⇒ the last kept start is ≥ n_tokens − chunk,
+    so the final chunk still reaches the end of the document."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     t = tokens(text_col)
-    # window starts: 0, stride, 2*stride, … while start < n_tokens
-    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride))
+    # window starts: 0, stride, 2*stride, … while start ≤ n_tokens−overlap−1
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     exploded = df.select(
         F.col(id_col),
         t.alias("__toks"),

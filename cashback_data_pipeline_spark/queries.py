@@ -1916,8 +1916,8 @@ def distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), starts AS (
       SELECT doc_id, toks,
-             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 56)) AS start,
-             generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 56), 1) - 1 AS chunk_idx
+             unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 56)) AS start,
+             generate_subscripts(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 56), 1) - 1 AS chunk_idx
       FROM t
     )
     SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
@@ -2222,7 +2222,8 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orc_roundtrip",
     sql="""
-    SELECT p_partkey, p_name, p_brand, p_type, p_size, round(p_retailprice, 2) AS p_retailprice
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           floor(p_retailprice * 100 + 0.5) / 100 AS p_retailprice
     FROM part
     """,
 )
@@ -2238,7 +2239,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = read_testdata(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type", "p_size",
-        F.round("p_retailprice", 2).alias("p_retailprice"),
+        r2(F.col("p_retailprice")).alias("p_retailprice"),
     )
     staging = tempfile.mkdtemp(prefix="staging_orc_")
     write_orc(part, staging)

@@ -137,6 +137,16 @@ def test_length_block_is_lossless(spark, sf_dir):
     assert p == b and len(p) > 0
 
 
+def test_minhash_drops_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None)], "doc_id int, text string"
+    )
+    sigs = dedup.minhash_signatures(df, num_hashes=16).collect()
+    assert [r["id"] for r in sigs] == [1]  # no all-null signatures
+    pairs = dedup.minhash_near_dups(df, threshold=0.5, num_hashes=16, bands=4).collect()
+    assert pairs == []  # null docs never become candidates of each other
+
+
 def test_length_block_validates_threshold(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     import pytest as _pt

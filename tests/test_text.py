@@ -74,6 +74,25 @@ def test_chunk_documents_overlap_and_coverage(spark):
         text.chunk_documents(df, chunk_tokens=8, overlap=8)
 
 
+def test_chunk_documents_no_contained_trailing_chunk(spark):
+    # 120 tokens, chunk 64 / overlap 8 (stride 56): a start at 112 would
+    # emit tokens 113-120 — wholly inside chunk 2 (57-120). It must not.
+    doc = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame([(1, doc)], "doc_id int, text string")
+    chunks = text.chunk_documents(df, chunk_tokens=64, overlap=8).orderBy("chunk_idx").collect()
+    assert [r["n_tokens"] for r in chunks] == [64, 64]
+    covered = {t for r in chunks for t in r["chunk_text"].split(" ")}
+    assert covered == {f"w{i}" for i in range(120)}  # still lossless
+
+
+def test_simhash_drops_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, None)], "doc_id int, text string"
+    )
+    sigs = text.simhash_signatures(df).collect()
+    assert [r["doc_id"] for r in sigs] == [1]  # null docs emit no signature
+
+
 def test_pack_documents_budget_discipline(spark):
     sizes = [100, 200, 300, 250, 50, 400]
     df = spark.createDataFrame(
