@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.functions import neq_null_safe
-from cashback_data_pipeline_spark.operators import curation, dedup, similarity, text
+from cashback_data_pipeline_spark.operators import curation, dedup, similarity, temporal, text
 from cashback_data_pipeline_spark.sources import read_events_range, read_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2244,3 +2244,42 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="staging_orc_")
     write_orc(part, staging)
     return read_orc(spark, staging, schema=part.schema)
+
+
+@query(
+    "attribution_interval_join",
+    sql="""
+    WITH s AS (
+      SELECT user_id, ts AS signup_ts, ts + INTERVAL 2 HOUR AS win_end
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, s.signup_ts
+    FROM p JOIN s ON p.user_id = s.user_id
+                 AND p.ts >= s.signup_ts AND p.ts <= s.win_end
+    """,
+)
+def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join (operators.temporal.interval_join): attribute
+    every purchase to EVERY signup window ([signup, +2h]) of the same user
+    containing it — the marketing-attribution range join. Bin-bucketed
+    equi-join plan (time bins spread hot users); the oracle is the naive
+    inequality join."""
+    events = read_testdata(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("signup_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.interval_join(
+        purchases, signups, key_cols=["user_id"],
+        ts_col="ts", start_col="signup_ts", end_col="win_end", bin_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "ts", "signup_ts")

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import temporal
+from cashback_data_pipeline_spark.sources import read_testdata
+
+
+@pytest.fixture(scope="module")
+def ev(spark, sf_dir):
+    return read_testdata(spark, sf_dir, "events")
+
+
+def _naive(purchases, signups):
+    return (
+        purchases.join(signups, on="user_id")
+        .filter((F.col("ts") >= F.col("signup_ts")) & (F.col("ts") <= F.col("win_end")))
+        .select("event_id", "signup_ts")
+    )
+
+
+@pytest.mark.parametrize("bin_seconds", [600, 3600, 7200, 86400])
+def test_interval_join_matches_naive_for_any_bin_width(ev, bin_seconds):
+    """Bin width is a performance knob, never a semantics knob: results
+    must equal the naive inequality join whether bins are much smaller,
+    equal to, or much larger than the 2h interval."""
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    got = temporal.interval_join(
+        purchases, signups, ["user_id"], "ts", "signup_ts", "win_end", bin_seconds
+    )
+    got_pairs = {(r["event_id"], r["signup_ts"]) for r in got.collect()}
+    want_pairs = {(r["event_id"], r["signup_ts"]) for r in _naive(purchases, signups).collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+
+def test_interval_join_exactly_once_per_pair(ev):
+    """Each qualifying (event, interval) pair appears exactly once — the
+    event lands in one bin, so no dedup pass exists to hide double-counts."""
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = temporal.interval_join(purchases, signups, ["user_id"], "ts", "signup_ts", "win_end")
+    total = out.count()
+    distinct = out.select("event_id", "signup_ts").distinct().count()
+    assert total == distinct
