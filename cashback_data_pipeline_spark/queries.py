@@ -2283,3 +2283,30 @@ def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts", start_col="signup_ts", end_col="win_end", bin_seconds=3600,
     )
     return out.select("event_id", "user_id", "ts", "signup_ts")
+
+
+@query(
+    "decimal_exact_totals",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DecimalType money option (SURVEY §7.4.3 / SCALE.md): quantize
+    to 2 dp (r2 — avoids the double→decimal .005-boundary rounding-mode
+    trap), cast to DECIMAL(18,2), THEN aggregate. Decimal sums are exact
+    and accumulation-order-independent, so the result needs no rounding
+    convention at all and matches the oracle bit-for-bit — the property
+    float money loses at 100 TB partial-aggregation fan-in."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(r2(F.col("o_totalprice")).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price")
+        )
+    )
