@@ -257,6 +257,7 @@ def pack_documents(
     text_col: str = "text",
     target_tokens: int = 512,
     order_col: str | None = None,
+    shard_col: Column | str | None = None,
 ) -> DataFrame:
     """Assign short documents to fixed-budget packs (sequence packing for
     training batches): documents are taken in ``order_col`` order (default
@@ -267,18 +268,27 @@ def pack_documents(
     pack-then-truncate discipline). Returns (id, n_tokens, pack_id).
 
     The greedy scan is a running-sum window — sequential semantics
-    expressed as one window pass. A single global ordering means ONE
-    window partition; for 100 TB shard first (e.g. by hash(id) % n_shards
-    as an extra partition column) and pack within shards — pack quality
-    is unaffected because packs never need to cross shards."""
+    expressed as one window pass. With no ``shard_col`` the ordering is
+    GLOBAL: one window partition, fine for modest corpora. For 100 TB
+    pass ``shard_col`` (e.g. a hash bucket of the id): packing runs
+    independently inside each shard — full parallelism, identical pack
+    quality (packs never need to cross shards) — and the output keys
+    packs by (shard, pack_id). Returns (id, n_tokens, pack_id[, shard])."""
     order = F.col(order_col if order_col is not None else id_col)
-    w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    extra_order = [order_col] if order_col is not None and order_col != id_col else []
     n_tok = token_count(text_col)
-    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    if shard_col is not None:
+        shard = (F.col(shard_col) if isinstance(shard_col, str) else shard_col).alias("shard")
+        base = df.select(F.col(id_col), *extra_order, n_tok.alias("n_tokens"), shard)
+        w = W.partitionBy("shard").orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        out_cols = [id_col, "n_tokens", "shard"]
+    else:
+        base = df.select(F.col(id_col), *extra_order, n_tok.alias("n_tokens"))
+        w = W.orderBy(order).rowsBetween(W.unboundedPreceding, W.currentRow)
+        out_cols = [id_col, "n_tokens"]
     # pack boundary: ceil-division bucketing of the EXCLUSIVE running sum
     running = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return base.select(
-        id_col,
-        "n_tokens",
+        *out_cols,
         F.floor(running / target_tokens).cast("bigint").alias("pack_id"),
     )

@@ -2310,3 +2310,29 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price")
         )
     )
+
+
+@query(
+    "doc_packing_sharded",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                      / 512.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def doc_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, 100 TB formulation: 16 md5 shards (first hex
+    char of the id hash), packing runs as independent window partitions —
+    full cluster parallelism, no global sort, identical pack quality
+    (operators.text.pack_documents with shard_col). Packs are keyed
+    (shard, pack_id)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return text.pack_documents(docs, target_tokens=512, shard_col=shard)
