@@ -439,6 +439,10 @@ def simhash_near_dups(
     blocks = sig.select("id", "sig", F.explode(block_structs).alias("b")).select(
         "id", "sig", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv")
     )
+    # materialize the block index once — the self-join would recompute
+    # the signature map stage for both sides (same policy as the MinHash
+    # band index; (id, sig, blk, bv) is 4 longs × nblocks per doc)
+    blocks = blocks.localCheckpoint()
     l, r = blocks.alias("l"), blocks.alias("r")
     cands = (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.bv") == F.col("r.bv")) & (F.col("l.id") < F.col("r.id")))
