@@ -2336,3 +2336,32 @@ def doc_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     shard = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return text.pack_documents(docs, target_tokens=512, shard_col=shard)
+
+
+@query(
+    "asof_enrich_value",
+    sql="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_value
+      FROM events WHERE event_type IN ('signup', 'error')
+    )
+    SELECT event_id, user_id, ts, signup_value FROM t WHERE event_type = 'error'
+    """,
+)
+def asof_enrich_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic merge_asof (operators.temporal.merge_asof, pandas
+    semantics, verified against pandas in tests/test_temporal.py): every
+    error event enriched with the VALUE carried by the user's latest
+    prior-or-same-instant signup — tag-union + one window pass, no range
+    join."""
+    events = read_testdata(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = temporal.merge_asof(errors, signups, on="ts", by=["user_id"])
+    return out.select("event_id", "user_id", "ts", "signup_value")

@@ -52,3 +52,68 @@ def test_interval_join_exactly_once_per_pair(ev):
     total = out.count()
     distinct = out.select("event_id", "signup_ts").distinct().count()
     assert total == distinct
+
+
+def test_merge_asof_matches_pandas(spark):
+    """The generic as-of operator must reproduce pandas merge_asof
+    (backward, by-group, inclusive same-instant) on a mixed workload."""
+    import pandas as pd
+
+    quotes = pd.DataFrame(
+        {
+            "sym": ["a", "a", "a", "b", "b"],
+            "t": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:10",
+                                  "2024-01-01 10:02", "2024-01-01 10:07"]),
+            "px": [10.0, 10.5, 11.0, 20.0, 21.0],
+        }
+    )
+    trades = pd.DataFrame(
+        {
+            "sym": ["a", "a", "a", "b", "b", "b"],
+            "t": pd.to_datetime(["2024-01-01 09:59", "2024-01-01 10:05", "2024-01-01 10:07",
+                                  "2024-01-01 10:02", "2024-01-01 10:06", "2024-01-01 10:30"]),
+            "qty": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    want = pd.merge_asof(
+        trades.sort_values("t"), quotes.sort_values("t"), on="t", by="sym"
+    ).sort_values(["sym", "t"])
+
+    got = (
+        temporal.merge_asof(
+            spark.createDataFrame(trades), spark.createDataFrame(quotes), on="t", by=["sym"]
+        )
+        .orderBy("sym", "t")
+        .toPandas()
+    )
+    for (_, w), (_, g) in zip(want.iterrows(), got.iterrows()):
+        assert (w["sym"], w["t"], w["qty"]) == (g["sym"], g["t"], g["qty"])
+        assert (pd.isna(w["px"]) and pd.isna(g["px"])) or w["px"] == g["px"]
+
+
+def test_merge_asof_tolerance_and_collision(spark):
+    import pandas as pd
+
+    quotes = pd.DataFrame(
+        {"sym": ["a"], "t": pd.to_datetime(["2024-01-01 10:00"]), "px": [10.0]}
+    )
+    trades = pd.DataFrame(
+        {
+            "sym": ["a", "a"],
+            "t": pd.to_datetime(["2024-01-01 10:04", "2024-01-01 10:30"]),
+            "qty": [1, 2],
+        }
+    )
+    out = temporal.merge_asof(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on="t", by=["sym"], tolerance_seconds=300,
+    ).orderBy("t").collect()
+    assert out[0]["px"] == 10.0  # 4 min old: within tolerance
+    assert out[1]["px"] is None  # 30 min old: nulled
+
+    with pytest.raises(ValueError, match="collide"):
+        temporal.merge_asof(
+            spark.createDataFrame(trades),
+            spark.createDataFrame(trades),  # qty collides
+            on="t", by=["sym"],
+        )
