@@ -300,3 +300,26 @@ def test_donor_fill_deterministic_winner(spark):
         filled = repair.fill_from_donor_group(df, "grp", ["amount", "descr"])
         row = {r["id"]: (r["amount"], r["descr"]) for r in filled.collect()}[3]
         assert row == (5.0, "A")  # lexicographic struct-min on ties
+
+
+def test_zero_shuffle_signature_plans(spark, sf_dir):
+    """Regression guard on the zero-shuffle rewrites: on an input already
+    at target parallelism, MinHash signatures, SimHash signatures,
+    language-ID, and document chunking must plan WITHOUT any Exchange —
+    they are pure map stages (SCALE.md claims this; this pins it)."""
+    from cashback_data_pipeline_spark.operators import dedup, text
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    wide = docs.localCheckpoint()  # a leaf already at target width
+
+    for name, df in {
+        "minhash": dedup.minhash_signatures(wide, num_hashes=64, n=3),
+        "simhash": text.simhash_signatures(wide),
+        "lang_id": text.lang_id_relational(wide),
+        "chunks": text.chunk_documents(wide),
+    }.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plan gained a shuffle:\n{plan[:2000]}"
