@@ -146,9 +146,19 @@ def ngram_jaccard_pairs(
     exploded = sh.select("id", *(block_cols or []), F.explode("sh").alias("tok"))
     if bag:
         tok = exploded.groupBy("id", *(block_cols or []), "tok").agg(F.count(F.lit(1)).alias("cnt"))
-        sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
     else:
         tok = exploded.distinct().withColumn("cnt", F.lit(1))
+
+    # materialize the inverted index once: it feeds both join sides (×2
+    # with length blocking), the size table, and the hot-token scan —
+    # recomputing the explode+count pipeline per consumer multiplied the
+    # plan to ~28 exchanges. This is the index you'd persist at scale
+    # anyway. Sizes are taken from the PRE-hot-filter index (full-size
+    # denominators keep the hot-token score a lower bound).
+    tok = tok.localCheckpoint()
+    if bag:
+        sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
+    else:
         sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
 
     if max_token_df is not None:
