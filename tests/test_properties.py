@@ -88,3 +88,37 @@ def test_append_if_absent_empty_batch(spark, tmp_path):
     empty = spark.createDataFrame([], "k int, v string")
     assert append_if_absent(spark, empty, target, key="k") == 0
     assert spark.read.parquet(target).count() == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=5, max_size=60, unique=True),
+    st.floats(min_value=0.05, max_value=0.9),
+    st.floats(min_value=0.05, max_value=0.9),
+)
+def test_weighted_sample_nested_and_bounded(spark, ids, f1, f2):
+    """Hash sampling invariants: (a) the kept set at a smaller fraction is
+    a SUBSET of the kept set at a larger one (same salt ⇒ nested samples);
+    (b) fraction 0 keeps nothing, 1.0 keeps everything."""
+    from cashback_data_pipeline_spark.operators import curation
+
+    lo, hi = sorted([f1, f2])
+    df = spark.createDataFrame([(i, "g") for i in ids], "doc_id long, source string")
+    kept_lo = {r["doc_id"] for r in curation.weighted_sample(df, "source", {"g": lo}).collect()}
+    kept_hi = {r["doc_id"] for r in curation.weighted_sample(df, "source", {"g": hi}).collect()}
+    assert kept_lo <= kept_hi
+    assert curation.weighted_sample(df, "source", {"g": 0.0}).count() == 0
+    assert curation.weighted_sample(df, "source", {"g": 1.0}).count() == len(ids)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=3, max_size=60, unique=True))
+def test_assign_split_partitions_exactly(spark, ids):
+    """Every row lands in exactly one split — the CASE thresholds tile the
+    bucket space with no gap or overlap, for any key distribution."""
+    from cashback_data_pipeline_spark.operators import curation
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = curation.assign_split(df, "doc_id")
+    assert out.count() == len(ids)
+    assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
