@@ -2365,3 +2365,47 @@ def asof_enrich_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = temporal.merge_asof(errors, signups, on="ts", by=["user_id"])
     return out.select("event_id", "user_id", "ts", "signup_value")
+
+
+@query(
+    "streaming_windowed_counts",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type AS event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the batch oracle: events land in a file
+    directory, a file-source stream (4 files per micro-batch, so state
+    genuinely accumulates across triggers) runs the watermarked tumbling-
+    window agg (streaming.windowed_counts_stream), availableNow drains
+    the backlog, and the memory-sink result must hash-match the same SQL
+    the BATCH twin (windowed_event_counts) is checked against — streaming
+    and batch agree row-for-row."""
+    import tempfile
+    import uuid
+
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        windowed_counts_stream,
+    )
+
+    events = read_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    events.repartition(8).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=4)
+    agg = windowed_counts_stream(stream)
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
