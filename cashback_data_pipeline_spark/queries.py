@@ -2409,3 +2409,42 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup_replay",
+    sql="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the oracle: the source directory holds
+    EVERY event TWICE (an at-least-once source double-delivering the
+    whole feed in separate files); the watermarked dropDuplicates stream
+    (streaming.deduped_stream) must reduce it back to exactly the
+    original events — the oracle is the plain batch scan of the
+    un-duplicated table."""
+    import tempfile
+    import uuid
+
+    from cashback_data_pipeline_spark.streaming.jobs import deduped_stream, read_events_stream
+
+    events = read_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_dup_src_")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    events.repartition(4).write.mode("append").parquet(src)  # the replay
+    stream = read_events_stream(spark, src, max_files_per_trigger=3)
+    deduped = deduped_stream(stream)
+    name = f"sdr_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )
