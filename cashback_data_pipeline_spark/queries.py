@@ -2448,3 +2448,52 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@query(
+    "streaming_sessionization",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows under the BATCH oracle: the
+    session_window stream (streaming.sessionized_counts_stream, 30-min
+    gap) drains via availableNow, then sessions-per-user must equal the
+    batch lag-gap formulation the `sessionization` query is checked
+    against — merge-on-overlap session windows ≡ gap-break counting."""
+    import tempfile
+    import uuid
+
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        sessionized_counts_stream,
+    )
+
+    events = read_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_sess_src_")
+    events.repartition(8).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=4)
+    sessions = sessionized_counts_stream(stream)
+    name = f"ssz_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
