@@ -405,3 +405,39 @@ def kmeans_refine(
             .localCheckpoint()
         )
     return current
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, qvec) with
+    ``scale = max|v|/127`` and ``q_i = round_half_up(v_i / scale)`` —
+    4× (vs float32) / 8× (vs float64) smaller embedding storage with
+    bounded error (|v − q·scale| ≤ scale/2 per element), the standard
+    compression step before a 100 TB ANN corpus goes to disk.
+
+    Pure two-projection map (scale bound once, then the transform) —
+    zero shuffle, codegen'd. Rounding is the engine-portable
+    ``floor(x + 0.5)`` form so validation oracles replicate it exactly.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (
+            F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)) / 127.0
+        ).alias("scale"),
+    )
+    q = F.transform(
+        "__v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    return base.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantize_embeddings_int8(
+    df: DataFrame, id_col: str = "vec_id", qvec_col: str = "qvec", scale_col: str = "scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings_int8`: (id, embedding
+    array<double>) with ``v_i ≈ q_i · scale``."""
+    v = F.transform(F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col))
+    return df.select(F.col(id_col), v.alias("embedding"))

