@@ -210,3 +210,38 @@ def redact_pii(
         F.regexp_replace(c, EMAIL_RE, replacement), PHONE_RE, replacement
     )
     return df.withColumn("n_pii", n.cast("int")).withColumn(out, red)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality: unigram LM surprisal
+# ---------------------------------------------------------------------------
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram surprisal: avg over tokens of
+    ``−ln P(token)`` where P comes from the corpus itself — the
+    simplified CCNet/perplexity-filter shape. LOW surprisal ⇒ the doc is
+    made of corpus-typical tokens (boilerplate); HIGH ⇒ rare-token noise;
+    the quality gate keeps the middle band. Returns (id, n_tokens,
+    surprisal).
+
+    Fully relational: one token explode feeds both the corpus frequency
+    table (groupBy token — map-side combinable) and the per-doc score
+    join; the token total rides along as a broadcast 1-row aggregate, so
+    nothing ever collects to the driver. Scales as two shuffles of
+    (token) and (doc) keys — both naturally spread."""
+    from cashback_data_pipeline_spark.operators.text import tokens
+
+    tk = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    freq = tk.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = tk.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tk.join(freq, on="__tok")
+        .join(F.broadcast(total), F.lit(True))
+        .withColumn("__s", -F.log(F.col("__c").cast("double") / F.col("__n")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("__s").alias("surprisal"),
+    )

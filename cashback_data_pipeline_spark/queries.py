@@ -2530,3 +2530,34 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qdf.select(
         "vec_id", "scale", F.posexplode("qvec").alias("pos", "q")
     ).select("vec_id", "scale", F.col("pos").cast("int"), "q")
+
+
+@query(
+    "unigram_surprisal_scores",
+    sql="""
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), f AS (
+      SELECT tok, count(*) AS c FROM tk GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n FROM tk
+    )
+    SELECT tk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(-ln(CAST(f.c AS DOUBLE) / tot.n)) * 1000000 + 0.5) / 1000000 AS surprisal
+    FROM tk, f, tot
+    WHERE tk.tok = f.tok
+    GROUP BY tk.doc_id
+    """,
+)
+def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (curation.unigram_surprisal): mean
+    −ln P(token) per document against the corpus unigram model — the
+    simplified perplexity filter; 6-dp floor rounding for oracle-stable
+    doubles."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = curation.unigram_surprisal(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        (F.floor(F.col("surprisal") * 1000000 + 0.5) / 1000000).alias("surprisal"),
+    )

@@ -91,3 +91,15 @@ def test_redact_pii_patterns(spark):
     assert rows[1]["text"] == "mail [PII] now or call [PII] ok"
     assert rows[2]["n_pii"] == 0
     assert rows[2]["text"] == "nothing sensitive here"
+
+
+def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
+    # doc 2 is made of tokens that appear nowhere else → higher surprisal
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "rare words only here"), (3, "a a a b")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in curation.unigram_surprisal(df).collect()}
+    assert rows[2]["surprisal"] > rows[1]["surprisal"]
+    assert rows[3]["surprisal"] > rows[1]["surprisal"]  # one 'b' adds surprise
+    assert rows[1]["n_tokens"] == 4
