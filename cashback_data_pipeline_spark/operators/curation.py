@@ -233,7 +233,12 @@ def unigram_surprisal(
     (token) and (doc) keys — both naturally spread."""
     from cashback_data_pipeline_spark.operators.text import tokens
 
-    tk = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    # materialize the exploded tokens once — they feed THREE consumers
+    # (frequency table, total, and the score join); without the barrier
+    # each consumer re-scans and re-tokenizes the corpus
+    tk = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).localCheckpoint()
     freq = tk.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
     total = tk.agg(F.count(F.lit(1)).alias("__n"))
     scored = (

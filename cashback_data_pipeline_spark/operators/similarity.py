@@ -428,8 +428,11 @@ def quantize_embeddings_int8(
             F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)) / 127.0
         ).alias("scale"),
     )
+    # tinyint, not int: values are bounded in [-127, 127] by construction
+    # (scale = max|v|/127), and a 4-byte element would silently forfeit
+    # the advertised 4×/8× storage compression
     q = F.transform(
-        "__v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        "__v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("tinyint")
     )
     return base.select(id_col, "scale", q.alias("qvec"))
 

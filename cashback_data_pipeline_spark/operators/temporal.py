@@ -25,6 +25,7 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Join events to every interval containing them (closed bounds),
     matching on ``key_cols`` plus the time-range predicate.
@@ -45,14 +46,24 @@ def interval_join(
     """
     binw = bin_seconds * 1_000_000  # work in microseconds
     e = events.withColumn("__bin", F.floor(F.unix_micros(F.col(ts_col)) / binw))
-    iv = intervals.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / binw),
-                F.floor(F.unix_micros(F.col(end_col)) / binw),
-            )
+    lo = F.floor(F.unix_micros(F.col(start_col)) / binw)
+    hi = F.floor(F.unix_micros(F.col(end_col)) / binw)
+    # guard the fan-out: an open-ended/sentinel interval (end=9999-12-31)
+    # would explode into ~70M bins per row at the default width — fail
+    # loudly with the offending width instead of OOMing an executor.
+    # (assert_true lives in a filter so column pruning can't drop it.)
+    guard = F.assert_true(
+        hi - lo < max_bins_per_interval,
+        F.concat(
+            F.lit(f"interval_join: interval spans more than {max_bins_per_interval} "
+                  f"bins of {bin_seconds}s — raise bin_seconds or cap the interval "
+                  "(interval bins: "),
+            (hi - lo + 1).cast("string"),
+            F.lit(")"),
         ),
+    )
+    iv = intervals.where(guard.isNull()).withColumn(
+        "__bin", F.explode(F.sequence(lo, hi))
     )
     joined = e.join(iv, on=key_cols + ["__bin"], how="inner").filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
@@ -89,42 +100,49 @@ def merge_asof(
     if collision:
         raise ValueError(f"right_cols collide with left columns: {sorted(collision)}")
 
+    # The matched right row travels as ONE struct (its own `on` included),
+    # so a NULL in one right column can never be "filled through" from an
+    # OLDER right row — per-column last(ignorenulls) would stitch together
+    # columns from rows that never co-existed (and would let a stale value
+    # pass the tolerance check). The struct is non-null for every right
+    # row, null for left rows, so last(struct, ignorenulls) picks the
+    # latest right ROW atomically.
+    r_struct = F.struct(F.col(on).alias("__asof_ts"), *[F.col(c) for c in right_cols])
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
         F.lit(1).alias("__is_left"),
     )
     r_tagged = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c != on and c not in by],
         *[F.col(c) for c in (by + [on])],
-        *[F.col(c) for c in right_cols],
+        r_struct.alias("__r"),
         F.lit(0).alias("__is_left"),
     ).select(*l_tagged.columns)  # align column order
 
     from pyspark.sql import Window as W
 
     u = l_tagged.unionByName(r_tagged)
+    # order ties among same-instant right rows by the struct itself —
+    # deterministic (last = greatest right row field-wise); pandas breaks
+    # such ties by input order, which a distributed table does not have.
     w = (
         (W.partitionBy(*by) if by else W.partitionBy())
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__r").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        *[c for c in u.columns if c not in right_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
-        F.last(F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias("__asof_ts"),
-    )
+    filled = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
     out = filled.filter(F.col("__is_left") == 1)
+    match = F.col("__match")
     if tolerance_seconds is not None:
-        # null out matches staler than the tolerance
         fresh = (
-            F.unix_micros(F.col(on)) - F.unix_micros(F.col("__asof_ts"))
+            F.unix_micros(F.col(on)) - F.unix_micros(match["__asof_ts"])
             <= tolerance_seconds * 1_000_000
         )
-        out = out.select(
-            *[c for c in out.columns if c not in right_cols and c != "__asof_ts"],
-            *[F.when(fresh, F.col(c)).alias(c) for c in right_cols],
-        )
-    return out.drop("__is_left", "__asof_ts")
+        match = F.when(fresh, match)
+    return out.select(
+        *[c for c in left.columns],
+        *[match[c].alias(c) for c in right_cols],
+    )

@@ -273,7 +273,7 @@ def pack_documents(
     pass ``shard_col`` (e.g. a hash bucket of the id): packing runs
     independently inside each shard — full parallelism, identical pack
     quality (packs never need to cross shards) — and the output keys
-    packs by (shard, pack_id). Returns (id, n_tokens, pack_id[, shard])."""
+    packs by (shard, pack_id). Returns (id, n_tokens[, shard], pack_id)."""
     order = F.col(order_col if order_col is not None else id_col)
     extra_order = [order_col] if order_col is not None and order_col != id_col else []
     n_tok = token_count(text_col)

@@ -2529,7 +2529,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = similarity.quantize_embeddings_int8(emb)
     return qdf.select(
         "vec_id", "scale", F.posexplode("qvec").alias("pos", "q")
-    ).select("vec_id", "scale", F.col("pos").cast("int"), "q")
+    ).select("vec_id", "scale", F.col("pos").cast("int"), F.col("q").cast("int").alias("q"))
 
 
 @query(

@@ -117,3 +117,71 @@ def test_merge_asof_tolerance_and_collision(spark):
             spark.createDataFrame(trades),  # qty collides
             on="t", by=["sym"],
         )
+
+
+def test_merge_asof_never_mixes_right_rows(spark):
+    """A NULL inside the matched right row must stay NULL — per-column
+    fill would stitch together columns from different right rows (the
+    reviewed bug: px from 10:00 + sz from 10:05 as one phantom row)."""
+    import pandas as pd
+
+    quotes = pd.DataFrame(
+        {
+            "sym": ["a", "a"],
+            "t": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:05"]),
+            "px": [10.0, None],
+            "sz": [None, 99.0],
+        }
+    )
+    trades = pd.DataFrame(
+        {"sym": ["a"], "t": pd.to_datetime(["2024-01-01 10:07"]), "qty": [1]}
+    )
+    got = temporal.merge_asof(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes), on="t", by=["sym"]
+    ).first()
+    want = pd.merge_asof(trades, quotes, on="t", by="sym").iloc[0]
+    assert got["px"] is None and pd.isna(want["px"])  # NOT 10.0 from the older row
+    assert got["sz"] == want["sz"] == 99.0
+
+
+def test_merge_asof_tolerance_uses_matched_row_ts(spark):
+    """Tolerance must be measured against the ts of the MATCHED row."""
+    import pandas as pd
+
+    quotes = pd.DataFrame(
+        {
+            "sym": ["a", "a"],
+            "t": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 10:00"]),
+            "px": [1.0, None],
+            "sz": [7.0, 5.0],
+        }
+    )
+    trades = pd.DataFrame(
+        {"sym": ["a"], "t": pd.to_datetime(["2024-01-01 10:02"]), "qty": [1]}
+    )
+    got = temporal.merge_asof(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        on="t", by=["sym"], tolerance_seconds=300,
+    ).first()
+    # matched row is 10:00 (fresh): px stays null, sz=5; the 09:00 row is
+    # neither filled through nor judged for freshness
+    assert got["px"] is None and got["sz"] == 5.0
+
+
+def test_interval_join_guards_runaway_fanout(spark):
+    import pandas as pd
+
+    events = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01 10:00"])})
+    )
+    open_ended = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "start": pd.to_datetime(["2024-01-01 00:00"]),
+                "end": pd.to_datetime(["2200-01-01 00:00"]),  # sentinel
+            }
+        )
+    )
+    with pytest.raises(Exception, match="interval_join"):
+        temporal.interval_join(events, open_ended, ["k"], "ts", "start", "end").collect()
