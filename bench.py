@@ -53,15 +53,23 @@ HEADLINE = [
     "embedding_near_dups_fast",
     # TPC-H shapes (multi-join / disjunctive pushdown / scalar subquery)
     "local_supplier_volume",
+    "promo_revenue_share",
     "disjunctive_predicate_revenue",
     "idle_rich_customers",
+    "decimal_exact_totals",
+    # temporal joins
+    "attribution_interval_join",
+    "asof_enrich_value",
     # LLM-corpus curation paths
     "doc_chunks",
     "doc_packing",
+    "doc_packing_sharded",
     "corpus_split",
     "repetition_scores",
+    "unigram_surprisal_scores",
     "pii_redaction",
     "stratified_sample",
+    "embedding_quantization",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather
