@@ -42,10 +42,24 @@ def r2(col) -> F.Column:
 
 
 def query(name: str, sql: str | None = None):
-    """Register an engine query and (optionally) its DuckDB oracle."""
+    """Register an engine query and (optionally) its DuckDB oracle.
+
+    Every registered callable first applies the engine's runtime-settable
+    session conf (UTC, non-ANSI casts, AQE, nanos compat): the driver
+    invokes these on its OWN plain SparkSession, so no query may depend
+    on configs that only ``session.get_spark`` would have set."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        import functools
+
+        from cashback_data_pipeline_spark.session import apply_session_conf
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn

@@ -84,6 +84,9 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # runtime-settable: the driver's plain session defaults to 200
+        # shuffle partitions — needless task overhead at test scale
+        ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
     ]:
         try:
             spark.conf.set(key, value)
