@@ -41,6 +41,69 @@ def r2(col) -> F.Column:
     return F.floor(col * 100 + 0.5) / 100
 
 
+def q6(col) -> F.Column:
+    """``r2`` at 6 dp — ``floor(x*1e6 + 0.5)/1e6``. Identical doubles in,
+    identical doubles out, on both engines."""
+    return F.floor(col * 1_000_000 + 0.5) / 1_000_000
+
+
+def dsum2(col) -> F.Column:
+    """Order-independent money sum → DECIMAL(18,2).
+
+    ``round(sum(double), 2)`` is the round-1 driver trap twice over:
+    double summation order differs across engines (and across Spark's own
+    partial-agg fan-in), and Spark/DuckDB ``round`` disagree at .005
+    boundaries (``shipping_priority``, CORRECTNESS_r01). Quantize each
+    term to 6 dp (deterministic), sum exactly as DECIMAL(28,6)
+    (associative — any shuffle/AQE re-plan gives the same sum), round the
+    exact decimal half-up to 2 dp. SQL twin: ``sql_dsum2``."""
+    return F.round(F.sum(q6(col).cast("decimal(28,6)")), 2).cast("decimal(18,2)")
+
+
+def dmean(col, dp: int = 2) -> F.Column:
+    """Order-independent mean at ``dp`` decimals (double).
+
+    Exact DECIMAL sum of 6-dp-quantized terms, one double division by the
+    non-null count, floor-half-up quantize — each step deterministic on
+    both engines. SQL twin: ``sql_dmean``."""
+    s = 10**dp
+    m = F.sum(q6(col).cast("decimal(28,6)")).cast("double") / F.count(col)
+    return F.floor(m * s + 0.5) / s
+
+
+def dwsum2(col, w) -> F.Column:
+    """``dsum2`` over a window frame (running/trailing sums): exact
+    decimal accumulation makes the frame sum independent of the engine's
+    evaluation strategy (DuckDB's segment tree vs Spark's running state).
+    SQL twin: ``sql_dwsum2``."""
+    return F.round(F.sum(q6(col).cast("decimal(28,6)")).over(w), 2).cast("decimal(18,2)")
+
+
+def sql_q6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def sql_dsum2(expr: str) -> str:
+    """DuckDB twin of ``dsum2`` (DuckDB decimal ``round`` is half-away-
+    from-zero = Java HALF_UP on exact decimals)."""
+    return f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))), 2) AS DECIMAL(18,2))"
+
+
+def sql_dmean(expr: str, dp: int = 2) -> str:
+    s = 10**dp
+    return (
+        f"floor(CAST(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / count({expr}) * {s} + 0.5) / {s}"
+    )
+
+
+def sql_dwsum2(expr: str, over: str) -> str:
+    return (
+        f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))) OVER {over}, 2)"
+        f" AS DECIMAL(18,2))"
+    )
+
+
 def query(name: str, sql: str | None = None):
     """Register an engine query and (optionally) its DuckDB oracle.
 
@@ -74,14 +137,14 @@ def query(name: str, sql: str | None = None):
 
 @query(
     "monthly_segment_summary",
-    sql="""
+    sql=f"""
     SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
            c.c_mktsegment AS c_mktsegment,
            count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS sum_price,
-           round(avg(o.o_totalprice), 2) AS avg_price,
-           round(max(o.o_totalprice), 2) AS max_price,
-           round(min(o.o_totalprice), 2) AS min_price
+           {sql_dsum2('o.o_totalprice')} AS sum_price,
+           {sql_dmean('o.o_totalprice')} AS avg_price,
+           floor(max(o.o_totalprice) * 100 + 0.5) / 100 AS max_price,
+           floor(min(o.o_totalprice) * 100 + 0.5) / 100 AS min_price
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -104,10 +167,10 @@ def monthly_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            dsum2(F.col("o_totalprice")).alias("sum_price"),
+            dmean(F.col("o_totalprice")).alias("avg_price"),
+            r2(F.max("o_totalprice")).alias("max_price"),
+            r2(F.min("o_totalprice")).alias("min_price"),
         )
     )
 
@@ -174,7 +237,7 @@ def semi_join_present_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id, user_id,
-           round(coalesce(v, min(v) OVER (PARTITION BY user_id)), 2) AS filled_value
+           floor(coalesce(v, min(v) OVER (PARTITION BY user_id)) * 100 + 0.5) / 100 AS filled_value
     FROM base
     """,
 )
@@ -189,7 +252,7 @@ def donor_group_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "event_id",
         "user_id",
-        F.round(F.coalesce(F.col("v"), F.min("v").over(W.partitionBy("user_id"))), 2).alias("filled_value"),
+        r2(F.coalesce(F.col("v"), F.min("v").over(W.partitionBy("user_id")))).alias("filled_value"),
     )
 
 
@@ -200,7 +263,7 @@ def donor_group_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_neq_null_safe",
     sql="""
-    SELECT event_id, event_type, round(value, 2) AS value
+    SELECT event_id, event_type, floor(value * 100 + 0.5) / 100 AS value
     FROM events
     WHERE event_type IS NULL OR event_type <> 'error'
     """,
@@ -210,7 +273,7 @@ def filter_neq_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (null rows KEPT; SURVEY §7.4.1)."""
     events = read_testdata(spark, sf_dir, "events")
     return events.filter(neq_null_safe("event_type", "error")).select(
-        "event_id", "event_type", F.round("value", 2).alias("value")
+        "event_id", "event_type", r2(F.col("value")).alias("value")
     )
 
 
@@ -289,10 +352,10 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_summary",
-    sql="""
+    sql=f"""
     SELECT l_returnflag AS l_returnflag, l_linestatus AS l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_dsum2('l_quantity')} AS sum_qty,
+           {sql_dsum2('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -305,8 +368,8 @@ def rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"
     )
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        dsum2(F.col("l_quantity")).alias("sum_qty"),
+        dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -392,7 +455,7 @@ def json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sort_limit_offset",
     sql="""
-    SELECT event_id, ts, round(value, 2) AS value
+    SELECT event_id, ts, floor(value * 100 + 0.5) / 100 AS value
     FROM events
     ORDER BY ts DESC, event_id DESC
     LIMIT 100 OFFSET 10
@@ -403,7 +466,7 @@ def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine). Tie-broken on the unique key so the selected window is
     deterministic. Spark executes this as a TakeOrderedAndProject —
     no global sort materialization."""
-    events = read_testdata(spark, sf_dir, "events").select("event_id", "ts", F.round("value", 2).alias("value"))
+    events = read_testdata(spark, sf_dir, "events").select("event_id", "ts", r2(F.col("value")).alias("value"))
     return events.orderBy(F.col("ts").desc(), F.col("event_id").desc()).offset(10).limit(100)
 
 
@@ -763,7 +826,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            sqrt(l_extendedprice) AS price_sqrt,
-           ln(l_extendedprice) AS price_ln,
+           CAST(ln(l_extendedprice) AS REAL) AS price_ln,
            l_orderkey % 7 AS key_mod,
            sign(l_discount - 0.05) AS disc_sign
     FROM lineitem
@@ -771,7 +834,9 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math builtin surface: abs/ceil/floor/sqrt/ln/mod/sign (E1/E7/E11
-    family). sqrt/ln are IEEE-deterministic — safe to hash unrounded."""
+    family). sqrt is IEEE correctly-rounded → hashable unrounded; ln is
+    NOT (JVM Math.log vs libm differ in the last ulp — round-1 driver
+    failure), so it is cast to float32 on both sides."""
     li = read_testdata(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -780,7 +845,7 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.log(F.col("l_extendedprice")).cast("float").alias("price_ln"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
     )
@@ -814,11 +879,11 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cube_summary",
-    sql="""
+    sql=f"""
     SELECT event_type AS event_type,
            CAST(user_id % 4 AS BIGINT) AS user_bucket,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           {sql_dsum2('value')} AS sum_value
     FROM events
     GROUP BY CUBE(event_type, user_id % 4)
     """,
@@ -830,7 +895,7 @@ def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("user_bucket", (F.col("user_id") % 4))
         .cube("event_type", "user_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value"))
     )
 
 
@@ -889,11 +954,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "windowed_event_counts",
-    sql="""
+    sql=f"""
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type AS event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           {sql_dsum2('value')} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -905,17 +970,17 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_testdata(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
     )
 
 
 @query(
     "warehouse_roundtrip",
-    sql="""
+    sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price
+           {sql_dsum2('o_totalprice')} AS sum_price
     FROM orders
     GROUP BY 1
     """,
@@ -936,14 +1001,14 @@ def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_warehouse(staged, out, partition_by="order_month")
     back = spark.read.parquet(out)
     return back.groupBy("order_month").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price")
     )
 
 
 @query(
     "incremental_append",
     sql="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
     FROM orders
     WHERE o_orderkey % 10 < 8
     """,
@@ -958,7 +1023,7 @@ def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cashback_data_pipeline_spark.sinks import append_if_absent
 
     orders = read_testdata(spark, sf_dir, "orders").select(
-        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice")
     )
     target = tempfile.mkdtemp(prefix="serving_") + "/cashback"
     seed = orders.filter(F.col("o_orderkey") % 10 < 5)
@@ -1006,15 +1071,15 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pricing_summary",
-    sql="""
+    sql=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           {sql_dsum2('l_quantity')} AS sum_qty,
+           {sql_dsum2('l_extendedprice')} AS sum_base_price,
+           {sql_dsum2('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum2('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_dmean('l_quantity')} AS avg_qty,
+           {sql_dmean('l_extendedprice')} AS avg_price,
+           {sql_dmean('l_discount', 4)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1031,13 +1096,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum2(F.col("l_quantity")).alias("sum_qty"),
+            dsum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum2(disc_price).alias("sum_disc_price"),
+            dsum2(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dmean(F.col("l_quantity")).alias("avg_qty"),
+            dmean(F.col("l_extendedprice")).alias("avg_price"),
+            dmean(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1045,9 +1110,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "shipping_priority",
-    sql="""
+    sql=f"""
     SELECT l.l_orderkey AS l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_dsum2('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            o.o_orderdate AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1069,16 +1134,16 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
     )
 
 
 @query(
     "supplier_volume_by_nation",
-    sql="""
+    sql=f"""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_dsum2('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1103,7 +1168,7 @@ def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1111,10 +1176,10 @@ def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_api_order_stats",
-    sql="""
+    sql=f"""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(avg(o_totalprice), 2) AS avg_price
+           {sql_dmean('o_totalprice')} AS avg_price
     FROM orders
     WHERE o_orderstatus <> 'F'
     GROUP BY o_orderpriority
@@ -1123,13 +1188,15 @@ def supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_api_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL entry point (SURVEY §3.3's hand-written-SQL seam):
     temp view + spark.sql — Catalyst produces the identical plan to the
-    DataFrame form, proving both surfaces stay in sync."""
+    DataFrame form, proving both surfaces stay in sync. The avg formula
+    string (sql_dmean) is engine-portable, so the exact same text runs
+    here and in the DuckDB oracle."""
     read_testdata(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price
+               {sql_dmean('o_totalprice')} AS avg_price
         FROM orders_v
         WHERE o_orderstatus <> 'F'
         GROUP BY o_orderpriority
@@ -1141,9 +1208,9 @@ def sql_api_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles",
     sql="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 2) AS p50,
-           round(quantile_cont(value, 0.9), 2) AS p90,
-           round(quantile_cont(value, 0.99), 2) AS p99
+           CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
+           CAST(quantile_cont(value, 0.9) AS REAL) AS p90,
+           CAST(quantile_cont(value, 0.99) AS REAL) AS p99
     FROM events
     GROUP BY event_type
     """,
@@ -1152,12 +1219,15 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ≙
     DuckDB ``quantile_cont``). At 100 TB swap to ``percentile_approx``
     (t-digest sketch, mergeable map-side) — kept exact here so the oracle
-    can hash-match."""
+    can hash-match. Results are cast to float32 on both sides: the two
+    engines' interpolation arithmetic can differ in the last double ulp,
+    which float32 rounding absorbs (round() would instead flip at .005
+    boundaries — the round-1 driver trap)."""
     events = read_testdata(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 2).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 2).alias("p99"),
+        F.expr("percentile(value, 0.5)").cast("float").alias("p50"),
+        F.expr("percentile(value, 0.9)").cast("float").alias("p90"),
+        F.expr("percentile(value, 0.99)").cast("float").alias("p99"),
     )
 
 
@@ -1167,13 +1237,13 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_analytics",
-    sql="""
+    sql=f"""
     SELECT o_orderkey, o_custkey,
            row_number()   OVER w AS rn,
            lag(o_totalprice)  OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           {sql_dwsum2('o_totalprice', '''(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_total,
            ntile(4) OVER w AS quartile,
            CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank
     FROM orders
@@ -1194,7 +1264,7 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
+        dwsum2(F.col("o_totalprice"), w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_total"),
         F.ntile(4).over(w).alias("quartile"),
         F.rank().over(wrank).alias("price_rank"),
     )
@@ -1233,7 +1303,7 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "csv_roundtrip",
     sql="""
-    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+    SELECT c_custkey, c_name, c_mktsegment, floor(c_acctbal * 100 + 0.5) / 100 AS c_acctbal
     FROM customer
     """,
 )
@@ -1248,7 +1318,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cashback_data_pipeline_spark.sources import read_csv
 
     customer = read_testdata(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+        "c_custkey", "c_name", "c_mktsegment", r2(F.col("c_acctbal")).alias("c_acctbal")
     )
     staging = tempfile.mkdtemp(prefix="staging_csv_")
     write_csv(customer, staging)
@@ -1502,24 +1572,27 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statistical_aggs",
     sql="""
     SELECT event_type,
-           round(stddev_samp(value), 4) AS sd,
-           round(var_samp(value), 4) AS var,
-           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
-           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+           CAST(stddev_samp(value) AS REAL) AS sd,
+           CAST(var_samp(value) AS REAL) AS var,
+           CAST(corr(value, CAST(user_id AS DOUBLE)) AS REAL) AS corr_vu,
+           CAST(covar_samp(value, CAST(user_id AS DOUBLE)) AS REAL) AS covar_vu
     FROM events
     GROUP BY event_type
     """,
 )
 def statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: sample stddev/variance, correlation,
-    covariance — single-pass partial+final (Welford-style merge)."""
+    covariance — single-pass partial+final (Welford-style merge). The
+    merge order differs between engines (and across Spark's own partial
+    fan-in), so results agree only to ~1e-12 relative; float32 casts on
+    both sides absorb that, where round() would flip at grid boundaries."""
     events = read_testdata(spark, sf_dir, "events")
     u = F.col("user_id").cast("double")
     return events.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.var_samp("value"), 4).alias("var"),
-        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
-        F.round(F.covar_samp(F.col("value"), u), 4).alias("covar_vu"),
+        F.stddev_samp("value").cast("float").alias("sd"),
+        F.var_samp("value").cast("float").alias("var"),
+        F.corr(F.col("value"), u).cast("float").alias("corr_vu"),
+        F.covar_samp(F.col("value"), u).cast("float").alias("covar_vu"),
     )
 
 
@@ -1554,8 +1627,8 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "forecast_revenue",
-    sql="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    sql=f"""
+    SELECT {sql_dsum2('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -1574,7 +1647,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1996-01-01")
             & F.col("l_discount").between(0.03, 0.05)
             & (F.col("l_quantity") < 24)
-        ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        ).agg(dsum2(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -1582,8 +1655,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large_orders",
     sql="""
     SELECT o.o_orderkey AS o_orderkey, o.o_orderdate AS o_orderdate,
-           round(o.o_totalprice, 2) AS o_totalprice,
-           round(t.sum_qty, 2) AS sum_qty
+           floor(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           floor(t.sum_qty * 100 + 0.5) / 100 AS sum_qty
     FROM orders o
     JOIN (
       SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -1607,8 +1680,8 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_orderdate",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("sum_qty", 2).alias("sum_qty"),
+            r2(F.col("o_totalprice")).alias("o_totalprice"),
+            r2(F.col("sum_qty")).alias("sum_qty"),
         )
     )
 
@@ -1643,9 +1716,9 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "returned_item_revenue",
-    sql="""
+    sql=f"""
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {sql_dsum2('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            c.c_mktsegment AS c_mktsegment
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1666,7 +1739,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_mktsegment")
     )
 
@@ -1778,12 +1851,12 @@ def nested_blob_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "trailing_window_sum",
-    sql="""
+    sql=f"""
     SELECT event_id, user_id,
-           round(sum(value) OVER (
+           {sql_dwsum2('value', '''(
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
-           ), 2) AS trailing_24h_sum,
+           )''')} AS trailing_24h_sum,
            CAST(count(*) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
@@ -1805,7 +1878,7 @@ def trailing_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 2).alias("trailing_24h_sum"),
+        dwsum2(F.col("value"), w).alias("trailing_24h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_24h_n"),
     )
 
@@ -2102,8 +2175,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "local_supplier_volume",
-    sql="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    sql=f"""
+    SELECT n_name, {sql_dsum2('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -2137,16 +2210,18 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @query(
     "promo_revenue_share",
-    sql="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+    sql=f"""
+    SELECT floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST({sql_q6('l_extendedprice * (1 - l_discount)')} AS DECIMAL(28,6))
+                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / CAST(sum(CAST({sql_q6('l_extendedprice * (1 - l_discount)')} AS DECIMAL(28,6)))
+                        AS DOUBLE)) * 100 + 0.5) / 100 AS promo_pct
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -2160,21 +2235,20 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     part = read_testdata(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_d = q6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    zero_d = F.lit(0).cast("decimal(28,6)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_d).otherwise(zero_d)).cast("double")
+    total = F.sum(rev_d).cast("double")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))) / F.sum(rev), 2
-            ).alias("promo_pct")
-        )
+        .agg(r2(100.0 * promo / total).alias("promo_pct"))
     )
 
 
 @query(
     "disjunctive_predicate_revenue",
-    sql="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    sql=f"""
+    SELECT {sql_dsum2('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND (
           (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -2195,16 +2269,18 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     c2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20)
     c3 = (F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30)
     return j.filter(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
 @query(
     "idle_rich_customers",
-    sql="""
-    SELECT c_mktsegment, count(*) AS numcust, round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+    sql=f"""
+    SELECT c_mktsegment, count(*) AS numcust, {sql_dsum2('c_acctbal')} AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST({sql_q6('c_acctbal')} AS DECIMAL(28,6))) AS DOUBLE)
+                              / count(c_acctbal)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderdate >= TIMESTAMP '1999-01-01')
@@ -2224,12 +2300,17 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= "1999-01-01")
         .select("o_custkey")
     )
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__ab"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        # Exact decimal sum → one double division: the qualification
+        # threshold is identical across engines and partial-agg orders
+        # (a plain double avg() could flip customers sitting ulp-close).
+        (F.sum(q6(F.col("c_acctbal")).cast("decimal(28,6)")).cast("double") / F.count("c_acctbal")).alias("__ab")
+    )
     rich = cust.join(F.broadcast(avg_bal), F.lit(True)).filter(F.col("c_acctbal") > F.col("__ab"))
     idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        dsum2(F.col("c_acctbal")).alias("totacctbal"),
     )
 
 
@@ -2383,11 +2464,11 @@ def asof_enrich_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_windowed_counts",
-    sql="""
+    sql=f"""
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type AS event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           {sql_dsum2('value')} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -2428,7 +2509,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_replay",
     sql="""
-    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    SELECT event_id, user_id, event_type, floor(value * 100 + 0.5) / 100 AS value
     FROM events
     """,
 )
@@ -2460,7 +2541,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).select(
-        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+        "event_id", "user_id", "event_type", r2(F.col("value")).alias("value")
     )
 
 

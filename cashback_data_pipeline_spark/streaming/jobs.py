@@ -54,10 +54,17 @@ def windowed_counts_stream(
     """Tumbling-window counts/sums with a watermark: late rows within
     ``watermark`` still update their window; older state is evicted.
     Same output shape as the batch ``windowed_event_counts`` query."""
+    # Exact decimal accumulation (quantize 6 dp → DECIMAL(28,6) → round 2):
+    # micro-batch arrival order must not change the emitted sum, and the
+    # result hashes identically to the batch twin / DuckDB oracle.
+    val_d = (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).cast("decimal(28,6)")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(val_d), 2).cast("decimal(18,2)").alias("sum_value"),
+        )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
     )
 
@@ -190,7 +197,8 @@ def purchases_after_signup_stream(
         "signup_event_id",
         "purchase_ts",
         "signup_ts",
-        F.round("purchase_value", 2).alias("purchase_value"),
+        # floor-half-up, not round(): Spark/DuckDB round() diverge at .005
+        (F.floor(F.col("purchase_value") * 100 + 0.5) / 100).alias("purchase_value"),
     )
 
 

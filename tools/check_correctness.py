@@ -30,9 +30,14 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "NULL"
+        # Full shortest-round-trip repr: the driver gate hashes full
+        # precision, so %.6g-style truncation here hides ulp-level engine
+        # divergence (round 1 shipped two driver hash failures the local
+        # gate masked). Integral floats collapse to the int form so an
+        # engine returning 5 vs 5.0 still matches.
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
