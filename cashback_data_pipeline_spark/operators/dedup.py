@@ -263,6 +263,47 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Co
     return F.array(*mins)
 
 
+def _md5_lane_sql(seed: int, lane: int, var: str = "w") -> str:
+    """Portable 32-bit hash lane ``lane`` (0-3) of ``md5('{seed}:' || w)``
+    as a Spark SQL fragment. The same value is computable in DuckDB as
+    ``CAST(('0x' || substr(md5(...), off, 8)) AS BIGINT)`` — the seam that
+    lets MinHash/SimHash signatures be reproduced by the SQL oracle
+    (xxhash64, the fast family, has no DuckDB twin)."""
+    off = 1 + 8 * lane
+    return f"cast(conv(substr(md5(concat('{seed}:', {var})), {off}, 8), 16, 10) as bigint)"
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 1,
+) -> DataFrame:
+    """MinHash signatures over PORTABLE md5 hash lanes: (id, sig).
+
+    Identical zero-shuffle two-projection plan to
+    :func:`minhash_signatures` (see that docstring for why the projection
+    boundary and the single parsed expr matter); the hash family is
+    md5-derived 32-bit lanes (:func:`_md5_lane_sql`) — 4 independent hash
+    functions per md5 call, so 64 hashes cost 16 md5 evaluations per
+    shingle — chosen because DuckDB can compute the exact same lanes,
+    making the whole LSH pipeline oracle-checkable end to end. Use the
+    xxhash64 family when no cross-engine oracle is needed (~2× cheaper)."""
+    base = (
+        ensure_min_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
+    )
+    parts = [
+        f"array_min(transform(__sh, w -> {_md5_lane_sql(seed, lane)}))"
+        for seed in range((num_hashes + 3) // 4)
+        for lane in range(4)
+        if seed * 4 + lane < num_hashes
+    ]
+    return base.select("id", F.expr("array(" + ",".join(parts) + ")").alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -327,6 +368,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 1,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_hashes/bands``, hash each band, self-join on (band_idx,
@@ -334,20 +376,37 @@ def minhash_lsh_candidates(
     the classic MinHash-LSH candidate join, expressed as
     explode + equi-join (one shuffle on band keys).
 
+    ``hash_family``: ``xxhash64`` (fast path; band key = F.hash of the
+    slice) or ``md5`` (portable lanes + comma-joined string band key —
+    both reproducible in the DuckDB oracle).
+
     Returns distinct (id_a, id_b) candidate pairs (unverified).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    if hash_family == "md5":
+        sig = minhash_signatures_md5(df, id_col, text_col, num_hashes, n)
+
+        def band_key(bi):
+            return F.array_join(
+                F.transform(
+                    F.slice("sig", bi * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+    else:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+
+        def band_key(bi):
+            return F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band))
+
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "id",
         F.explode(
             F.transform(
                 band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
-                ),
+                lambda bi: F.struct(bi.alias("band"), band_key(bi).alias("bh")),
             )
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -378,6 +437,7 @@ def minhash_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 1,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidates from LSH, verified with exact set-Jaccard on the
     candidate pairs only. Returns (id_a, id_b, jaccard ≥ threshold).
@@ -389,7 +449,9 @@ def minhash_near_dups(
     that appear in some candidate pair — at 100 TB that is the
     difference between re-scanning the corpus and touching a few
     thousand rows."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n).localCheckpoint()
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, n, hash_family
+    ).localCheckpoint()
     cand_ids = cands.select(
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col)
     ).distinct()
@@ -425,6 +487,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle: int = 1,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dups by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -432,11 +495,15 @@ def simhash_near_dups(
     signature into ``max_hamming+1`` 16-bit blocks — pairs within the
     Hamming ball agree on ≥1 block (pigeonhole), so an equi-join on
     (block_idx, block_value) finds all of them without a cross join.
-    Verification = exact popcount on the XOR.
+    Verification = exact popcount on the XOR. ``hash_family='md5'``
+    makes the signature oracle-reproducible (text.simhash_signatures_md5).
     """
+    from cashback_data_pipeline_spark.operators.text import simhash_signatures_md5
+
     nblocks = max_hamming + 1
     bits = 64 // nblocks
-    sig = simhash_signatures(df, id_col, text_col, shingle).withColumnRenamed(id_col, "id")
+    sig_fn = simhash_signatures_md5 if hash_family == "md5" else simhash_signatures
+    sig = sig_fn(df, id_col, text_col, shingle).withColumnRenamed(id_col, "id")
     block_structs = F.array(
         *[
             F.struct(

@@ -189,6 +189,39 @@ def simhash_signatures(
     return base.select(F.col(id_col), F.expr("+".join(bits)).alias("sig"))
 
 
+def simhash_signatures_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 1
+) -> DataFrame:
+    """64-bit SimHash over PORTABLE md5 hash lanes: (id_col, sig).
+
+    Same three-projection zero-shuffle plan as :func:`simhash_signatures`
+    (see that docstring), but the per-shingle 64-bit hash is the first 16
+    hex chars of md5 split into two 32-bit lanes (bits 0-31 ← chars 1-8,
+    bits 32-63 ← chars 9-16) — each lane computable in DuckDB as
+    ``CAST(('0x' || substr(md5(w), off, 8)) AS BIGINT)``, so the full
+    signature (and every downstream Hamming candidate/verdict) can be
+    reproduced by the SQL oracle. Use the xxhash64 variant when no
+    cross-engine parity is needed."""
+    from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism, shingles
+
+    base = (
+        ensure_min_parallelism(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), shingles(text_col, shingle).alias("__sh"))
+    )
+    lanes = base.select(
+        F.col(id_col),
+        F.expr("transform(__sh, w -> cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint))").alias("__lo"),
+        F.expr("transform(__sh, w -> cast(conv(substr(md5(w), 9, 8), 16, 10) as bigint))").alias("__hi"),
+    )
+    bits = []
+    for b in range(64):
+        arr, shift = ("__lo", b) if b < 32 else ("__hi", b - 32)
+        vote = f"aggregate({arr}, 0, (acc, x) -> acc + if((shiftrightunsigned(x, {shift}) & 1) = 1, 1, -1))"
+        bits.append(f"if({vote} > 0, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))")
+    return lanes.select(F.col(id_col), F.expr("+".join(bits)).alias("sig"))
+
+
 def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Attach the full text-analysis column family to a documents table.
 
