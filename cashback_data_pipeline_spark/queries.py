@@ -48,7 +48,7 @@ def q6(col) -> F.Column:
 
 
 def dsum2(col) -> F.Column:
-    """Order-independent money sum → DECIMAL(18,2).
+    """Order-independent money sum → DOUBLE (2-dp exact value).
 
     ``round(sum(double), 2)`` is the round-1 driver trap twice over:
     double summation order differs across engines (and across Spark's own
@@ -56,8 +56,16 @@ def dsum2(col) -> F.Column:
     boundaries (``shipping_priority``, CORRECTNESS_r01). Quantize each
     term to 6 dp (deterministic), sum exactly as DECIMAL(28,6)
     (associative — any shuffle/AQE re-plan gives the same sum), round the
-    exact decimal half-up to 2 dp. SQL twin: ``sql_dsum2``."""
-    return F.round(F.sum(q6(col).cast("decimal(28,6)")), 2).cast("decimal(18,2)")
+    exact decimal half-up to 2 dp, then cast the 2-dp-exact decimal to
+    DOUBLE (IEEE nearest — deterministic and identical on both engines).
+
+    The final cast is load-bearing: the round-2 driver gate
+    (CORRECTNESS_r02) hash-failed EVERY query exposing a DECIMAL output
+    column while passing every int/string/date/double one — the driver's
+    canonicalization of Decimal cells differs from DuckDB's fetch path.
+    Driver-checked queries must never expose DECIMAL (or FLOAT) columns;
+    tools/check_correctness.py now polices this. SQL twin: ``sql_dsum2``."""
+    return F.round(F.sum(q6(col).cast("decimal(28,6)")), 2).cast("double")
 
 
 def dmean(col, dp: int = 2) -> F.Column:
@@ -75,8 +83,9 @@ def dwsum2(col, w) -> F.Column:
     """``dsum2`` over a window frame (running/trailing sums): exact
     decimal accumulation makes the frame sum independent of the engine's
     evaluation strategy (DuckDB's segment tree vs Spark's running state).
-    SQL twin: ``sql_dwsum2``."""
-    return F.round(F.sum(q6(col).cast("decimal(28,6)")).over(w), 2).cast("decimal(18,2)")
+    Final cast to DOUBLE for the same driver-canonicalization reason as
+    ``dsum2``. SQL twin: ``sql_dwsum2``."""
+    return F.round(F.sum(q6(col).cast("decimal(28,6)")).over(w), 2).cast("double")
 
 
 def sql_q6(expr: str) -> str:
@@ -85,8 +94,9 @@ def sql_q6(expr: str) -> str:
 
 def sql_dsum2(expr: str) -> str:
     """DuckDB twin of ``dsum2`` (DuckDB decimal ``round`` is half-away-
-    from-zero = Java HALF_UP on exact decimals)."""
-    return f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))), 2) AS DECIMAL(18,2))"
+    from-zero = Java HALF_UP on exact decimals; final CAST AS DOUBLE is
+    the same IEEE-nearest conversion Spark applies)."""
+    return f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))), 2) AS DOUBLE)"
 
 
 def sql_dmean(expr: str, dp: int = 2) -> str:
@@ -100,7 +110,7 @@ def sql_dmean(expr: str, dp: int = 2) -> str:
 def sql_dwsum2(expr: str, over: str) -> str:
     return (
         f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))) OVER {over}, 2)"
-        f" AS DECIMAL(18,2))"
+        f" AS DOUBLE)"
     )
 
 
@@ -677,22 +687,139 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_near_dups")  # xxhash64-based — not SQL-expressible, rows-only check
+def _minhash_md5_oracle(n: int, threshold: float, num_hashes: int = 64, bands: int = 16) -> str:
+    """DuckDB twin of ``dedup.minhash_near_dups(hash_family='md5')``:
+    md5-lane signatures → band keys → candidate self-join → exact
+    set-Jaccard verify, reproducing the Spark pipeline value-for-value.
+
+    Lane k (= seed*4 + lane) is ``min over shingles of`` the unsigned
+    32-bit integer at hex offset ``1+8*lane`` of ``md5('{seed}:'||w)`` —
+    Spark computes the identical value as
+    ``conv(substr(md5(concat('{seed}:',w)),off,8),16,10)``
+    (dedup._md5_lane_sql; equivalence pinned in tests/test_dedup.py).
+    Band ``b``'s key is the comma-join of lanes 4b..4b+3, exactly the
+    md5-family band key in dedup.minhash_lsh_candidates."""
+    n_seeds = (num_hashes + 3) // 4
+    rows_per_band = num_hashes // bands
+    assert rows_per_band == 4 and bands == n_seeds, "oracle assumes 4 lanes/band = 1 seed/band"
+    if n == 1:
+        sh = "t"
+    else:
+        els = ", ".join(f"t[i+{j}]" for j in range(n))
+        sh = (
+            f"list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1),"
+            f" i -> concat_ws(chr(31), {els}))"
+        )
+    mins = ",\n           ".join(
+        f"min(CAST(('0x' || substr(md5('{seed}:' || w), {1 + 8 * lane}, 8)) AS BIGINT)) AS m{seed * 4 + lane}"
+        for seed in range(n_seeds)
+        for lane in range(4)
+    )
+    bhs = ", ".join(
+        " || ',' || ".join(f"m{b * 4 + lane}" for lane in range(4)) for b in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT id, w FROM (
+        SELECT id, unnest({sh}) AS w
+        FROM (SELECT doc_id AS id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL)
+      ) u
+    ), hs AS (
+      SELECT id,
+           {mins}
+      FROM tok GROUP BY id
+    ), bands AS (
+      SELECT id, i AS band, bhs[i + 1] AS bh
+      FROM (SELECT id, [{bhs}] AS bhs FROM hs), range(0, {bands}) r(i)
+    ), cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN tok ta ON ta.id = c.id_a
+      JOIN tok tb ON tb.id = c.id_b AND tb.w = ta.w
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a AS id_a, i.id_b AS id_b,
+           CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {threshold}
+    """
+
+
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of ``dedup.simhash_near_dups(hash_family='md5')``:
+    per-shingle md5 lanes (lo = hex chars 1-8, hi = 9-16) → per-bit ±1
+    majority votes over ALL shingles (bag, not set — parity with the
+    Spark ``aggregate`` fold) → 64-bit signature → pigeonhole block join
+    (``max_hamming+1`` 16-bit blocks) → exact popcount verify.
+
+    Bit 63's weight would overflow DuckDB's checked ``1<<63``, so it is
+    the BIGINT minimum literal (same two's-complement bit)."""
+    nblocks = max_hamming + 1
+    bits = 64 // nblocks
+    terms = []
+    for b in range(64):
+        lane, shift = ("lo", b) if b < 32 else ("hi", b - 32)
+        weight = f"CAST(1 AS BIGINT) << {b}" if b < 63 else "CAST(-9223372036854775807 - 1 AS BIGINT)"
+        terms.append(
+            f"CASE WHEN sum(CASE WHEN ({lane} >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {weight} ELSE CAST(0 AS BIGINT) END"
+        )
+    sig_expr = "\n         + ".join(terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), lanes AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS lo,
+             CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS hi
+      FROM tok
+    ), sig AS (
+      SELECT id,
+           {sig_expr} AS sig
+      FROM lanes GROUP BY id
+    ), blocks AS (
+      SELECT id, sig, i AS blk, (sig >> (i * {bits})) & {(1 << bits) - 1} AS bv
+      FROM sig, range(0, {nblocks}) r(i)
+    ), cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+      FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.bv = r.bv AND l.id < r.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@query("minhash_lsh_near_dups", sql=_minhash_md5_oracle(n=1, threshold=0.9))
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (north-star scale path): 64-hash signatures,
     16-band bucket join, exact set-Jaccard verification of candidates only
-    (operators.dedup.minhash_near_dups). Tested against the exact
-    inverted-index result in tests/test_dedup.py."""
+    (operators.dedup.minhash_near_dups). The PORTABLE md5 hash family
+    makes the whole pipeline oracle-checkable end to end (xxhash64, the
+    ~2× cheaper default family, has no DuckDB twin); also tested against
+    the exact inverted-index result in tests/test_dedup.py."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.minhash_near_dups(docs, threshold=0.9, num_hashes=64, bands=16, n=1)
+    return dedup.minhash_near_dups(
+        docs, threshold=0.9, num_hashes=64, bands=16, n=1, hash_family="md5"
+    )
 
 
-@query("simhash_near_dups")  # xxhash64-based — rows-only check
+@query("simhash_near_dups", sql=_simhash_md5_oracle(max_hamming=3))
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (north-star): 64-bit signatures, Hamming-block
-    candidate join + popcount verification (operators.dedup.simhash_near_dups)."""
+    candidate join + popcount verification (operators.dedup.simhash_near_dups),
+    on the portable md5 hash family so the DuckDB oracle reproduces the
+    signatures (and every candidate/verdict) exactly."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=3, shingle=1)
+    return dedup.simhash_near_dups(docs, max_hamming=3, shingle=1, hash_family="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -825,29 +952,36 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(l_extendedprice) AS abs_price,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
-           sqrt(l_extendedprice) AS price_sqrt,
-           CAST(ln(l_extendedprice) AS REAL) AS price_ln,
+           CAST(floor(sqrt(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS price_sqrt_e4,
+           CAST(floor(ln(l_extendedprice) * 10000 + 0.5) AS BIGINT) AS price_ln_e4,
            l_orderkey % 7 AS key_mod,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
     FROM lineitem
     """,
 )
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math builtin surface: abs/ceil/floor/sqrt/ln/mod/sign (E1/E7/E11
-    family). sqrt is IEEE correctly-rounded → hashable unrounded; ln is
-    NOT (JVM Math.log vs libm differ in the last ulp — round-1 driver
-    failure), so it is cast to float32 on both sides."""
+    family).
+
+    Every COMPUTED float column is emitted as a scaled BIGINT
+    (``floor(f(x)*1e4+0.5)``) and sign as INT: integers survive any
+    driver-side canonicalization, whereas a raw ``ln`` double diverges in
+    the last ulp between JVM Math.log and libm (round-1 driver failure)
+    and a float32 re-cast still flipped bits at rounding midpoints
+    (round-2 driver failure). abs() of a raw parquet double is an exact
+    sign-bit op and stays double."""
     li = read_testdata(spark, sf_dir, "lineitem")
+    e4 = lambda c: F.floor(c * 10_000 + 0.5).cast("bigint")  # noqa: E731
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs("l_extendedprice").alias("abs_price"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.log(F.col("l_extendedprice")).cast("float").alias("price_ln"),
+        e4(F.sqrt("l_extendedprice")).alias("price_sqrt_e4"),
+        e4(F.log(F.col("l_extendedprice"))).alias("price_ln_e4"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
     )
 
 
@@ -1046,14 +1180,17 @@ def embedding_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"))
 
 
-@query("minhash_trigram_near_dups")  # xxhash64-based — rows-only
+@query("minhash_trigram_near_dups", sql=_minhash_md5_oracle(n=3, threshold=0.8))
 def minhash_trigram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash over TRIGRAM shingles — the production configuration for
     prose: trigram sets are discriminative (unigram sets saturate on small
     vocabularies), so candidates ≈ true near-dups and the verify join
-    stays tiny even on self-similar corpora."""
+    stays tiny even on self-similar corpora. md5 hash family — the DuckDB
+    oracle reproduces signatures, bands, candidates, and verdicts."""
     docs = read_testdata(spark, sf_dir, "documents")
-    return dedup.minhash_near_dups(docs, threshold=0.8, num_hashes=64, bands=16, n=3)
+    return dedup.minhash_near_dups(
+        docs, threshold=0.8, num_hashes=64, bands=16, n=3, hash_family="md5"
+    )
 
 
 @query("ann_topk_batch")  # numpy kernel — rows-only (matches brute_force_topk per tests)
@@ -1208,9 +1345,9 @@ def sql_api_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles",
     sql="""
     SELECT event_type,
-           CAST(quantile_cont(value, 0.5) AS REAL) AS p50,
-           CAST(quantile_cont(value, 0.9) AS REAL) AS p90,
-           CAST(quantile_cont(value, 0.99) AS REAL) AS p99
+           CAST(floor(quantile_cont(value, 0.5) * 10000 + 0.5) AS BIGINT) AS p50_e4,
+           CAST(floor(quantile_cont(value, 0.9) * 10000 + 0.5) AS BIGINT) AS p90_e4,
+           CAST(floor(quantile_cont(value, 0.99) * 10000 + 0.5) AS BIGINT) AS p99_e4
     FROM events
     GROUP BY event_type
     """,
@@ -1219,15 +1356,17 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile`` ≙
     DuckDB ``quantile_cont``). At 100 TB swap to ``percentile_approx``
     (t-digest sketch, mergeable map-side) — kept exact here so the oracle
-    can hash-match. Results are cast to float32 on both sides: the two
-    engines' interpolation arithmetic can differ in the last double ulp,
-    which float32 rounding absorbs (round() would instead flip at .005
-    boundaries — the round-1 driver trap)."""
+    can hash-match. Results are emitted as scaled BIGINTs
+    (``floor(p*1e4+0.5)``): the two engines' interpolation arithmetic can
+    differ in the last double ulp, and integers are immune to any
+    driver-side float canonicalization (the round-2 lesson — no FLOAT or
+    DECIMAL output columns in driver-checked queries)."""
     events = read_testdata(spark, sf_dir, "events")
+    e4 = lambda c: F.floor(c * 10_000 + 0.5).cast("bigint")  # noqa: E731
     return events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").cast("float").alias("p50"),
-        F.expr("percentile(value, 0.9)").cast("float").alias("p90"),
-        F.expr("percentile(value, 0.99)").cast("float").alias("p99"),
+        e4(F.expr("percentile(value, 0.5)")).alias("p50_e4"),
+        e4(F.expr("percentile(value, 0.9)")).alias("p90_e4"),
+        e4(F.expr("percentile(value, 0.99)")).alias("p99_e4"),
     )
 
 
@@ -2384,8 +2523,8 @@ def attribution_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_totals",
     sql="""
     SELECT o_orderpriority,
-           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS total_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2))) * 100
+                AS BIGINT) AS total_cents
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -2394,15 +2533,17 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 2 dp (r2 — avoids the double→decimal .005-boundary rounding-mode
     trap), cast to DECIMAL(18,2), THEN aggregate. Decimal sums are exact
     and accumulation-order-independent, so the result needs no rounding
-    convention at all and matches the oracle bit-for-bit — the property
-    float money loses at 100 TB partial-aggregation fan-in."""
+    convention at all — the property float money loses at 100 TB
+    partial-aggregation fan-in. The OUTPUT is exact integer cents
+    (BIGINT): driver-checked queries never expose DECIMAL columns
+    (the round-2 canonicalization lesson), and cents lose nothing."""
     orders = read_testdata(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.sum(r2(F.col("o_totalprice")).cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("total_price")
+            (F.sum(r2(F.col("o_totalprice")).cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("total_cents")
         )
     )
 

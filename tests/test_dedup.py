@@ -153,3 +153,39 @@ def test_length_block_validates_threshold(spark):
 
     with _pt.raises(ValueError, match="length_block"):
         dedup.ngram_jaccard_pairs(df, threshold=1.0, length_block=True).collect()
+
+
+def test_md5_lanes_match_duckdb(spark):
+    """Spark's conv(substr(md5(...)),16,10) lanes must equal DuckDB's
+    CAST('0x'||substr(md5(...),off,8) AS BIGINT) — the cross-engine seam
+    every md5-family LSH oracle rests on (dedup._md5_lane_sql)."""
+    import duckdb
+
+    words = ["hello", "", "a b", "ünïcödé", "0", "x" * 100]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    exprs = [
+        F.expr(dedup._md5_lane_sql(seed, lane)).alias(f"s{seed}l{lane}")
+        for seed in (0, 3, 15)
+        for lane in range(4)
+    ]
+    got = {r["w"]: [r[f"s{s}l{l}"] for s in (0, 3, 15) for l in range(4)]
+           for r in df.select("w", *exprs).collect()}
+    con = duckdb.connect()
+    for w in words:
+        expected = [
+            con.execute(
+                "SELECT CAST(('0x' || substr(md5(? || ?), ?, 8)) AS BIGINT)",
+                [f"{seed}:", w, 1 + 8 * lane],
+            ).fetchone()[0]
+            for seed in (0, 3, 15)
+            for lane in range(4)
+        ]
+        assert got[w] == expected, f"lane mismatch for {w!r}"
+
+
+def test_md5_family_near_dups_finds_dups(spark, docs_with_dups):
+    pairs = dedup.minhash_near_dups(
+        docs_with_dups, threshold=0.8, num_hashes=64, bands=16, hash_family="md5"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and not any(4 in p for p in got)
