@@ -253,44 +253,121 @@ def embedding_pairs_fast(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    small_input: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold via blocked GEMM: normalize the
-    (collected, broadcast) corpus matrix once, then each partition
-    matmuls its block against it and emits only pairs over threshold
-    with id_a < id_b.
+    """EXACT all-pairs with cosine ≥ threshold via DISTRIBUTED blocked
+    GEMM: vectors are hashed into ``n_blocks`` blocks, every unordered
+    block pair (bi ≤ bj) becomes one task, and each task matmuls its two
+    normalized block matrices and emits only pairs over threshold with
+    id_a < id_b. No corpus materialization anywhere: executor memory per
+    task is two blocks (~2·N/n_blocks·dim doubles), shuffle volume is
+    ~n_blocks× the vector data — both tunable via ``n_blocks``, so the
+    operator survives corpora whose full matrix fits on NO single node.
+    The O(N²/n_blocks²)-per-task compute is inherent to exact all-pairs;
+    for sub-quadratic candidate generation use hyperplane_lsh_buckets and
+    verify within buckets (recall < 1).
 
-    ~100× the throughput of per-pair expression cosine (numpy SIMD vs
-    interpreted higher-order functions). Results match the exact
-    expression operator up to summation order (|Δcos| ≲ 1e-15 — see
-    tests/test_similarity.py). For corpora whose matrix exceeds driver
-    memory, LSH-bucket first (hyperplane_lsh_buckets) and run this
-    per bucket."""
+    ~100× the per-pair throughput of expression cosine (numpy SIMD vs
+    interpreted higher-order functions); same pair set as the exact
+    expression operator, cos equal up to GEMM summation order
+    (|Δcos| ≲ 1e-15 — pinned in tests/test_similarity.py).
+
+    ``small_input=True`` keeps the legacy single-broadcast path (corpus
+    collected to the driver once, each partition scored against it) —
+    ONLY for inputs known to fit in driver memory; it saves the
+    block-replication shuffle but is a driver OOM at corpus scale."""
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    if not rows:
-        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos double")
-    ids = np.array([r[0] for r in rows])
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bq = df.sparkSession.sparkContext.broadcast((ids, mat))
+    spark = df.sparkSession
 
-    def kernel(batches):
-        all_ids, all_mat = bq.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            bids = pdf[id_col].to_numpy()
-            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
-            sims = bmat @ all_mat.T
-            bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": bids[bi], "id_b": all_ids[aj], "cos": sims[bi, aj]}
-            )
+    if small_input:
+        rows = df.select(id_col, vec_col).collect()
+        if not rows:
+            return spark.createDataFrame([], "id_a long, id_b long, cos double")
+        ids = np.array([r[0] for r in rows])
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        bq = spark.sparkContext.broadcast((ids, mat))
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema="id_a long, id_b long, cos double")
+        def kernel(batches):
+            all_ids, all_mat = bq.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bids = pdf[id_col].to_numpy()
+                bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                bmat /= np.linalg.norm(bmat, axis=1, keepdims=True)
+                sims = bmat @ all_mat.T
+                bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": bids[bi], "id_b": all_ids[aj], "cos": sims[bi, aj]}
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(
+            kernel, schema="id_a long, id_b long, cos double"
+        )
+
+    import math
+
+    if n_blocks is None:
+        # enough block pairs (B(B+1)/2) to feed every core
+        n_blocks = max(2, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    # each vector joins every block pair its block participates in —
+    # side L for pairs (b, *), side R for pairs (*, b); the (b, b)
+    # diagonal keeps only side L and compares the block to itself
+    left = vecs.join(F.broadcast(pairs), F.col("b") == F.col("bi")).select(
+        "bi", "bj", F.lit("L").alias("side"), "id", "v"
+    )
+    right = vecs.join(
+        F.broadcast(pairs), (F.col("b") == F.col("bj")) & (F.col("bi") != F.col("bj"))
+    ).select("bi", "bj", F.lit("R").alias("side"), "id", "v")
+    tagged = left.unionByName(right)
+
+    def block_pair_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        lmask = pdf["side"].to_numpy() == "L"
+        lids = pdf["id"].to_numpy()[lmask]
+        if len(lids) == 0:
+            return empty
+        lmat = np.array(list(pdf["v"][lmask]), dtype=np.float64)
+        lmat /= np.linalg.norm(lmat, axis=1, keepdims=True)
+        diagonal = lmask.all()  # (b, b) block: self-comparison
+        if diagonal:
+            rids, rmat = lids, lmat
+        else:
+            rids = pdf["id"].to_numpy()[~lmask]
+            rmat = np.array(list(pdf["v"][~lmask]), dtype=np.float64)
+            rmat /= np.linalg.norm(rmat, axis=1, keepdims=True)
+        if len(rids) == 0:
+            return empty
+        sims = lmat @ rmat.T
+        hot = sims >= threshold
+        # emit each qualifying pair once, oriented (min_id, max_id). On
+        # the diagonal both orientations of a pair are present in `sims`,
+        # so `<` alone covers everything; off-diagonal the blocks are
+        # disjoint and the pair appears once, in whichever orientation.
+        li, rj = np.nonzero(hot & (lids[:, None] < rids[None, :]))
+        id_a, id_b, cos = lids[li], rids[rj], sims[li, rj]
+        if not diagonal:
+            li2, rj2 = np.nonzero(hot & (lids[:, None] > rids[None, :]))
+            id_a = np.concatenate([id_a, rids[rj2]])
+            id_b = np.concatenate([id_b, lids[li2]])
+            cos = np.concatenate([cos, sims[li2, rj2]])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": cos})
+
+    scored = tagged.groupBy("bi", "bj").applyInPandas(
+        block_pair_gemm, schema="id_a long, id_b long, cos double"
+    )
+    return scored
 
 
 def ivf_build_index(
