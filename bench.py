@@ -17,6 +17,14 @@ import re
 import sys
 import time
 
+# One BLAS thread per Arrow worker: local[32] already runs 32 Python
+# workers for the numpy-kernel queries, and an unpinned OpenBLAS would
+# spawn its own thread pool in EACH (32×N threads of oversubscription —
+# measured as multi-second noise across the whole bench). Must be set
+# before the JVM (and therefore any forked worker) starts.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cashback_data_pipeline_spark.session import get_spark  # noqa: E402

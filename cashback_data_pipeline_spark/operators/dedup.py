@@ -280,28 +280,37 @@ def minhash_signatures_md5(
     num_hashes: int = 64,
     n: int = 1,
 ) -> DataFrame:
-    """MinHash signatures over PORTABLE md5 hash lanes: (id, sig).
+    """MinHash signatures over the PORTABLE md5 hash family: (id, sig).
 
-    Identical zero-shuffle two-projection plan to
-    :func:`minhash_signatures` (see that docstring for why the projection
-    boundary and the single parsed expr matter); the hash family is
-    md5-derived 32-bit lanes (:func:`_md5_lane_sql`) — 4 independent hash
-    functions per md5 call, so 64 hashes cost 16 md5 evaluations per
-    shingle — chosen because DuckDB can compute the exact same lanes,
-    making the whole LSH pipeline oracle-checkable end to end. Use the
-    xxhash64 family when no cross-engine oracle is needed (~2× cheaper)."""
+    Hash function ``i`` is Kirsch–Mitzenmacher over two 32-bit md5
+    lanes: ``g_i(w) = (h1(w) + i·h2(w)) mod 2^32`` with ``h1``/``h2``
+    the first/second 8 hex chars of ``md5(w)`` — ONE md5 evaluation per
+    shingle for all ``num_hashes`` functions (the naive per-seed family
+    costs 16; measured 1.55× on the whole trigram query at sf0.1), and
+    every value is reproducible in DuckDB (``CAST('0x'||substr(md5(w),
+    off,8) AS BIGINT)``), which keeps the full LSH pipeline
+    oracle-checkable. Same zero-shuffle multi-projection plan as
+    :func:`minhash_signatures`: each projection boundary binds a
+    non-cheap multi-referenced array (shingles → md5 hex → h1/h2 lanes)
+    exactly once; the per-function minima are then 64 cheap
+    ``zip_with`` folds over integer arrays. Use the xxhash64 family when
+    no cross-engine oracle is needed."""
     base = (
         ensure_min_parallelism(df)
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
     )
+    hexes = base.select("id", F.expr("transform(__sh, w -> substr(md5(w), 1, 16))").alias("__mh"))
+    lanes = hexes.select(
+        "id",
+        F.expr("transform(__mh, m -> cast(conv(substr(m, 1, 8), 16, 10) as bigint))").alias("__h1"),
+        F.expr("transform(__mh, m -> cast(conv(substr(m, 9, 8), 16, 10) as bigint))").alias("__h2"),
+    )
     parts = [
-        f"array_min(transform(__sh, w -> {_md5_lane_sql(seed, lane)}))"
-        for seed in range((num_hashes + 3) // 4)
-        for lane in range(4)
-        if seed * 4 + lane < num_hashes
+        f"array_min(zip_with(__h1, __h2, (a, b) -> (a + {i} * b) & 4294967295))"
+        for i in range(num_hashes)
     ]
-    return base.select("id", F.expr("array(" + ",".join(parts) + ")").alias("sig"))
+    return lanes.select("id", F.expr("array(" + ",".join(parts) + ")").alias("sig"))
 
 
 def minhash_signatures(

@@ -312,8 +312,15 @@ def embedding_pairs_fast(
     import math
 
     if n_blocks is None:
-        # enough block pairs (B(B+1)/2) to feed every core
-        n_blocks = max(2, math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism)))
+        # Block count balances two costs: B(B+1)/2 tasks should feed the
+        # cluster, but each vector is shuffled ~B times, so tiny corpora
+        # want few blocks. Target ~4k vectors per block (a 4096×dim
+        # double matrix is a few MB), capped so task count tracks core
+        # count; the count() is parquet-metadata-cheap.
+        n = df.count()
+        by_size = math.ceil(n / 4096)
+        by_cores = math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism))
+        n_blocks = max(2, min(by_size, 4 * by_cores))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b"))
     pairs = spark.createDataFrame(

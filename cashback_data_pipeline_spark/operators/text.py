@@ -209,10 +209,14 @@ def simhash_signatures_md5(
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), shingles(text_col, shingle).alias("__sh"))
     )
-    lanes = base.select(
+    # bind the md5 hex ONCE per shingle (its own projection boundary —
+    # CollapseProject keeps the non-cheap multi-referenced array), then
+    # derive both 32-bit lanes from it: one md5 evaluation, not two
+    hexes = base.select(F.col(id_col), F.expr("transform(__sh, w -> substr(md5(w), 1, 16))").alias("__mh"))
+    lanes = hexes.select(
         F.col(id_col),
-        F.expr("transform(__sh, w -> cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint))").alias("__lo"),
-        F.expr("transform(__sh, w -> cast(conv(substr(md5(w), 9, 8), 16, 10) as bigint))").alias("__hi"),
+        F.expr("transform(__mh, m -> cast(conv(substr(m, 1, 8), 16, 10) as bigint))").alias("__lo"),
+        F.expr("transform(__mh, m -> cast(conv(substr(m, 9, 8), 16, 10) as bigint))").alias("__hi"),
     )
     bits = []
     for b in range(64):

@@ -53,29 +53,35 @@ def dsum2(col) -> F.Column:
     ``round(sum(double), 2)`` is the round-1 driver trap twice over:
     double summation order differs across engines (and across Spark's own
     partial-agg fan-in), and Spark/DuckDB ``round`` disagree at .005
-    boundaries (``shipping_priority``, CORRECTNESS_r01). Quantize each
-    term to 6 dp (deterministic), sum exactly as DECIMAL(28,6)
-    (associative — any shuffle/AQE re-plan gives the same sum), round the
-    exact decimal half-up to 2 dp, then cast the 2-dp-exact decimal to
-    DOUBLE (IEEE nearest — deterministic and identical on both engines).
+    boundaries (``shipping_priority``, CORRECTNESS_r01). So: quantize
+    each term to 6 dp and accumulate as a SCALED INT64 (micro-units) —
+    exact, associative (any shuffle/AQE re-plan gives the same sum), and
+    codegen-fast where a DECIMAL(28,6) accumulator measured ~2× slower
+    (BENCH_r02 rollup/pricing regressions). The final value is the same
+    IEEE op sequence on both engines: int sum → double → /1e4 → +0.5 →
+    floor → /100.
 
-    The final cast is load-bearing: the round-2 driver gate
-    (CORRECTNESS_r02) hash-failed EVERY query exposing a DECIMAL output
-    column while passing every int/string/date/double one — the driver's
-    canonicalization of Decimal cells differs from DuckDB's fetch path.
-    Driver-checked queries must never expose DECIMAL (or FLOAT) columns;
-    tools/check_correctness.py now polices this. SQL twin: ``sql_dsum2``."""
-    return F.round(F.sum(q6(col).cast("decimal(28,6)")), 2).cast("double")
+    Output type is load-bearing: the round-2 driver gate hash-failed
+    EVERY query exposing a DECIMAL output column (driver canonicalization
+    of Decimal cells differs from DuckDB's fetch path), so only DOUBLE /
+    int / string / date leave a checked query; tools/check_correctness.py
+    polices this. Overflow bound: ±9.2e18 micro-units ≈ 9.2e12 money
+    units per group — beyond any TPC-H-scale group sum; for unbounded
+    grand totals use an explicit DECIMAL aggregate (decimal_exact_totals
+    shows the pattern). SQL twin: ``sql_dsum2``."""
+    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).cast("double")
+    return F.floor(s / 10_000 + 0.5) / 100
 
 
 def dmean(col, dp: int = 2) -> F.Column:
     """Order-independent mean at ``dp`` decimals (double).
 
-    Exact DECIMAL sum of 6-dp-quantized terms, one double division by the
-    non-null count, floor-half-up quantize — each step deterministic on
-    both engines. SQL twin: ``sql_dmean``."""
+    Exact scaled-int64 sum of 6-dp-quantized terms (see ``dsum2``), two
+    double divisions (by 1e6, then by the non-null count), floor-half-up
+    quantize — each step deterministic and identical on both engines.
+    SQL twin: ``sql_dmean``."""
     s = 10**dp
-    m = F.sum(q6(col).cast("decimal(28,6)")).cast("double") / F.count(col)
+    m = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).cast("double") / 1_000_000 / F.count(col)
     return F.floor(m * s + 0.5) / s
 
 
@@ -83,9 +89,10 @@ def dwsum2(col, w) -> F.Column:
     """``dsum2`` over a window frame (running/trailing sums): exact
     decimal accumulation makes the frame sum independent of the engine's
     evaluation strategy (DuckDB's segment tree vs Spark's running state).
-    Final cast to DOUBLE for the same driver-canonicalization reason as
+    Scaled-int64 frame sums, DOUBLE output, for the same reasons as
     ``dsum2``. SQL twin: ``sql_dwsum2``."""
-    return F.round(F.sum(q6(col).cast("decimal(28,6)")).over(w), 2).cast("double")
+    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).over(w).cast("double")
+    return F.floor(s / 10_000 + 0.5) / 100
 
 
 def sql_q6(expr: str) -> str:
@@ -93,24 +100,24 @@ def sql_q6(expr: str) -> str:
 
 
 def sql_dsum2(expr: str) -> str:
-    """DuckDB twin of ``dsum2`` (DuckDB decimal ``round`` is half-away-
-    from-zero = Java HALF_UP on exact decimals; final CAST AS DOUBLE is
-    the same IEEE-nearest conversion Spark applies)."""
-    return f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))), 2) AS DOUBLE)"
+    """DuckDB twin of ``dsum2``: identical scaled-int64 accumulation and
+    the identical IEEE op sequence on the way out (DuckDB widens
+    sum(BIGINT) to HUGEINT — still exact — before the double cast)."""
+    return f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 + 0.5) / 100"
 
 
 def sql_dmean(expr: str, dp: int = 2) -> str:
     s = 10**dp
     return (
-        f"floor(CAST(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))) AS DOUBLE)"
-        f" / count({expr}) * {s} + 0.5) / {s}"
+        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000 / count({expr}) * {s} + 0.5) / {s}"
     )
 
 
 def sql_dwsum2(expr: str, over: str) -> str:
     return (
-        f"CAST(round(sum(CAST({sql_q6(expr)} AS DECIMAL(28,6))) OVER {over}, 2)"
-        f" AS DOUBLE)"
+        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) OVER {over}"
+        f" AS DOUBLE) / 10000 + 0.5) / 100"
     )
 
 
@@ -692,16 +699,16 @@ def _minhash_md5_oracle(n: int, threshold: float, num_hashes: int = 64, bands: i
     md5-lane signatures → band keys → candidate self-join → exact
     set-Jaccard verify, reproducing the Spark pipeline value-for-value.
 
-    Lane k (= seed*4 + lane) is ``min over shingles of`` the unsigned
-    32-bit integer at hex offset ``1+8*lane`` of ``md5('{seed}:'||w)`` —
-    Spark computes the identical value as
-    ``conv(substr(md5(concat('{seed}:',w)),off,8),16,10)``
-    (dedup._md5_lane_sql; equivalence pinned in tests/test_dedup.py).
-    Band ``b``'s key is the comma-join of lanes 4b..4b+3, exactly the
-    md5-family band key in dedup.minhash_lsh_candidates."""
-    n_seeds = (num_hashes + 3) // 4
+    Hash function ``i`` is Kirsch–Mitzenmacher over two md5 lanes —
+    ``(h1 + i·h2) mod 2^32`` with h1/h2 the first/second 8 hex chars of
+    ``md5(w)`` — exactly dedup.minhash_signatures_md5 (the Spark-side
+    hex→int seam ``conv(substr(md5(w),off,8),16,10)`` ≡ DuckDB
+    ``CAST('0x'||substr(md5(w),off,8) AS BIGINT)`` is pinned in
+    tests/test_dedup.py). Band ``b``'s key is the comma-join of minima
+    4b..4b+3, exactly the md5-family band key in
+    dedup.minhash_lsh_candidates."""
     rows_per_band = num_hashes // bands
-    assert rows_per_band == 4 and bands == n_seeds, "oracle assumes 4 lanes/band = 1 seed/band"
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     if n == 1:
         sh = "t"
     else:
@@ -711,12 +718,11 @@ def _minhash_md5_oracle(n: int, threshold: float, num_hashes: int = 64, bands: i
             f" i -> concat_ws(chr(31), {els}))"
         )
     mins = ",\n           ".join(
-        f"min(CAST(('0x' || substr(md5('{seed}:' || w), {1 + 8 * lane}, 8)) AS BIGINT)) AS m{seed * 4 + lane}"
-        for seed in range(n_seeds)
-        for lane in range(4)
+        f"min((h1 + {i} * h2) & 4294967295) AS m{i}" for i in range(num_hashes)
     )
     bhs = ", ".join(
-        " || ',' || ".join(f"m{b * 4 + lane}" for lane in range(4)) for b in range(bands)
+        " || ',' || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        for b in range(bands)
     )
     return f"""
     WITH tok AS (
@@ -725,10 +731,15 @@ def _minhash_md5_oracle(n: int, threshold: float, num_hashes: int = 64, bands: i
         FROM (SELECT doc_id AS id, string_split(text, ' ') AS t
               FROM documents WHERE text IS NOT NULL)
       ) u
+    ), lanes AS (
+      SELECT id, w,
+             CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS h2
+      FROM tok
     ), hs AS (
       SELECT id,
            {mins}
-      FROM tok GROUP BY id
+      FROM lanes GROUP BY id
     ), bands AS (
       SELECT id, i AS band, bhs[i + 1] AS bh
       FROM (SELECT id, [{bhs}] AS bhs FROM hs), range(0, {bands}) r(i)

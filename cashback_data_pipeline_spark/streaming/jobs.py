@@ -54,18 +54,19 @@ def windowed_counts_stream(
     """Tumbling-window counts/sums with a watermark: late rows within
     ``watermark`` still update their window; older state is evicted.
     Same output shape as the batch ``windowed_event_counts`` query."""
-    # Exact decimal accumulation (quantize 6 dp → DECIMAL(28,6) → round 2):
-    # micro-batch arrival order must not change the emitted sum, and the
-    # result hashes identically to the batch twin / DuckDB oracle. The
-    # FINAL value is cast to DOUBLE — emitted DECIMAL columns hash-fail
-    # the driver gate's canonicalization (round-2 lesson; queries.dsum2).
-    val_d = (F.floor(F.col("value") * 1_000_000 + 0.5) / 1_000_000).cast("decimal(28,6)")
+    # Exact scaled-int64 accumulation (quantize 6 dp → micro-unit BIGINT
+    # sum): micro-batch arrival order must not change the emitted sum,
+    # and the result hashes identically to the batch twin / DuckDB
+    # oracle (same formula as queries.dsum2 — int sum → double → /1e4 →
+    # +0.5 → floor → /100; DECIMAL output would hash-fail the driver
+    # gate's canonicalization, and a double sum would depend on order).
+    micro = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(val_d), 2).cast("double").alias("sum_value"),
+            (F.floor(F.sum(micro).cast("double") / 10_000 + 0.5) / 100).alias("sum_value"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
     )

@@ -161,7 +161,8 @@ def test_approx_sketch_accuracy(spark, sf_dir):
 
     approx = {r["event_type"]: r for r in approx_sketches(spark, sf_dir).collect()}
     exact_d = {r["event_type"]: r["n_users"] for r in distinct_agg(spark, sf_dir).collect()}
-    exact_p = {r["event_type"]: r["p50"] for r in value_percentiles(spark, sf_dir).collect()}
+    # value_percentiles emits scaled BIGINTs (p50_e4 = floor(p50*1e4+0.5))
+    exact_p = {r["event_type"]: r["p50_e4"] / 1e4 for r in value_percentiles(spark, sf_dir).collect()}
     for et, row in approx.items():
         assert abs(row["approx_users"] - exact_d[et]) <= max(2, 0.05 * exact_d[et])
         assert abs(row["approx_p50"] - exact_p[et]) <= max(1.0, 0.05 * abs(exact_p[et]))
