@@ -263,14 +263,17 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 1) -> Co
     return F.array(*mins)
 
 
-def _md5_lane_sql(seed: int, lane: int, var: str = "w") -> str:
-    """Portable 32-bit hash lane ``lane`` (0-3) of ``md5('{seed}:' || w)``
-    as a Spark SQL fragment. The same value is computable in DuckDB as
-    ``CAST(('0x' || substr(md5(...), off, 8)) AS BIGINT)`` — the seam that
-    lets MinHash/SimHash signatures be reproduced by the SQL oracle
-    (xxhash64, the fast family, has no DuckDB twin)."""
+def md5_lane_sql(lane: int, var: str = "w") -> str:
+    """Portable 32-bit hash lane ``lane`` (0-1) of ``md5(w)`` as a Spark
+    SQL fragment — the cross-engine seam the md5 hash family rests on:
+    DuckDB computes the identical value as
+    ``CAST(('0x' || substr(md5(w), off, 8)) AS BIGINT)``. MinHash expands
+    the two lanes to 64 hash functions via Kirsch–Mitzenmacher
+    (:func:`minhash_signatures_md5`); SimHash uses them as the low/high
+    signature words (text.simhash_signatures_md5). Equivalence pinned in
+    tests/test_dedup.py::test_md5_lanes_match_duckdb."""
     off = 1 + 8 * lane
-    return f"cast(conv(substr(md5(concat('{seed}:', {var})), {off}, 8), 16, 10) as bigint)"
+    return f"cast(conv(substr(md5({var}), {off}, 8), 16, 10) as bigint)"
 
 
 def minhash_signatures_md5(

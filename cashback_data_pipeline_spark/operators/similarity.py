@@ -311,18 +311,26 @@ def embedding_pairs_fast(
 
     import math
 
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if n_blocks is None:
         # Block count balances two costs: B(B+1)/2 tasks should feed the
         # cluster, but each vector is shuffled ~B times, so tiny corpora
         # want few blocks. Target ~4k vectors per block (a 4096×dim
         # double matrix is a few MB), capped so task count tracks core
-        # count; the count() is parquet-metadata-cheap.
-        n = df.count()
+        # count. The sizing count() is a real job, and `vecs` also feeds
+        # both join sides below — persist so derived/filtered inputs
+        # (e.g. the per-LSH-bucket invocation) evaluate their upstream
+        # plan once, with the count doubling as the materializing action.
+        # Callers passing n_blocks explicitly skip both the job and the
+        # persist (their input re-evaluates per side — the right default
+        # for raw source scans, where recompute is cheaper than caching).
+        vecs = vecs.persist()
+        n = vecs.count()
         by_size = math.ceil(n / 4096)
         by_cores = math.ceil(math.sqrt(2 * spark.sparkContext.defaultParallelism))
         n_blocks = max(2, min(by_size, 4 * by_cores))
-    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("b"))
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    vecs = vecs.withColumn("b", blk)
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
@@ -343,19 +351,22 @@ def embedding_pairs_fast(
                               "cos": pd.Series(dtype="float64")})
         lmask = pdf["side"].to_numpy() == "L"
         lids = pdf["id"].to_numpy()[lmask]
-        if len(lids) == 0:
+        # diagonal = the (b, b) self-comparison group. Must key off the
+        # GROUP KEY, not data presence: an off-diagonal pair whose right
+        # block happens to be empty is all-L too, and treating it as a
+        # self-comparison would re-emit the left block's pairs once per
+        # such group (reproduced with 4 ids hashing to one block).
+        diagonal = bool(pdf["bi"].iloc[0] == pdf["bj"].iloc[0])
+        rids = lids if diagonal else pdf["id"].to_numpy()[~lmask]
+        if len(lids) == 0 or len(rids) == 0:
             return empty
         lmat = np.array(list(pdf["v"][lmask]), dtype=np.float64)
         lmat /= np.linalg.norm(lmat, axis=1, keepdims=True)
-        diagonal = lmask.all()  # (b, b) block: self-comparison
         if diagonal:
-            rids, rmat = lids, lmat
+            rmat = lmat
         else:
-            rids = pdf["id"].to_numpy()[~lmask]
             rmat = np.array(list(pdf["v"][~lmask]), dtype=np.float64)
             rmat /= np.linalg.norm(rmat, axis=1, keepdims=True)
-        if len(rids) == 0:
-            return empty
         sims = lmat @ rmat.T
         hot = sims >= threshold
         # emit each qualifying pair once, oriented (min_id, max_id). On

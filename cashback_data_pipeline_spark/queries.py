@@ -54,34 +54,36 @@ def dsum2(col) -> F.Column:
     double summation order differs across engines (and across Spark's own
     partial-agg fan-in), and Spark/DuckDB ``round`` disagree at .005
     boundaries (``shipping_priority``, CORRECTNESS_r01). So: quantize
-    each term to 6 dp and accumulate as a SCALED INT64 (micro-units) —
-    exact, associative (any shuffle/AQE re-plan gives the same sum), and
-    codegen-fast where a DECIMAL(28,6) accumulator measured ~2× slower
-    (BENCH_r02 rollup/pricing regressions). The final value is the same
-    IEEE op sequence on both engines: int sum → double → /1e4 → +0.5 →
-    floor → /100.
+    each term to 6 dp (micro-units) and accumulate as an INTEGER
+    DECIMAL(18,0), which Spark widens to DECIMAL(28,0) — exact,
+    associative (any shuffle/AQE re-plan gives the same sum),
+    codegen-cheap (integer decimal, no scale arithmetic — the fractional
+    DECIMAL(28,6) accumulator of BENCH_r02 was the 2.5× rollup/pricing
+    regression), and overflow-safe to 1e28 micro-units = 1e22 money
+    units, far past a 100 TB grand total (a raw BIGINT accumulator
+    silently wraps at 9.2e12 money units per group under non-ANSI mode —
+    inside TPC-H range at the scales this engine targets). The final
+    value is the same IEEE op sequence on both engines: exact int sum →
+    double → /1e4 → +0.5 → floor → /100.
 
     Output type is load-bearing: the round-2 driver gate hash-failed
     EVERY query exposing a DECIMAL output column (driver canonicalization
     of Decimal cells differs from DuckDB's fetch path), so only DOUBLE /
     int / string / date leave a checked query; tools/check_correctness.py
-    polices this. Overflow bound: ±9.2e18 micro-units ≈ 9.2e12 money
-    units per group — beyond any TPC-H-scale group sum; for unbounded
-    grand totals use an explicit DECIMAL aggregate (decimal_exact_totals
-    shows the pattern). SQL twin: ``sql_dsum2``."""
-    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).cast("double")
+    polices this. SQL twin: ``sql_dsum2``."""
+    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("decimal(18,0)")).cast("double")
     return F.floor(s / 10_000 + 0.5) / 100
 
 
 def dmean(col, dp: int = 2) -> F.Column:
     """Order-independent mean at ``dp`` decimals (double).
 
-    Exact scaled-int64 sum of 6-dp-quantized terms (see ``dsum2``), two
-    double divisions (by 1e6, then by the non-null count), floor-half-up
-    quantize — each step deterministic and identical on both engines.
-    SQL twin: ``sql_dmean``."""
+    Exact integer-decimal sum of 6-dp-quantized micro-unit terms (see
+    ``dsum2``), two double divisions (by 1e6, then by the non-null
+    count), floor-half-up quantize — each step deterministic and
+    identical on both engines. SQL twin: ``sql_dmean``."""
     s = 10**dp
-    m = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).cast("double") / 1_000_000 / F.count(col)
+    m = F.sum(F.floor(col * 1_000_000 + 0.5).cast("decimal(18,0)")).cast("double") / 1_000_000 / F.count(col)
     return F.floor(m * s + 0.5) / s
 
 
@@ -89,9 +91,9 @@ def dwsum2(col, w) -> F.Column:
     """``dsum2`` over a window frame (running/trailing sums): exact
     decimal accumulation makes the frame sum independent of the engine's
     evaluation strategy (DuckDB's segment tree vs Spark's running state).
-    Scaled-int64 frame sums, DOUBLE output, for the same reasons as
-    ``dsum2``. SQL twin: ``sql_dwsum2``."""
-    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("bigint")).over(w).cast("double")
+    Integer-decimal micro-unit frame sums, DOUBLE output, for the same
+    reasons as ``dsum2``. SQL twin: ``sql_dwsum2``."""
+    s = F.sum(F.floor(col * 1_000_000 + 0.5).cast("decimal(18,0)")).over(w).cast("double")
     return F.floor(s / 10_000 + 0.5) / 100
 
 
@@ -100,23 +102,26 @@ def sql_q6(expr: str) -> str:
 
 
 def sql_dsum2(expr: str) -> str:
-    """DuckDB twin of ``dsum2``: identical scaled-int64 accumulation and
-    the identical IEEE op sequence on the way out (DuckDB widens
-    sum(BIGINT) to HUGEINT — still exact — before the double cast)."""
-    return f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 + 0.5) / 100"
+    """DuckDB twin of ``dsum2``: identical exact micro-unit accumulation
+    (DuckDB widens sum(DECIMAL(18,0)) to DECIMAL(38,0) — still exact)
+    and the identical IEEE op sequence on the way out."""
+    return (
+        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)"
+        f" / 10000 + 0.5) / 100"
+    )
 
 
 def sql_dmean(expr: str, dp: int = 2) -> str:
     s = 10**dp
     return (
-        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)"
         f" / 1000000 / count({expr}) * {s} + 0.5) / {s}"
     )
 
 
 def sql_dwsum2(expr: str, over: str) -> str:
     return (
-        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) OVER {over}"
+        f"floor(CAST(sum(CAST(floor(({expr}) * 1000000 + 0.5) AS DECIMAL(18,0))) OVER {over}"
         f" AS DOUBLE) / 10000 + 0.5) / 100"
     )
 
@@ -2886,7 +2891,14 @@ def _apply_window_swaps() -> None:
     names = list(QUERIES)
     for out_name, in_name in _WINDOW_SWAPS:
         i, j = names.index(out_name), names.index(in_name)
+        # self-checking curation: each swap must actually cross the
+        # window edge, else a registration added above slot 50 has
+        # shifted the indices and this list needs re-deriving
+        assert i < 50 <= j, f"window swap ({out_name},{in_name}) no longer crosses slot 50: {i},{j}"
         names[i], names[j] = names[j], names[i]
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"driver window contains oracle-less queries: {missing}"
     reordered = {n: QUERIES[n] for n in names}
     QUERIES.clear()
     QUERIES.update(reordered)

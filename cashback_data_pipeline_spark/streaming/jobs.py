@@ -54,13 +54,14 @@ def windowed_counts_stream(
     """Tumbling-window counts/sums with a watermark: late rows within
     ``watermark`` still update their window; older state is evicted.
     Same output shape as the batch ``windowed_event_counts`` query."""
-    # Exact scaled-int64 accumulation (quantize 6 dp → micro-unit BIGINT
-    # sum): micro-batch arrival order must not change the emitted sum,
-    # and the result hashes identically to the batch twin / DuckDB
-    # oracle (same formula as queries.dsum2 — int sum → double → /1e4 →
-    # +0.5 → floor → /100; DECIMAL output would hash-fail the driver
-    # gate's canonicalization, and a double sum would depend on order).
-    micro = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    # Exact micro-unit accumulation (quantize 6 dp → integer
+    # DECIMAL(18,0) sum, overflow-safe to 1e28): micro-batch arrival
+    # order must not change the emitted sum, and the result hashes
+    # identically to the batch twin / DuckDB oracle (same formula as
+    # queries.dsum2 — exact int sum → double → /1e4 → +0.5 → floor →
+    # /100; DECIMAL output would hash-fail the driver gate's
+    # canonicalization, and a double sum would depend on order).
+    micro = F.floor(F.col("value") * 1_000_000 + 0.5).cast("decimal(18,0)")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

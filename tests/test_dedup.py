@@ -156,31 +156,33 @@ def test_length_block_validates_threshold(spark):
 
 
 def test_md5_lanes_match_duckdb(spark):
-    """Spark's conv(substr(md5(...)),16,10) lanes must equal DuckDB's
-    CAST('0x'||substr(md5(...),off,8) AS BIGINT) — the cross-engine seam
-    every md5-family LSH oracle rests on (dedup._md5_lane_sql)."""
+    """Spark's conv(substr(md5(w)),16,10) lanes must equal DuckDB's
+    CAST('0x'||substr(md5(w),off,8) AS BIGINT), and the
+    Kirsch–Mitzenmacher expansion (h1 + i*h2) & 0xFFFFFFFF must agree —
+    the LIVE cross-engine seam every md5-family LSH oracle rests on
+    (dedup.md5_lane_sql / minhash_signatures_md5 /
+    text.simhash_signatures_md5)."""
     import duckdb
 
     words = ["hello", "", "a b", "ünïcödé", "0", "x" * 100]
+    seeds = (0, 1, 7, 63)
     df = spark.createDataFrame([(w,) for w in words], "w string")
-    exprs = [
-        F.expr(dedup._md5_lane_sql(seed, lane)).alias(f"s{seed}l{lane}")
-        for seed in (0, 3, 15)
-        for lane in range(4)
+    h1, h2 = dedup.md5_lane_sql(0), dedup.md5_lane_sql(1)
+    exprs = [F.expr(h1).alias("h1"), F.expr(h2).alias("h2")] + [
+        F.expr(f"(({h1}) + {i} * ({h2})) & 4294967295").alias(f"g{i}") for i in seeds
     ]
-    got = {r["w"]: [r[f"s{s}l{l}"] for s in (0, 3, 15) for l in range(4)]
-           for r in df.select("w", *exprs).collect()}
+    got = {r["w"]: r for r in df.select("w", *exprs).collect()}
     con = duckdb.connect()
     for w in words:
-        expected = [
-            con.execute(
-                "SELECT CAST(('0x' || substr(md5(? || ?), ?, 8)) AS BIGINT)",
-                [f"{seed}:", w, 1 + 8 * lane],
-            ).fetchone()[0]
-            for seed in (0, 3, 15)
-            for lane in range(4)
-        ]
-        assert got[w] == expected, f"lane mismatch for {w!r}"
+        e1, e2 = con.execute(
+            "SELECT CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT),"
+            "       CAST(('0x' || substr(md5(?), 9, 8)) AS BIGINT)",
+            [w, w],
+        ).fetchone()
+        assert (got[w]["h1"], got[w]["h2"]) == (e1, e2), f"lane mismatch for {w!r}"
+        for i in seeds:
+            ekm = con.execute(f"SELECT ({e1} + {i} * {e2}) & 4294967295").fetchone()[0]
+            assert got[w][f"g{i}"] == ekm, f"KM mismatch for {w!r} seed {i}"
 
 
 def test_md5_family_near_dups_finds_dups(spark, docs_with_dups):

@@ -157,3 +157,28 @@ def test_int8_quantization_roundtrip_error_bound(emb):
         F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
     ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
     assert -128 <= rng["lo"] and rng["hi"] <= 127
+
+
+def test_block_gemm_empty_right_block_no_duplicates(spark):
+    """Regression: an off-diagonal block pair whose right block is empty
+    must not be treated as a diagonal self-comparison — with every id
+    hashing into one block and n_blocks=3, each pair used to be emitted
+    once per (0,j) group (3x duplicates)."""
+    from cashback_data_pipeline_spark.operators import similarity
+
+    # ids chosen so pmod(xxhash64(id), 3) puts them all in ONE block
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0]) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    one_block = [
+        r["vec_id"]
+        for r in base.selectExpr("vec_id", "pmod(xxhash64(vec_id), 3) AS b").collect()
+        if r["b"] == 0
+    ][:4]
+    assert len(one_block) >= 2, "need at least one same-block pair"
+    df = base.filter(base.vec_id.isin(one_block))
+    pairs = similarity.embedding_pairs_fast(df, threshold=0.9, n_blocks=3).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), f"duplicate pairs emitted: {sorted(keys)}"
+    n = len(one_block)
+    assert len(set(keys)) == n * (n - 1) // 2
