@@ -65,6 +65,8 @@ HEADLINE = [
     "disjunctive_predicate_revenue",
     "idle_rich_customers",
     "decimal_exact_totals",
+    "cross_nation_volume",
+    "customer_order_distribution",
     # temporal joins
     "attribution_interval_join",
     "asof_enrich_value",

@@ -2869,6 +2869,207 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5, refine_iters=2)
 
 
+@query(
+    "cross_nation_volume",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {sql_dsum2('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between a nation pair by
+    year — a six-relation snowflake with a disjunctive cross-dimension
+    predicate. Scale: both fact sides (lineitem ⋈ orders) shuffle on
+    orderkey (AQE picks the strategy); every dimension (customer,
+    supplier, nation ×2) is broadcast, and the pair predicate prunes
+    before the aggregate, which is tiny (pair × year)."""
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(dsum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "priority_shipping_counts",
+    sql="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the testdata has no shipmode, so the
+    conditional dimension is order priority): per ship-month counts of
+    high- vs low-priority lines — CASE-conditional aggregation over a
+    fact-fact join with the date filter pushed to the lineitem scan."""
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    sql="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ) t
+    GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram — LEFT join so
+    zero-order customers survive into the c_count=0 bucket, then a
+    second aggregation over the first's output (two shuffles; the second
+    input is |customers| rows of two ints, the first is the real cost)."""
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "small_quantity_revenue",
+    sql=f"""
+    WITH a AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
+               / 1000000 / count(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT floor({sql_dsum2('l.l_extendedprice')} / 7 * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem l JOIN a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated per-part average re-expressed as aggregate + self-join
+    (the plan Catalyst produces for the correlated subquery anyway). The
+    per-part mean uses the exact micro-unit sum so the 0.2·avg
+    qualification threshold is bit-identical across engines — a plain
+    avg() could flip rows sitting an ulp from the boundary."""
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.floor(F.col("l_quantity") * 1_000_000 + 0.5).cast("decimal(18,0)")).cast("double")
+            / 1_000_000
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    small = li.join(avg_q, on="l_partkey").filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (F.floor(dsum2(F.col("l_extendedprice")) / 7 * 100 + 0.5) / 100).alias("avg_yearly")
+    )
+
+
+@query(
+    "streaming_interval_join",
+    sql="""
+    WITH s AS (
+      SELECT user_id AS s_user_id, ts AS signup_ts, event_id AS signup_event_id
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_event_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.p_user_id AS user_id, purchase_event_id, signup_event_id,
+           purchase_ts, signup_ts,
+           floor(value * 100 + 0.5) / 100 AS purchase_value
+    FROM p JOIN s ON p_user_id = s_user_id
+                 AND purchase_ts > signup_ts
+                 AND purchase_ts <= signup_ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the batch oracle: both sides of
+    purchases⋈signups arrive as watermarked file-source streams
+    (streaming.purchases_after_signup_stream — the watermark + interval
+    bound lets Spark evict buffered signups, keeping state finite),
+    availableNow drains the backlog, and the appended matches must equal
+    the batch inequality join the oracle states."""
+    import tempfile
+    import uuid
+
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        purchases_after_signup_stream,
+        read_events_stream,
+    )
+
+    events = read_testdata(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_ij_src_")
+    events.repartition(8).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=4)
+    joined = purchases_after_signup_stream(stream, within="1 hour")
+    name = f"sij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01/r02 keys).
