@@ -3020,6 +3020,156 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hyperplane_lsh_oracle(n_planes: int, threshold: float, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of hyperplane-LSH bucketing + within-bucket exact
+    cosine pairs. The plane constants are emitted as STRING literals cast
+    to DOUBLE ('…'::DOUBLE): a bare numeric literal is parsed as DECIMAL
+    by DuckDB and its decimal→double conversion differs from strtod in
+    the last ulp, which flipped 14 of 64 products in testing. The
+    projection is a sequential list_reduce left fold — bit-identical to
+    Spark's ``aggregate`` HOF (verified over the full sf0.01 corpus);
+    ``list_cosine_similarity`` ≡ Spark expression cosine likewise."""
+    from cashback_data_pipeline_spark.operators.similarity import _unit_hash
+
+    def proj(p: int) -> str:
+        pl = "[" + ",".join(f"'{_unit_hash(seed, p, d)!r}'::DOUBLE" for d in range(dim)) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}),"
+            f" i -> v[i] * ({pl})[i]), (a, b) -> a + b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, c.v) * 1000000 + 0.5) / 1000000 AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.v, c.v) >= {threshold}
+    """
+
+
+@query("embedding_lsh_near_dups", sql=_hyperplane_lsh_oracle(n_planes=4, threshold=0.4))
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUB-QUADRATIC embedding near-dup scale path as a contract
+    query: sign-LSH buckets (similarity.hyperplane_lsh_buckets —
+    deterministic splitmix hyperplanes, no RNG state) bound the pair
+    space, exact expression cosine verifies within buckets (recall < 1
+    vs the unbucketed twin `embedding_near_dups` by design; the bucket
+    count is the knob). Every stage — plane constants, projection fold,
+    sign, cosine — is replayed bit-identically by the DuckDB oracle."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    bucketed = similarity.hyperplane_lsh_buckets(emb, n_planes=4, seed=42)
+    pairs = dedup.embedding_near_dups(bucketed, threshold=0.4, block_col="bucket")
+    return pairs.select(
+        "id_a", "id_b", (F.floor(F.col("cos") * 1_000_000 + 0.5) / 1_000_000).alias("cos")
+    )
+
+
+@query(
+    "window_value_functions",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w2 AS last_price,
+           nth_value(o_totalprice, 2) OVER w2 AS second_price,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window surface (§2.11): first/last/nth value over
+    a full-partition frame, percent_rank and cume_dist over the running
+    frame — one shuffle on o_custkey serves every frame. percent_rank =
+    (rank−1)/(N−1) and cume_dist = rows≤current/N are single exact-int
+    divisions, deterministic on both engines; the value functions return
+    raw parquet doubles. Ordering is made total by the o_orderkey
+    tiebreak, so every output is well-defined."""
+    orders = read_testdata(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "null_safe_join",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+    ), d AS (
+      SELECT DISTINCT seg FROM c
+    )
+    SELECT d.seg AS seg, CAST(count(*) AS BIGINT) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY 1
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM — §2.5): NULL
+    keys MATCH each other instead of disappearing, the semantic a plain
+    equi-join silently drops. The NULL bucket (here: the BUILDING
+    segment nulled out) must survive the join with its full count."""
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    dim = cust.select("seg").distinct().select(F.col("seg").alias("d_seg"))
+    return (
+        cust.join(F.broadcast(dim), cust.seg.eqNullSafe(F.col("d_seg")))
+        .groupBy(F.col("d_seg").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "grouping_sets_summary",
+    sql=f"""
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS user_bucket,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(user_id % 4) AS INT) AS g_bucket,
+           count(*) AS n,
+           {sql_dsum2('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())
+    """,
+)
+def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator columns (§2.6 —
+    the general form rollup/cube specialize): three aggregation
+    granularities in ONE shuffle, the grouping flags disambiguating
+    which set produced each row (a real NULL key vs a superaggregate
+    NULL). Uses the SQL surface — identical plan to the DataFrame
+    cube/rollup operators."""
+    events = read_testdata(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_v")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(user_id % 4 AS BIGINT) AS user_bucket,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(user_id % 4) AS INT) AS g_bucket,
+               count(*) AS n,
+               {sql_dsum2('value')} AS sum_value
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type), (user_id % 4), ())
+        """
+    )
+
+
 @query(
     "streaming_interval_join",
     sql="""
