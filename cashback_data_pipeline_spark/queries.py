@@ -3171,6 +3171,57 @@ def grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_orders",
+    sql="""
+    SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+           c.c_mktsegment AS c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join as a contract query (operators.repair.
+    salted_join): the left side's key is salted pmod(hash, 16) and the
+    right side exploded across all salts, spreading a pathological hot
+    key over 16 reducers. The ORACLE is the plain unsalted join — the
+    whole point is that salting changes the shuffle topology and
+    nothing else."""
+    from cashback_data_pipeline_spark.operators.repair import salted_join
+
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = salted_join(orders, cust.withColumnRenamed("c_custkey", "o_custkey"), key="o_custkey")
+    return out.select("o_orderkey", "o_custkey", "c_mktsegment")
+
+
+@query(
+    "unpivot_event_bounds",
+    sql="""
+    SELECT event_type, metric, val FROM (
+      SELECT event_type,
+             floor(min(value) * 100 + 0.5) / 100 AS min_value,
+             floor(max(value) * 100 + 0.5) / 100 AS max_value
+      FROM events GROUP BY 1
+    ) t
+    UNPIVOT (val FOR metric IN (min_value, max_value))
+    """,
+)
+def unpivot_event_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of `pivot_event_counts` — §2.3 reshape
+    surface): a wide per-type min/max summary melts to long
+    (event_type, metric, val) rows. Spark `unpivot` ≡ DuckDB UNPIVOT;
+    both implement it as a zero-shuffle generate/expand over the
+    aggregated (tiny) input."""
+    events = read_testdata(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        r2(F.min("value")).alias("min_value"), r2(F.max("value")).alias("max_value")
+    )
+    return wide.unpivot(
+        ids=["event_type"], values=["min_value", "max_value"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+
+
+@query(
     "streaming_interval_join",
     sql="""
     WITH s AS (
