@@ -1650,12 +1650,45 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(orders, ["o_orderkey", "o_orderstatus", "o_custkey"])
 
 
-@query("dedup_clusters")  # iterative label propagation — not single-query SQL; rows-only
+@query(
+    "dedup_clusters",
+    sql="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang, t AS tok, count(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT rc.id, e.b FROM reach rc JOIN edges e ON e.a = rc.r
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from the pair graph (north-star dedup endgame):
     bag-Jaccard pairs → connected components via small-label propagation
     (operators.dedup.connected_components). cluster_id = smallest member,
-    i.e. the row to keep; everything else in the cluster is droppable."""
+    i.e. the row to keep; everything else in the cluster is droppable.
+    The ORACLE replays the pair graph and takes each node's min reachable
+    id with a recursive transitive-closure CTE — fine at oracle scale,
+    while the engine side stays the bounded-round label propagation that
+    survives 100 TB (closure materialization would not)."""
     docs = read_testdata(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
         docs, n=1, threshold=0.7, block_cols=["lang"], bag=True
