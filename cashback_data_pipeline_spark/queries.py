@@ -3305,6 +3305,447 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion: the remaining 8 of the 22 canonical shapes (Q2, Q8,
+# Q9, Q11, Q15, Q16, Q20, Q21), adapted to the trimmed star schema —
+# the testdata has no partsupp, so the part↔supplier relationship is the
+# DISTINCT (l_partkey, l_suppkey) projection of lineitem, and supplycost/
+# availqty-based predicates become their revenue/shipped-quantity
+# analogues. Every adaptation keeps the defining plan shape of its
+# original (correlated min, share-of-total, scalar-subquery HAVING,
+# view+max, NOT IN, nested IN with correlated threshold, multi-EXISTS).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "regional_min_supplier",
+    sql="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT ps.l_partkey AS p_partkey, eu.s_name, eu.s_acctbal, eu.n_name,
+             min(eu.s_acctbal) OVER (PARTITION BY ps.l_partkey) AS min_bal
+      FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    )
+    SELECT p_partkey, s_name, s_acctbal, n_name
+    FROM cand WHERE s_acctbal = min_bal
+    """,
+)
+def regional_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part available from a EUROPE supplier,
+    the supplier(s) with the minimum account balance — the correlated
+    scalar-min subquery, re-expressed as a per-part window min + equality
+    filter (exactly the plan Catalyst de-correlates to). Scale: the
+    part↔supplier projection is DISTINCT over two int64 columns (narrow
+    shuffle); the supplier/nation/region side is a broadcast snowflake;
+    the window min shuffles once on partkey. The min/equality compare is
+    on raw parquet doubles — order-independent and bit-identical."""
+    ps = read_testdata(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = read_testdata(spark, sf_dir, "supplier")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).select(
+        F.col("l_partkey").alias("p_partkey"), "s_name", "s_acctbal", "n_name"
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .drop("min_bal")
+    )
+
+
+@query(
+    "nation_market_share",
+    sql=f"""
+    WITH base AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           floor(
+             CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                           THEN CAST(floor(volume * 1000000 + 0.5) AS DECIMAL(18,0))
+                           ELSE CAST(0 AS DECIMAL(18,0)) END) AS DOUBLE)
+             / CAST(sum(CAST(floor(volume * 1000000 + 0.5) AS DECIMAL(18,0))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM base GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a part
+    type, per order year — the eight-relation snowflake with a
+    conditional share-of-total aggregate. Scale: lineitem⋈orders is the
+    only fact-fact shuffle; part/customer/supplier/nation×2/region all
+    broadcast; the aggregate is two exact micro-unit integer sums per
+    year (numerator CASE-gated), so the share division is the same two
+    doubles on both engines regardless of accumulation order."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    part = read_testdata(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = read_testdata(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation")
+    region = read_testdata(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_rkey")
+    )
+    ns = nation.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    micro = F.floor(F.col("volume") * 1_000_000 + 0.5).cast("decimal(18,0)")
+    zero = F.lit(0).cast("decimal(18,0)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_2", micro).otherwise(zero)).cast("double")
+    den = F.sum(micro).cast("double")
+    return base.groupBy("o_year").agg(
+        (F.floor(num / den * 1_000_000 + 0.5) / 1_000_000).alias("mkt_share")
+    )
+
+
+@query(
+    "product_type_profit",
+    sql=f"""
+    SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {sql_dsum2('l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity')}
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name pattern — adapted: no partsupp, so cost is
+    p_retailprice·l_quantity instead of ps_supplycost·l_quantity (same
+    expression shape, same join tree minus one relation). The LIKE
+    filter prunes part before the broadcast; profit terms can be
+    negative, and floor-half-up micro-quantization is sign-uniform on
+    both engines, so dsum2 stays exact."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    part = read_testdata(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum2(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "important_part_values",
+    sql="""
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000000 + 0.5)
+                      AS DECIMAL(18,0))) AS val_micro
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_6')
+      GROUP BY 1
+    )
+    SELECT p_partkey,
+           floor(CAST(val_micro AS DOUBLE) / 10000 + 0.5) / 100 AS part_value
+    FROM v
+    WHERE CAST(val_micro AS DOUBLE) > 0.001 * (SELECT CAST(sum(val_micro) AS DOUBLE) FROM v)
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue through a nation group's
+    suppliers exceeds a fraction of that group's total — the
+    scalar-subquery HAVING. Adapted: partsupp value (supplycost·availqty)
+    becomes lineitem revenue. Scale: one shuffle to the per-part sums;
+    the grand total is a scalar re-agg of the (small) per-part result,
+    broadcast back as a cross-join literal — no second pass over the
+    fact. Both sides compare exact micro-unit integers through one
+    identical double multiply, so the threshold cannot flip on ulp."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_6")
+    )
+    micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000 + 0.5
+    ).cast("decimal(18,0)")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(micro).alias("val_micro"))
+    )
+    total = per_part.agg(F.sum("val_micro").cast("double").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val_micro").cast("double") > 0.001 * F.col("tot"))
+        .select(
+            "p_partkey",
+            (F.floor(F.col("val_micro").cast("double") / 10_000 + 0.5) / 100).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    sql="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000 + 0.5)
+                      AS DECIMAL(18,0))) AS rev_micro
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           floor(CAST(r.rev_micro AS DOUBLE) / 10000 + 0.5) / 100 AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_micro = (SELECT max(rev_micro) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — the revenue view + scalar max. The max/equality compare is
+    on the exact micro-unit integer sums (ties keep every maximal
+    supplier, as the spec requires), so the winner set is engine-
+    independent. Scale: per-supplier agg is one narrow shuffle; the max
+    is a scalar over |suppliers| rows, broadcast back."""
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    micro = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000 + 0.5
+    ).cast("decimal(18,0)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(micro).alias("rev_micro"))
+    mx = rev.agg(F.max("rev_micro").alias("max_micro"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_micro") == F.col("max_micro"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.floor(F.col("rev_micro").cast("double") / 10_000 + 0.5) / 100).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "part_supplier_variety",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide parts of
+    each (brand, type, size) bucket, excluding blacklisted suppliers —
+    negated predicates + NOT IN + COUNT DISTINCT. Adapted: the
+    part↔supplier link is lineitem; the complaints filter becomes
+    negative account balance. The NOT IN side is a handful of keys —
+    broadcast anti-join, no shuffle; the distinct-count shuffles once on
+    the grouping key."""
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = read_testdata(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = read_testdata(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "promo_stock_suppliers",
+    sql="""
+    WITH sm AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             sum(CAST(floor(l.l_quantity * 1000000 + 0.5) AS DECIMAL(18,0))) AS q_micro
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, sum(q_micro) AS tq_micro FROM sm GROUP BY 1),
+    qual AS (
+      SELECT DISTINCT sm.l_suppkey FROM sm JOIN tot ON tot.l_partkey = sm.l_partkey
+      WHERE CAST(sm.q_micro AS DOUBLE) > 0.5 * CAST(tot.tq_micro AS DOUBLE)
+    )
+    SELECT s.s_name, n.n_name
+    FROM qual JOIN supplier s ON s.s_suppkey = qual.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding a dominant stock of a promoted
+    part line — the nested IN chain with a correlated quantity threshold.
+    Adapted: availqty > ½·sum(shipped) becomes supplier's shipped share
+    > ½ of the part's total shipped quantity in the window. Scale: the
+    inner agg shuffles on (partkey, suppkey); the per-part total is a
+    re-agg of that (already small) result joined back on partkey —
+    the fact is scanned once."""
+    li = read_testdata(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = read_testdata(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = read_testdata(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    micro = F.floor(F.col("l_quantity") * 1_000_000 + 0.5).cast("decimal(18,0)")
+    sm = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(micro).alias("q_micro"))
+    )
+    tot = sm.groupBy("l_partkey").agg(F.sum("q_micro").alias("tq_micro"))
+    qual = (
+        sm.join(tot, on="l_partkey")
+        .filter(F.col("q_micro").cast("double") > 0.5 * F.col("tq_micro").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "waiting_orders_suppliers",
+    sql="""
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    mx AS (
+      SELECT l_orderkey, max(l_shipdate) AS last_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM f GROUP BY 1
+    ),
+    last_rows AS (
+      SELECT f.l_orderkey, f.l_suppkey FROM f
+      JOIN mx ON mx.l_orderkey = f.l_orderkey AND f.l_shipdate = mx.last_ship
+      WHERE mx.n_supp > 1
+    ),
+    blame AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM last_rows GROUP BY 1
+      HAVING count(DISTINCT l_suppkey) = 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blame b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY 1
+    """,
+)
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone shipped last on finished
+    multi-supplier orders — the EXISTS / NOT EXISTS pair, re-expressed
+    as aggregates: EXISTS(other supplier) ⇒ per-order distinct-supplier
+    count > 1; NOT EXISTS(other supplier also last) ⇒ exactly one
+    distinct supplier among the max-shipdate rows. Adapted: the testdata
+    carries no receipt/commit dates, so "kept the order waiting" is
+    "was the sole latest shipper". Scale: two shuffles on orderkey (the
+    per-order profile and the join back); no correlated re-scan of the
+    fact — the EXISTS pair folds into one aggregation pass."""
+    orders = read_testdata(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    mx = f.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    last_rows = (
+        f.join(mx, on="l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("last_ship")) & (F.col("n_supp") > 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    blame = (
+        last_rows.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.countDistinct("l_suppkey").alias("n_last"),
+        )
+        .filter(F.col("n_last") == 1)
+    )
+    supp = read_testdata(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blame.join(F.broadcast(supp), blame.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01/r02 keys).
 # Positional swaps put a fully-ORACLED query in every checked slot while
