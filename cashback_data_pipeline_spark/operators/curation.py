@@ -250,3 +250,68 @@ def unigram_surprisal(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("__s").alias("surprisal"),
     )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """DISTINCT word n-grams of a whitespace-tokenized text column,
+    entirely expression-level (split → sequence → slice → concat_ws —
+    whole-stage codegen, no Python). Documents shorter than ``n`` tokens
+    yield an empty array.
+
+    The transform lambda takes a SINGLE parameter on purpose: PySpark
+    binds a second positional parameter to the ARRAY INDEX, which
+    silently breaks closures (see operators.dedup MinHash history)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(toks, i, n))
+
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(starts, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams appear anywhere in the evaluation corpus —
+    the standard leakage screen run before LLM training (the published
+    recipe: flag/strip train docs sharing long n-grams with eval sets).
+
+    Returns (id_col, n_grams, contaminated, contamination_q6) with
+    contamination_q6 = floor(contaminated/n_grams·1e6 + 0.5)/1e6 — an
+    integer-ratio quantize that is bit-identical across engines.
+
+    Scale design: the EVAL side is the small one (benchmark suites are
+    at most millions of grams) — it collapses to a DISTINCT gram set and
+    broadcasts, so the 100 TB training corpus is screened in a single
+    shuffle-free scan + broadcast semi-join; per-doc counts then reduce
+    on the (naturally spread) document key. The corpus is never
+    re-scanned and no gram list ever concentrates on one executor."""
+    grams = word_ngrams(F.col(text_col), n)
+    ev = eval_df.select(F.explode(grams).alias("gram")).distinct()
+    tr = train.select(F.col(id_col), grams.alias("__g"))
+    exploded = tr.select(id_col, F.explode("__g").alias("gram"))
+    hits = (
+        exploded.join(F.broadcast(ev), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated"))
+    )
+    base = tr.select(F.col(id_col), F.size("__g").cast("long").alias("n_grams"))
+    joined = base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("contaminated"), F.lit(0)).cast("long").alias("contaminated"),
+    )
+    ratio = F.col("contaminated") / F.greatest(F.col("n_grams"), F.lit(1))
+    return joined.withColumn(
+        "contamination_q6", F.floor(ratio * 1_000_000 + 0.5) / 1_000_000
+    )
