@@ -315,3 +315,51 @@ def decontaminate(
     return joined.withColumn(
         "contamination_q6", F.floor(ratio * 1_000_000 + 0.5) / 1_000_000
     )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicate-n-gram fraction: per document, the share of
+    its DISTINCT word n-grams that also appear in at least one OTHER
+    document. The across-corpus complement of the within-document
+    repetition metrics in ``repetition_metrics`` — high values flag
+    boilerplate and template spam that exact dedup misses because the
+    surrounding bytes differ.
+
+    Returns (id_col, n_grams, dup_grams, dup_fraction_q6) with the
+    fraction quantized via floor(x*1e6+0.5)/1e6 for cross-engine parity.
+
+    Scale design: grams are distinct per document before exploding, so
+    the gram→doc-frequency aggregation counts documents without a
+    count(distinct) re-shuffle; the duplicated-gram set then joins back
+    against the exploded pairs on the gram key (hash-partitioned both
+    sides, payload = gram string + one id). No step ever holds a whole
+    document, and short documents survive via the left join (0/0 → 0)."""
+    grams = word_ngrams(F.col(text_col), n)
+    base = df.select(F.col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    pairs = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    dup_set = (
+        pairs.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("gram")
+    )
+    dup_counts = (
+        pairs.join(dup_set, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_grams"))
+    )
+    joined = base.join(dup_counts, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+    )
+    ratio = F.col("dup_grams") / F.greatest(F.col("n_grams"), F.lit(1))
+    return joined.withColumn(
+        "dup_fraction_q6", F.floor(ratio * 1_000_000 + 0.5) / 1_000_000
+    )

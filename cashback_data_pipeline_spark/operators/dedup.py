@@ -655,3 +655,41 @@ def connected_components(
             "rounds (component diameter exceeds it); raise max_iter"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# 6. incremental dedup: new batch vs. historical corpus
+# ---------------------------------------------------------------------------
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production crawl-ingest pattern: admit only NEW documents whose
+    content is absent from the historical corpus, deduplicating within the
+    batch as well (winner = min id per fingerprint).
+
+    Returns (id_col, fingerprint, plus new_df's other columns) for the
+    surviving rows.
+
+    Scale design: the historical side collapses to DISTINCT 32-char md5
+    digests — in a real deployment that is the persisted fingerprint
+    store, ~50 GB for 100 TB of documents — so the anti-join shuffles
+    digests, never payloads. Within-batch dedup is one hash-partitioned
+    window; AQE broadcasts the history side when a day's crawl dwarfs it.
+    Null/empty text is junk, not content: such rows are dropped rather
+    than deduplicated against each other."""
+    nonempty = F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    hist = (
+        corpus_df.filter(nonempty)
+        .select(fingerprint_md5(text_col).alias("__fp"))
+        .distinct()
+    )
+    batch = new_df.filter(nonempty).withColumn("__fp", fingerprint_md5(text_col))
+    batch_first = dedup_exact(batch, ["__fp"], id_col)
+    return (
+        batch_first.join(hist, "__fp", "left_anti")
+        .withColumnRenamed("__fp", "fingerprint")
+    )

@@ -329,3 +329,39 @@ def pack_documents(
         *out_cols,
         F.floor(running / target_tokens).cast("bigint").alias("pack_id"),
     )
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Global vocabulary statistics — the first step of tokenizer training
+    and a standard corpus-health report: top-``k`` terms by collection
+    frequency with their document frequency.
+
+    Returns (term, term_freq, doc_freq) ordered by term_freq DESC with
+    the term itself as tie-break, so the top-k cut is a total order and
+    deterministic on any engine.
+
+    Scale design: tokenization explodes once, then aggregates in TWO
+    hash-partitioned levels — (term, doc) partial counts first, then
+    term totals — so document frequency never needs count(distinct),
+    which would re-shuffle raw (term, doc) pairs into single-term
+    hot-spots. Partial (map-side) aggregation absorbs within-partition
+    repetition before anything hits the wire; the final top-k is a
+    TakeOrdered, not a global sort."""
+    c = F.col(text_col)
+    per_doc = (
+        df.filter(c.isNotNull())
+        .select(F.col(id_col), F.explode(tokens(c)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    totals = per_doc.groupBy("term").agg(
+        F.sum("__tf").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    return totals.orderBy(F.col("term_freq").desc(), F.col("term").asc()).limit(k)

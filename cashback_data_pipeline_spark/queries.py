@@ -3783,6 +3783,94 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(tr, ev, n=3)
 
 
+@query(
+    "incremental_corpus_dedup",
+    sql="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % 4 = 0 AND text IS NOT NULL AND len(text) > 0
+    ),
+    b AS (
+      SELECT doc_id, md5(text) AS fingerprint, n_chars FROM documents
+      WHERE doc_id % 4 <> 0 AND text IS NOT NULL AND len(text) > 0
+    ),
+    first AS (SELECT fingerprint, min(doc_id) AS doc_id FROM b GROUP BY 1)
+    SELECT b.doc_id, b.fingerprint, b.n_chars
+    FROM b JOIN first USING (fingerprint, doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = b.fingerprint)
+    """,
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest dedup (dedup.dedup_incremental): every 4th document
+    plays the historical corpus; the rest are the incoming batch, deduped
+    within the batch and anti-joined against the history's fingerprint
+    set. The pattern a 100 TB pipeline runs on every ingest: the history
+    side is digests only, so the anti-join never shuffles payloads."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.dedup_incremental(batch, hist).select(
+        "doc_id", "fingerprint", "n_chars"
+    )
+
+
+@query(
+    "vocab_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      WHERE text IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    )
+    SELECT term, CAST(sum(tf) AS BIGINT) AS term_freq,
+           CAST(count(*) AS BIGINT) AS doc_freq
+    FROM per_doc GROUP BY term
+    ORDER BY term_freq DESC, term LIMIT 100
+    """,
+)
+def vocab_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary report (text.vocab_top_terms): top-100 terms by
+    collection frequency with document frequency — tokenizer-training
+    prep. Two-level aggregation avoids count(distinct); the top-k cut is
+    a TakeOrdered over a total order (freq desc, term asc)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return text.vocab_top_terms(docs, k=100)
+
+
+@query(
+    "cross_doc_ngram_dup",
+    sql="""
+    WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    tg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(s) - 1),
+                                          i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+      FROM sp
+    ),
+    pairs AS (SELECT doc_id, unnest(g) AS gram FROM tg),
+    dup AS (SELECT gram FROM pairs GROUP BY gram HAVING count(*) >= 2),
+    hits AS (
+      SELECT p.doc_id, count(*) AS dup_grams
+      FROM pairs p JOIN dup USING (gram) GROUP BY 1
+    )
+    SELECT tg.doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.dup_grams, 0) AS BIGINT) AS dup_grams,
+           floor(coalesce(h.dup_grams, 0) / greatest(len(g), 1) * 1000000 + 0.5)
+             / 1000000 AS dup_fraction_q6
+    FROM tg LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-trigram fraction per document
+    (curation.cross_doc_ngram_dup) — the across-corpus boilerplate signal
+    that complements within-doc repetition_scores."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.cross_doc_ngram_dup(docs, n=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01/r02 keys).

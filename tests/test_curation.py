@@ -103,3 +103,48 @@ def test_unigram_surprisal_ranks_rare_tokens_higher(spark):
     assert rows[2]["surprisal"] > rows[1]["surprisal"]
     assert rows[3]["surprisal"] > rows[1]["surprisal"]  # one 'b' adds surprise
     assert rows[1]["n_tokens"] == 4
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_and_short_docs(spark):
+    df = _docs_df(
+        spark,
+        [(1, "a b c d"), (2, "a b"), (3, None), (4, "x x x x")],
+    ).select("doc_id", curation.word_ngrams("text", 3).alias("g"))
+    out = {r["doc_id"]: r["g"] for r in df.collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n -> empty, never a descending sequence
+    assert out[3] == []
+    assert out[4] == ["x x x"]  # distinct collapses repeats
+
+
+def test_decontaminate_counts_and_ratio(spark):
+    train = _docs_df(spark, [(1, "the cat sat on the mat"), (2, "totally novel words here now")])
+    ev = _docs_df(spark, [(10, "cat sat on mats")])
+    out = {r["doc_id"]: r.asDict() for r in curation.decontaminate(train, ev, n=3).collect()}
+    # train doc 1 grams: "the cat sat","cat sat on","sat on the","on the mat";
+    # eval grams: "cat sat on","sat on mats" -> 1 hit of 4
+    assert out[1]["n_grams"] == 4 and out[1]["contaminated"] == 1
+    assert out[1]["contamination_q6"] == 0.25
+    assert out[2]["contaminated"] == 0 and out[2]["contamination_q6"] == 0.0
+
+
+def test_cross_doc_ngram_dup_flags_shared_boilerplate(spark):
+    df = _docs_df(
+        spark,
+        [
+            (1, "click here to subscribe now friends"),
+            (2, "click here to subscribe now today"),
+            (3, "completely different text about cats"),
+            (4, "ab"),  # too short for any trigram
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in curation.cross_doc_ngram_dup(df, n=3).collect()}
+    # docs 1/2 share grams "click here to","here to subscribe","to subscribe now"
+    assert out[1]["n_grams"] == 4 and out[1]["dup_grams"] == 3
+    assert out[1]["dup_fraction_q6"] == 0.75
+    assert out[3]["dup_grams"] == 0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_fraction_q6"] == 0.0

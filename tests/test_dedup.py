@@ -191,3 +191,24 @@ def test_md5_family_near_dups_finds_dups(spark, docs_with_dups):
     )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in got and (1, 3) in got and not any(4 in p for p in got)
+
+
+def test_dedup_incremental_batch_and_history(spark):
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen"), (3, None)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dropped: in history
+            (11, "brand new"),     # kept
+            (12, "brand new"),     # dropped: within-batch dup, 11 wins
+            (13, ""),              # dropped: empty = junk, not content
+            (14, None),            # dropped: null
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_incremental(batch, corpus)
+    rows = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert set(rows) == {11}
+    import hashlib
+    assert rows[11] == hashlib.md5(b"brand new").hexdigest()

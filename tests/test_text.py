@@ -105,3 +105,14 @@ def test_pack_documents_budget_discipline(spark):
     for i, n in enumerate(sizes):
         assert packs[i] == running // 512
         running += n
+
+
+def test_vocab_top_terms_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a"), (2, "a b"), (3, "c  a")], "doc_id long, text string"
+    )
+    out = [r.asDict() for r in text.vocab_top_terms(df, k=2).collect()]
+    # term_freq: a=3,b=3,c=1; tie a/b broken by term asc; empty token (double
+    # space) filtered; doc_freq counts docs, not occurrences
+    assert out[0]["term"] == "a" and out[0]["term_freq"] == 3 and out[0]["doc_freq"] == 3
+    assert out[1]["term"] == "b" and out[1]["term_freq"] == 3 and out[1]["doc_freq"] == 2
