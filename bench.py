@@ -80,6 +80,10 @@ HEADLINE = [
     "pii_redaction",
     "stratified_sample",
     "embedding_quantization",
+    "benchmark_decontamination",
+    "incremental_corpus_dedup",
+    "cross_doc_ngram_dup",
+    "vocab_top_terms",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather

@@ -352,9 +352,11 @@ def vocab_top_terms(
     hot-spots. Partial (map-side) aggregation absorbs within-partition
     repetition before anything hits the wire; the final top-k is a
     TakeOrdered, not a global sort."""
+    from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
+
     c = F.col(text_col)
     per_doc = (
-        df.filter(c.isNotNull())
+        ensure_min_parallelism(df).filter(c.isNotNull())
         .select(F.col(id_col), F.explode(tokens(c)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term", id_col)
