@@ -303,11 +303,16 @@ def decontaminate(
     integer-ratio quantize that is bit-identical across engines.
 
     Scale design: the EVAL side is the small one (benchmark suites are
-    at most millions of grams) — it collapses to a DISTINCT gram set and
-    broadcasts, so the 100 TB training corpus is screened in a single
-    shuffle-free scan + broadcast semi-join; per-doc counts then reduce
-    on the (naturally spread) document key. The corpus is never
-    re-scanned and no gram list ever concentrates on one executor."""
+    at most millions of grams) — it collapses to a DISTINCT set of
+    xxhash64 gram fingerprints (8 bytes each, not the gram strings) and
+    broadcasts, so the 100 TB training corpus is screened in ONE scan:
+    explode_outer carries every document through the broadcast
+    hit-lookup, and a single reduce on the (naturally spread) document
+    key produces both the gram total and the hit count — no second scan
+    for the denominator, no gram string ever leaves the map side.
+    (64-bit fingerprint collision odds at benchmark-suite scale,
+    ~1e7 distinct grams, are ~1e-6 per corpus — far below the
+    false-positive rate of n-gram screening itself.)"""
     from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
 
     g = ngrams_from_tokens(F.col("__t"), n)
@@ -316,20 +321,24 @@ def decontaminate(
         # own projection for the token array — see ngrams_from_tokens
         return d.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
 
-    ev = toked(eval_df).select(F.explode(g).alias("gram")).distinct()
+    ev = (
+        toked(eval_df)
+        .select(F.explode(F.transform(g, lambda x: F.xxhash64(x))).alias("gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     # narrow parquet scans arrive as one split; spread the gram fan-out
     tr = toked(ensure_min_parallelism(train)).select(F.col(id_col), g.alias("__g"))
-    exploded = tr.select(id_col, F.explode("__g").alias("gram"))
-    hits = (
-        exploded.join(F.broadcast(ev), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("contaminated"))
+    exploded = tr.select(
+        id_col, F.explode_outer(F.transform("__g", lambda x: F.xxhash64(x))).alias("gh")
     )
-    base = tr.select(F.col(id_col), F.size("__g").cast("long").alias("n_grams"))
-    joined = base.join(hits, id_col, "left").select(
-        F.col(id_col),
-        "n_grams",
-        F.coalesce(F.col("contaminated"), F.lit(0)).cast("long").alias("contaminated"),
+    joined = (
+        exploded.join(F.broadcast(ev), "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.count("__hit").alias("contaminated"),
+        )
     )
     ratio = F.col("contaminated") / F.greatest(F.col("n_grams"), F.lit(1))
     return joined.withColumn(
@@ -354,12 +363,17 @@ def cross_doc_ngram_dup(
     Returns (id_col, n_grams, dup_grams, dup_fraction_q6) with the
     fraction quantized via floor(x*1e6+0.5)/1e6 for cross-engine parity.
 
-    Scale design: grams are distinct per document before exploding, so
-    the gram→doc-frequency aggregation counts documents without a
-    count(distinct) re-shuffle; the duplicated-gram set then joins back
-    against the exploded pairs on the gram key (hash-partitioned both
-    sides, payload = gram string + one id). No step ever holds a whole
-    document, and short documents survive via the left join (0/0 → 0)."""
+    Scale design: grams are distinct per document before exploding and
+    are immediately collapsed to 8-byte xxhash64 fingerprints, so no
+    gram STRING ever reaches a shuffle (the gram text exists only inside
+    the map-side projection; 64-bit collisions at web-corpus scale are
+    ~1e-4 of the duplicate-gram rate and only perturb a screening
+    ratio). The gram→doc-frequency aggregation counts documents with a
+    map-side partial combine — never count(distinct); the duplicated-
+    fingerprint set then semi-joins back against the exploded pairs on
+    the 8-byte key. explode_outer keeps short/empty documents in the
+    single per-doc reduce (0/0 → 0), so the corpus is scanned twice
+    (once per side of the self-comparison) and nothing else."""
     from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
 
     # narrow parquet scans arrive as one split; spread the gram fan-out.
@@ -368,23 +382,23 @@ def cross_doc_ngram_dup(
         F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
     )
     g_df = tok_df.select(F.col(id_col), ngrams_from_tokens(F.col("__t"), n).alias("__g"))
-    base = g_df.select(F.col(id_col), F.size("__g").cast("long").alias("n_grams"))
-    pairs = g_df.select(F.col(id_col), F.explode("__g").alias("gram"))
+    pairs = g_df.select(
+        F.col(id_col),
+        F.explode_outer(F.transform("__g", lambda x: F.xxhash64(x))).alias("gh"),
+    )
     dup_set = (
-        pairs.groupBy("gram")
+        pairs.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
-        .select("gram")
+        .select("gh", F.lit(1).alias("__dup"))
     )
-    dup_counts = (
-        pairs.join(dup_set, "gram", "left_semi")
+    joined = (
+        pairs.join(dup_set, "gh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("dup_grams"))
-    )
-    joined = base.join(dup_counts, id_col, "left").select(
-        F.col(id_col),
-        "n_grams",
-        F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias("dup_grams"),
+        .agg(
+            F.count("gh").alias("n_grams"),
+            F.count("__dup").alias("dup_grams"),
+        )
     )
     ratio = F.col("dup_grams") / F.greatest(F.col("n_grams"), F.lit(1))
     return joined.withColumn(
