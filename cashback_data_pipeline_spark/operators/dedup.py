@@ -297,11 +297,16 @@ def minhash_signatures_md5(
     non-cheap multi-referenced array (shingles → md5 hex → h1/h2 lanes)
     exactly once; the per-function minima are then 64 cheap
     ``zip_with`` folds over integer arrays. Use the xxhash64 family when
-    no cross-engine oracle is needed."""
+    no cross-engine oracle is needed.
+
+    Shingles are DEDUPED before hashing: min() is insensitive to
+    duplicates, so every signature value is bit-identical while repeated
+    shingles (the norm in prose — stopword n-grams repeat constantly)
+    pay for md5 + 64 folds exactly once per distinct value."""
     base = (
         ensure_min_parallelism(df)
         .filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
+        .select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("__sh"))
     )
     hexes = base.select("id", F.expr("transform(__sh, w -> substr(md5(w), 1, 16))").alias("__mh"))
     lanes = hexes.select(
@@ -352,10 +357,12 @@ def minhash_signatures(
     # replaced dropped such docs naturally; array_min over a null array
     # would instead emit an all-null signature, making every null-text
     # doc an LSH candidate of every other)
+    # array_distinct: min() is duplicate-insensitive, so signatures are
+    # bit-identical while each distinct shingle is hashed once per seed.
     base = (
         ensure_min_parallelism(df)
         .filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh"))
+        .select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("__sh"))
     )
     # One SQL expr string instead of 64 Column-API transform() calls:
     # each Python-side lambda costs a py4j round-trip, ~1.3 s of pure
