@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _epoch_us(col) -> F.Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ inputs.
+
+    ``unix_micros`` rejects NTZ; casting first interprets an NTZ value in
+    the session timezone (pinned UTC — session.py), which is exactly the
+    naive-UTC semantics the parquet testdata carries. A no-op for
+    columns already TIMESTAMP."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,
@@ -45,9 +56,9 @@ def interval_join(
     are about a bin long. Never quadratic, never a broadcast-nested-loop.
     """
     binw = bin_seconds * 1_000_000  # work in microseconds
-    e = events.withColumn("__bin", F.floor(F.unix_micros(F.col(ts_col)) / binw))
-    lo = F.floor(F.unix_micros(F.col(start_col)) / binw)
-    hi = F.floor(F.unix_micros(F.col(end_col)) / binw)
+    e = events.withColumn("__bin", F.floor(_epoch_us(ts_col) / binw))
+    lo = F.floor(_epoch_us(start_col) / binw)
+    hi = F.floor(_epoch_us(end_col) / binw)
     # guard the fan-out: an open-ended/sentinel interval (end=9999-12-31)
     # would explode into ~70M bins per row at the default width — fail
     # loudly with the offending width instead of OOMing an executor.
@@ -138,7 +149,7 @@ def merge_asof(
     match = F.col("__match")
     if tolerance_seconds is not None:
         fresh = (
-            F.unix_micros(F.col(on)) - F.unix_micros(match["__asof_ts"])
+            _epoch_us(on) - _epoch_us(match["__asof_ts"])
             <= tolerance_seconds * 1_000_000
         )
         match = F.when(fresh, match)

@@ -105,18 +105,26 @@ def read_table_with_fallback(
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-generated testdata table (TESTDATA.md).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it lands as a long we convert back to a (µs) timestamp. Integer
-    division — a float round-trip would lose precision above 2^53 ns.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (rejected by Spark's vectorized
+    reader; with ``spark.sql.legacy.parquet.nanosAsLong`` it lands as a
+    long we convert back to a µs timestamp — integer division, a float
+    round-trip would lose precision above 2^53 ns) and native
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    TIMESTAMP_NTZ. Both normalize to session-UTC TIMESTAMP so downstream
+    epoch arithmetic (``unix_micros`` rejects NTZ) and oracle parity are
+    layout-independent.
     """
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = read_parquet(spark, testdata_path(sf_dir, table))
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return read_parquet(spark, testdata_path(sf_dir, table))
 
@@ -141,8 +149,15 @@ def read_events_range(spark: SparkSession, sf_dir: str, ts_lo: str, ts_hi: str) 
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = read_parquet(spark, testdata_path(sf_dir, "events"))
-    if dict(raw.dtypes).get("ts") != "bigint":
-        return raw.filter(F.col("ts").between(ts_lo, ts_hi))
+    dt = dict(raw.dtypes).get("ts")
+    if dt != "bigint":
+        # native timestamp layout: the string bounds push to the scan as
+        # timestamp predicates; normalize NTZ→session-UTC TIMESTAMP above
+        # the (already pushed) filter so pushdown survives the cast.
+        out = raw.filter(F.col("ts").between(ts_lo, ts_hi))
+        if dt == "timestamp_ntz":
+            out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+        return out
     return raw.filter(F.col("ts").between(to_ns(ts_lo), to_ns(ts_hi))).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
