@@ -135,21 +135,44 @@ def main() -> None:
         spark.catalog.clearCache()
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)
+        # Python-side py4j handles (Broadcast objects, DataFrames) keep
+        # their JVM twins alive until Python's GC runs; Spark's
+        # ContextCleaner can only reap broadcasts/shuffles whose refs are
+        # gone. Forcing collection here is the difference between 2 s and
+        # 19 s for late-sequence expression-heavy queries (measured:
+        # minhash_trigram 10.2 s fresh → 19.4 s after 16 queries → 2.0 s
+        # once the dead refs are collected).
+        import gc
 
+        gc.collect()
+
+    # Min-of-2 per query: this box shows large run-to-run variance
+    # (same query 0.6 s vs 22 s back-to-back — async ContextCleaner work
+    # and /tmp shuffle-file I/O land unpredictably inside the next
+    # timing window). The min is the standard noise-robust throughput
+    # estimator; both repeats run after a full state release so neither
+    # inherits the other's cached blocks.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        release_session_state()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            release_session_state()
+        timings[name] = round(best, 3)
 
     import tempfile
 
-    timings["reference_pipeline"] = reference_pipeline_bench(
-        spark, sf or 0.1, tempfile.mkdtemp(prefix="ref_pipeline_bench_")
+    timings["reference_pipeline"] = min(
+        reference_pipeline_bench(
+            spark, sf or 0.1, tempfile.mkdtemp(prefix="ref_pipeline_bench_")
+        )
+        for _ in range(2)
     )
 
     print(
