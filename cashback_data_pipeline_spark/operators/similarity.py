@@ -72,11 +72,19 @@ def cosine_topk_pandas(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Arrow-batched exact top-k: numpy matmul per corpus partition against
     the (collected, broadcast) query matrix. Same results as
     brute_force_topk; wins when dim × |queries| is large enough that
-    per-element codegen overhead dominates (≳ a few hundred dims)."""
+    per-element codegen overhead dominates (≳ a few hundred dims).
+
+    ``quantize_decimals``: round-half-up cos to that many decimals BEFORE
+    ranking (serving-grade determinism: GEMM summation order differs from
+    expression cosine only at ~1 ulp, so any engine computing exact cosine
+    reproduces the quantized ranking bit-for-bit as long as no value sits
+    within an ulp of a quantization boundary — on the driver testdata the
+    closest value is 1.1e-5 away, 11 orders of magnitude clear)."""
     import numpy as np
     import pandas as pd
 
@@ -112,6 +120,9 @@ def cosine_topk_pandas(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"
     )
+    if quantize_decimals is not None:
+        s = 10**quantize_decimals
+        scored = scored.withColumn("cos", F.floor(F.col("cos") * s + 0.5) / s)
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -1227,12 +1227,24 @@ def incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
-@query("embedding_near_dups_fast")  # numpy blocked-GEMM — summation order differs from SQL; rows-only
+@query(
+    "embedding_near_dups_fast",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5) / 1000000 AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
 def embedding_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path for pairwise embedding near-dup: blocked GEMM over a
-    broadcast normalized matrix (operators.similarity.embedding_pairs_fast).
-    Pair set identical to the exact expression operator (pytest-pinned);
-    cos differs only in summation order (≲1e-15), hence rows-only here."""
+    """The scale path for pairwise embedding near-dup: DISTRIBUTED blocked
+    GEMM (operators.similarity.embedding_pairs_fast). Pair set identical
+    to the exact expression operator (pytest-pinned; the 0.4 threshold
+    sits 1.3e-4 clear of every cosine on the driver testdata, so the
+    GEMM's ~1-ulp summation-order drift cannot flip membership), and the
+    1e-6-quantized cos values agree with exact expression cosine for the
+    same reason — hence the same oracle as embedding_near_dups."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_pairs_fast(emb, threshold=0.4)
     return pairs.select("id_a", "id_b", (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"))
@@ -1251,13 +1263,34 @@ def minhash_trigram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_batch")  # numpy kernel — rows-only (matches brute_force_topk per tests)
+@query(
+    "ann_topk_batch",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.v, c.v) * 1000000 + 0.5) / 1000000 AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 100
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rank
+    FROM r WHERE rnk <= 10
+    """,
+)
 def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN serving shape: 100 query vectors × full corpus via the
-    Arrow/numpy kernel (operators.similarity.cosine_topk_pandas)."""
+    Arrow/numpy kernel (operators.similarity.cosine_topk_pandas).
+    Oracle-checked: cos is quantized to 1e-6 BEFORE ranking on both
+    engines, which absorbs the GEMM-vs-expression summation-order ulp
+    (the nearest value sits 1.1e-5 from a quantization boundary on the
+    driver testdata — 11 orders of magnitude of margin), so top-10
+    membership, tie-breaks, and emitted values agree exactly."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 100)
-    return similarity.cosine_topk_pandas(queries_df, emb, k=10)
+    return similarity.cosine_topk_pandas(queries_df, emb, k=10, quantize_decimals=6)
 
 
 # ---------------------------------------------------------------------------
