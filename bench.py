@@ -77,6 +77,8 @@ HEADLINE = [
     "corpus_split",
     "repetition_scores",
     "unigram_surprisal_scores",
+    "boilerplate_scrub",
+    "quality_percentile_filter",
     "pii_redaction",
     "stratified_sample",
     "embedding_quantization",

@@ -404,3 +404,125 @@ def cross_doc_ngram_dup(
     return joined.withColumn(
         "dup_fraction_q6", F.floor(ratio * 1_000_000 + 0.5) / 1_000_000
     )
+
+
+def scrub_frequent_ngrams(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate REMOVAL (the rewrite companion of the
+    ``cross_doc_ngram_dup`` screen): drop every token covered by a word
+    n-gram that appears in at least ``min_df`` distinct documents, and
+    reassemble the remaining tokens in order. This is the CCNet/
+    RefinedWeb-style cross-document boilerplate scrub — headers, footers,
+    license blurbs, and template spam repeat verbatim across documents,
+    so their n-grams exceed ``min_df`` while genuine prose stays unique.
+
+    Returns (id_col, n_tokens, kept_tokens, scrubbed_text); documents
+    with every token scrubbed keep a row with ``scrubbed_text = ''``.
+
+    Scale design: token and gram fan-outs are one ``posexplode`` each off
+    a bound token-array projection (codegen, no Python); gram keys shuffle
+    as 32-char ``md5`` hex — portable to any engine (the DuckDB oracle
+    replays the pipeline bit-for-bit) and collision-free in practice
+    (2^128), so the scrub itself is exact. Document frequency is
+    distinct-(doc, gram) then a map-side-combined count — never
+    count(distinct) — and only FREQUENT gram occurrences fan out into
+    covered positions (boilerplate volume, not corpus volume). The final
+    reassembly shuffles each doc's kept tokens once on ``id_col``; at
+    100 TB that is the same movement any per-document reduce pays, and
+    the wide text string exists only before tokenize and after reduce.
+    """
+    from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
+
+    tok_df = ensure_min_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    toks = tok_df.select(id_col, F.posexplode("__t").alias("pos", "tok"))
+
+    # gram array bound in its own projection (see ngrams_from_tokens), then
+    # exploded as a PLAIN column — generator expressions stay trivial.
+    gram_arr = tok_df.select(
+        F.col(id_col),
+        F.when(
+            F.size("__t") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n - 1}), "
+                f"i -> md5(concat_ws(' ', {', '.join(f'element_at(__t, i + {j})' for j in range(n))})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__gs"),
+    )
+    occ = gram_arr.select(id_col, F.posexplode("__gs").alias("start", "gh"))
+    frequent = (
+        occ.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("gh")
+    )
+    covered = (
+        occ.join(frequent, "gh")
+        .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        ).alias("scrubbed_text"),
+    )
+    totals = tok_df.select(id_col, F.size("__t").cast("long").alias("n_tokens"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+    )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    score: Column,
+    *,
+    percentile: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-relative quality gate (the FineWeb-style 'keep the top
+    quartile' filter): keep documents whose quality score reaches the
+    corpus ``percentile``. Absolute thresholds drift as the corpus mix
+    changes; a percentile gate is self-calibrating.
+
+    ``score`` should be a DETERMINISTIC, cross-engine-stable expression —
+    quantize it (scaled integers are safest) before gating so the
+    threshold comparison can never straddle an engine ulp.
+
+    Returns (id_col, score_e6) for kept documents, with ``score_e6`` the
+    scaled-integer score this gate compared against.
+
+    Scale design: one pass computes scores; the exact interpolated
+    percentile is a single-reduce aggregate whose result broadcasts back
+    over the corpus (Spark turns the 1-row cross join into
+    BroadcastNestedLoopJoin — one row, so 'nested loop' is a constant) —
+    no sort of the full corpus, no driver round-trip. At 100 TB swap the
+    exact percentile for approx_percentile(score, p, accuracy) and keep
+    the identical plan shape.
+    """
+    scored = df.select(
+        F.col(id_col),
+        F.floor(score * 1_000_000 + 0.5).cast("long").alias("score_e6"),
+    )
+    thr = scored.agg(F.expr("percentile(score_e6, " + repr(percentile) + ")").alias("__thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score_e6") >= F.col("__thr"))
+        .select(id_col, "score_e6")
+    )

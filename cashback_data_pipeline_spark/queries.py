@@ -3904,6 +3904,87 @@ def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cross_doc_ngram_dup(docs, n=3)
 
 
+@query(
+    "boilerplate_scrub",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ex AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d),
+    tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok FROM ex),
+    g AS (
+      SELECT doc_id, i - 1 AS start, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gh
+      FROM ex WHERE i <= len(t) - 2
+    ),
+    freq AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.start + u.o AS pos
+      FROM g JOIN freq USING (gh), (VALUES (0), (1), (2)) AS u(o)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok FROM tok k
+      LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d2.doc_id, CAST(d2.nt AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(a.scrubbed_text, '') AS scrubbed_text
+    FROM (SELECT doc_id, len(t) AS nt FROM d) d2
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (curation.scrub_frequent_ngrams):
+    tokens covered by any trigram appearing in ≥2 distinct documents are
+    dropped and the survivors reassembled in order — the rewrite
+    companion of the cross_doc_ngram_dup screen. Gram keys are md5 hex,
+    so the DuckDB oracle replays tokenize → gram → document-frequency →
+    coverage → reassembly exactly."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.scrub_frequent_ngrams(docs, n=3, min_df=2)
+
+
+@query(
+    "quality_percentile_filter",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(floor((least(n / 500.0, 1.0) * 0.4
+                    + (nd / nt) * 0.4
+                    + (CASE WHEN ((n - (nt - 1)) / nt) >= 3 AND ((n - (nt - 1)) / nt) <= 10
+                            THEN 1.0 ELSE 0.5 END) * 0.2) * 1000000 + 0.5) AS BIGINT) AS score_e6
+      FROM t
+    ), th AS (SELECT quantile_cont(score_e6, 0.75) AS thr FROM s)
+    SELECT doc_id, score_e6 FROM s, th WHERE score_e6 >= thr
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate (curation.quality_percentile_gate):
+    keep documents in the top quartile of the composite quality score —
+    the FineWeb-style self-calibrating filter. The score is quantized to
+    a scaled BIGINT BEFORE the exact interpolated percentile on both
+    engines, so the threshold comparison can never straddle an engine
+    ulp (Spark ``percentile`` ≙ DuckDB ``quantile_cont`` — same pairing
+    value_percentiles already pins)."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.quality_percentile_gate(
+        docs, text_ops.quality_score("text"), percentile=0.75
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01/r02 keys).

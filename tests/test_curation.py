@@ -148,3 +148,49 @@ def test_cross_doc_ngram_dup_flags_shared_boilerplate(spark):
     assert out[1]["dup_fraction_q6"] == 0.75
     assert out[3]["dup_grams"] == 0
     assert out[4]["n_grams"] == 0 and out[4]["dup_fraction_q6"] == 0.0
+
+
+def test_scrub_frequent_ngrams_removes_shared_trigrams(spark):
+    df = _docs_df(
+        spark,
+        [
+            (1, "click here to subscribe now friends"),
+            (2, "click here to subscribe now today"),
+            (3, "completely different text about cats"),
+            (4, "ab"),  # too short for any trigram — untouched
+            (5, "click here to subscribe now"),  # nothing survives
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.scrub_frequent_ngrams(df, n=3, min_df=2).collect()
+    }
+    # docs 1/2/5 share "click here to"/"here to subscribe"/"to subscribe now":
+    # positions 0..4 covered; only the final unique token survives in 1/2
+    assert out[1]["scrubbed_text"] == "friends" and out[1]["kept_tokens"] == 1
+    assert out[2]["scrubbed_text"] == "today" and out[2]["kept_tokens"] == 1
+    assert out[1]["n_tokens"] == 6
+    # doc 3 shares no grams — intact, order preserved
+    assert out[3]["scrubbed_text"] == "completely different text about cats"
+    assert out[3]["kept_tokens"] == 5
+    # doc 4 too short for grams — intact
+    assert out[4]["scrubbed_text"] == "ab" and out[4]["kept_tokens"] == 1
+    # doc 5 fully covered — empty but still present
+    assert out[5]["scrubbed_text"] == "" and out[5]["kept_tokens"] == 0
+
+
+def test_quality_percentile_gate_keeps_top_quartile(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "doc_id long, s double"
+    )
+    kept = {
+        r["doc_id"]: r["score_e6"]
+        for r in curation.quality_percentile_gate(
+            df, F.col("s") / 10.0, percentile=0.75, id_col="doc_id"
+        ).collect()
+    }
+    # scores .1..{.8} scaled e6; p75 of [1e5..8e5] = 1e5 + 0.75*7e5 = 625000
+    assert set(kept) == {7, 8}
+    assert kept[8] == 800000
