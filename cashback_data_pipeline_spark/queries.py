@@ -2923,16 +2923,91 @@ def unigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_refined_topk")  # k-means refine: avg() summation order is engine-specific — rows-only
+@query(
+    "ann_ivf_refined_topk",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c0 c) x WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cid, pos, avg(val) AS m
+      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM a1) z
+      GROUP BY cid, pos
+    ),
+    c1v AS (SELECT cid, list(CAST(CAST(m AS FLOAT4) AS DOUBLE) ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+    c1 AS (SELECT c0.cid, coalesce(c1v.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1v USING (cid)),
+    a2 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c1 c) x WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT cid, pos, avg(val) AS m
+      FROM (SELECT cid, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS val FROM a2) z
+      GROUP BY cid, pos
+    ),
+    c2v AS (SELECT cid, list(CAST(CAST(m AS FLOAT4) AS DOUBLE) ORDER BY pos) AS cv FROM m2 GROUP BY cid),
+    c2 AS (SELECT c1.cid, coalesce(c2v.cv, c1.cv) AS cv FROM c1 LEFT JOIN c2v USING (cid)),
+    af AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        FROM e, c2 c) x WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, q_v, cid FROM (
+        SELECT q.vec_id AS q_id, q.v AS q_v, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cid) AS rn
+        FROM e q, c2 c WHERE q.vec_id < 10) p
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id, list_cosine_similarity(p.q_v, a.v) AS cos
+      FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id != p.q_id
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cos,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """,
+)
 def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF configuration: centroids tightened with 2 Lloyd
     rounds (operators.similarity.kmeans_refine — fully relational, no
     driver-side vectors) before assignment and probing. Recall vs brute
-    force pinned in tests/test_similarity.py; the unrefined
-    ``ann_ivf_topk`` twin carries the cross-engine oracle."""
+    force pinned in tests/test_similarity.py.
+
+    ORACLE-CHECKED: the SQL unrolls both Lloyd rounds. The only
+    engine-order-dependent step — the element-wise avg() behind each new
+    centroid — passes through the operator's float32 centroid storage
+    (kmeans_refine casts to array<float>; the oracle mirrors with
+    CAST(avg AS FLOAT4)), which absorbs double summation-order noise
+    (~1e-16 relative) into a 6e-8 grid — 8 orders of margin. Every
+    downstream argmin/cosine is exact-expression arithmetic, already
+    proven bit-identical to DuckDB by the unrefined ann_ivf_topk twin."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5, refine_iters=2)
+    topk = similarity.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5, refine_iters=2)
+    return topk.select(
+        "query_id", "neighbor_id",
+        (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
+        "rank",
+    )
 
 
 @query(
