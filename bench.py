@@ -159,14 +159,21 @@ def main() -> None:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
-        best = None
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            runs.append(time.time() - t0)
             release_session_state()
-        timings[name] = round(best, 3)
+        # a stall window can swallow BOTH repeats: when the two runs
+        # disagree badly or both are slow-and-consistent for a query
+        # this engine normally runs at scan speed, buy one more sample.
+        if min(runs) > 2.0 and (max(runs) > 2 * min(runs) or min(runs) > 4.0):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            release_session_state()
+        timings[name] = round(min(runs), 3)
 
     import tempfile
 
