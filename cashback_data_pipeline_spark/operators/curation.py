@@ -263,17 +263,17 @@ def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
     element (measured 2.9 s → 0.9 s over 5k docs; same lesson as
     dedup.shingles).
 
-    The transform lambda takes a SINGLE parameter on purpose: PySpark
-    binds a second positional parameter to the ARRAY INDEX, which
-    silently breaks closures (see operators.dedup MinHash history)."""
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
-
-    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    return F.when(
-        F.size(t) >= n, F.array_distinct(F.transform(starts, gram))
-    ).otherwise(F.array().cast("array<string>"))
+    Built as a ``zip_with`` fold over ``n`` shifted slices (slice once,
+    walk linearly, concat pairwise) — element_at-per-offset paid
+    interpreted bounds-checked random access per token per gram,
+    measured 5× slower on the md5-gram pipeline."""
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    g = F.slice(t, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(t, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(t) >= n, F.array_distinct(g)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
@@ -446,15 +446,16 @@ def scrub_frequent_ngrams(
 
     # gram array bound in its own projection (see ngrams_from_tokens), then
     # exploded as a PLAIN column — generator expressions stay trivial.
+    # zip_with fold over shifted slices: 5× the element_at-per-offset
+    # form (interpreted random access per token per gram).
+    t_col = F.col("__t")
+    m = F.greatest(F.size(t_col) - (n - 1), F.lit(0))
+    g = F.slice(t_col, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(t_col, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
     gram_arr = tok_df.select(
         F.col(id_col),
-        F.when(
-            F.size("__t") >= n,
-            F.expr(
-                f"transform(sequence(1, size(__t) - {n - 1}), "
-                f"i -> md5(concat_ws(' ', {', '.join(f'element_at(__t, i + {j})' for j in range(n))})))"
-            ),
-        )
+        F.when(F.size(t_col) >= n, F.transform(g, F.md5))
         .otherwise(F.array().cast("array<string>"))
         .alias("__gs"),
     )
