@@ -254,8 +254,8 @@ def unigram_surprisal(
 
 def ngrams_from_tokens(t: Column, n: int = 3) -> Column:
     """DISTINCT word n-grams from an ALREADY-BOUND token-array column —
-    element_at per offset (O(L·n)), whole-stage codegen, no Python.
-    Sequences shorter than ``n`` tokens yield an empty array.
+    a zip_with fold over shifted slices (O(L·n), linear walks, no
+    Python). Sequences shorter than ``n`` tokens yield an empty array.
 
     Bind the token array in its OWN select first: the expression
     references ``t`` from every gram element, and a projection boundary

@@ -329,3 +329,32 @@ def test_zero_shuffle_signature_plans(spark, sf_dir):
     }.items():
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, f"{name} plan gained a shuffle:\n{plan[:2000]}"
+
+
+def test_read_testdata_normalizes_both_events_ts_layouts(spark, tmp_path):
+    """The driver's events table has shipped as TIMESTAMP(NANOS) (read as
+    long under nanosAsLong) and as native micros TIMESTAMP_NTZ (rejects
+    unix_micros until cast). read_testdata must normalize BOTH to
+    session-UTC TIMESTAMP with identical values."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    ts = [dt.datetime(2024, 1, 10, 12, 0, 0, 123456), dt.datetime(2024, 1, 20, 0, 0, 0)]
+    base = {"event_id": [1, 2], "user_id": [7, 8], "event_type": ["a", "b"],
+            "value": [1.5, 2.5], "props": ["{}", "{}"]}
+    for unit, sub in (("ns", "nanos"), ("us", "micros")):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table({**base, "ts": pa.array(ts, type=pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"))
+    got = {}
+    for sub in ("nanos", "micros"):
+        df = read_testdata(spark, str(tmp_path / sub), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (sub, df.dtypes)
+        got[sub] = sorted((r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect())
+    assert got["nanos"] == got["micros"]
+    assert got["micros"][0][1] == ts[0]
