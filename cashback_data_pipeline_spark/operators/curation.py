@@ -473,20 +473,25 @@ def scrub_frequent_ngrams(
         .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
         .distinct()
     )
-    kept = toks.join(covered, [id_col, "pos"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("kept_tokens"),
+    # ONE per-doc reduce does totals + survivors + reassembly: tag covered
+    # positions with a left join, then aggregate — count(*) is the token
+    # total, the conditional struct is null for covered positions and
+    # collect_list drops nulls, so the sorted survivors reassemble in
+    # order. (An anti-join + separate totals join would cost 3 more
+    # exchanges for identical output.)
+    tagged = toks.join(
+        covered.withColumn("__c", F.lit(1)), [id_col, "pos"], "left"
+    )
+    surv = F.when(F.col("__c").isNull(), F.struct("pos", "tok"))
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(surv).alias("kept_tokens"),
         F.concat_ws(
             " ",
-            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN __c IS NULL THEN struct(pos, tok) END)), x -> x.tok)"
+            ),
         ).alias("scrubbed_text"),
-    )
-    totals = tok_df.select(id_col, F.size("__t").cast("long").alias("n_tokens"))
-    return totals.join(reassembled, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
-        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
     )
 
 
