@@ -275,3 +275,40 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table sink — the co-located-join layout.
+
+    Writing both sides of a hot equi-join bucketed by the join key with
+    the SAME bucket count lets Spark join them with ZERO exchanges: each
+    task reads bucket i of both tables (plus a sort if ``sort_cols``
+    didn't pre-sort them). At 100 TB this turns the nightly
+    fact-to-fact join from a full 2-sided shuffle — the single most
+    expensive stage in the pipeline — into a scan-local merge, and
+    repeated joins against the same layout amortize the one-time
+    bucketing shuffle across every downstream run.
+
+    Bucketing requires the table catalog (bucket metadata lives there,
+    not in parquet footers), hence ``saveAsTable``; pass ``path`` to
+    keep the data external at a chosen location. Verified by plan
+    assertion in tests/test_pipeline.py::test_bucketed_join_eliminates_exchange.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

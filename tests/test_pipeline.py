@@ -182,3 +182,37 @@ def test_merge_upsert_dedups_incoming_batch(spark):
     assert len(rows) == 2  # one row per key survives
     final = {r["k"]: r["v"] for r in rows}
     assert final == {1: "x1", 2: "y"}  # deterministic winner: lowest tuple
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Co-located join layout: both sides bucketed by the join key with
+    the same bucket count -> the equi-join plans with ZERO exchanges
+    (scan-local merge), the scale story bucketing exists for."""
+    from cashback_data_pipeline_spark.sinks import write_bucketed
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = read_testdata(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    write_bucketed(orders, "bt_orders", ["o_custkey"], 8, sort_cols=["o_custkey"],
+                   path=str(tmp_path / "bt_orders"))
+    write_bucketed(customer, "bt_customer", ["c_custkey"], 8, sort_cols=["c_custkey"],
+                   path=str(tmp_path / "bt_customer"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try:
+        # force a non-broadcast join so the exchange question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bt_orders").join(
+            spark.table("bt_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        # and it actually runs
+        assert j.count() == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
