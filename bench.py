@@ -67,9 +67,11 @@ HEADLINE = [
     "decimal_exact_totals",
     "cross_nation_volume",
     "customer_order_distribution",
-    # temporal joins
+    # temporal joins + time-series analytics
     "attribution_interval_join",
     "asof_enrich_value",
+    "retention_cohorts",
+    "time_grain_rollup",
     # LLM-corpus curation paths
     "doc_chunks",
     "doc_packing",

@@ -3980,6 +3980,93 @@ def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts",
+    sql="""
+    WITH su AS (
+      SELECT user_id, CAST(min(date_trunc('month', ts)) AS DATE) AS cohort_month
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS act_month
+      FROM events
+    )
+    SELECT s.cohort_month,
+           CAST(date_diff('month', s.cohort_month, a.act_month) AS INT) AS months_since,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act a JOIN su s ON s.user_id = a.user_id
+    WHERE a.act_month >= s.cohort_month
+    GROUP BY s.cohort_month, months_since
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics shape:
+    cohort = month of a user's first signup event, activity = any event
+    month at/after it, cell = distinct active users per (cohort,
+    months-since). Distinctness comes from a (user, month) dedup BEFORE
+    the cohort aggregate — count(*) over pre-distinct rows instead of
+    count(distinct), so both shuffles are map-side combinable and no
+    reducer sees a distinct-set state (the skew-safe form at 100 TB)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.min(F.date_trunc("month", "ts"))).alias("cohort_month"))
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("month", "ts")).alias("act_month")
+    ).distinct()
+    return (
+        act.join(su, "user_id")
+        .filter(F.col("act_month") >= F.col("cohort_month"))
+        .groupBy(
+            "cohort_month",
+            F.months_between("act_month", "cohort_month").cast("int").alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "time_grain_rollup",
+    sql=f"""
+    WITH e AS (
+      SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+             CAST(day(ts) AS INT) AS d, value
+      FROM events
+    )
+    SELECT y, m, d,
+           CAST(GROUPING(y) AS INT) AS gy,
+           CAST(GROUPING(m) AS INT) AS gm,
+           CAST(GROUPING(d) AS INT) AS gd,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dsum2('value')} AS sum_value
+    FROM e
+    GROUP BY ROLLUP (y, m, d)
+    """,
+)
+def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-grain rollup: one ROLLUP pass produces the
+    day, month, year, and grand-total aggregates (the continuous-
+    aggregate hierarchy) with grouping indicators — one shuffle for four
+    materialization grains; partial aggregation combines map-side at
+    every grain simultaneously."""
+    ev = read_testdata(spark, sf_dir, "events")
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    return (
+        ev.select(y.alias("y"), m.alias("m"), d.alias("d"), "value")
+        .rollup("y", "m", "d")
+        .agg(
+            F.grouping("y").cast("int").alias("gy"),
+            F.grouping("m").cast("int").alias("gm"),
+            F.grouping("d").cast("int").alias("gd"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum2(F.col("value")).alias("sum_value"),
+        )
+        .select("y", "m", "d", "gy", "gm", "gd", "n_events", "sum_value")
+    )
+
+
+@query(
     "boilerplate_scrub",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
