@@ -4067,6 +4067,70 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel",
+    sql="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click_after_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM c
+    UNION ALL
+    SELECT 'purchase_after_click' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM p
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel — the product-analytics conversion shape: users
+    reaching view, then click strictly after their first view, then
+    purchase strictly after that first qualifying click. Each stage is a
+    conditional min-timestamp aggregate joined forward (broadcast-sized
+    per-user stage tables at any scale: one row per surviving user), so
+    no per-user event arrays are ever materialized and every aggregate
+    is map-side combinable."""
+    ev = read_testdata(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    def n(df, stage):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+    return (
+        n(v, "view")
+        .unionByName(n(c, "click_after_view"))
+        .unionByName(n(p, "purchase_after_click"))
+    )
+
+
+@query(
     "boilerplate_scrub",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
