@@ -72,6 +72,7 @@ HEADLINE = [
     "asof_enrich_value",
     "retention_cohorts",
     "time_grain_rollup",
+    "event_funnel",
     # LLM-corpus curation paths
     "doc_chunks",
     "doc_packing",
