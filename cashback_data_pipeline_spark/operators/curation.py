@@ -532,3 +532,46 @@ def quality_percentile_gate(
         .filter(F.col("score_e6") >= F.col("__thr"))
         .select(id_col, "score_e6")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    group_col: str | None = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget1",
+) -> DataFrame:
+    """Deterministic token-budget sampling — the mixture-assembly step
+    that fills each source's token allowance for a training run: walk
+    each group's documents in salted-hash order (a reproducible shuffle)
+    and keep documents while the running token total stays within
+    ``budget_tokens``.
+
+    Returns (id_col[, group_col], n_tokens, cum_tokens) for kept docs.
+
+    Scale design: one window pass per group (hash order ⇒ uniform
+    sample-without-replacement, stable across runs/retries/engines), a
+    running sum, one filter. The window shuffles on ``group_col`` only —
+    the same movement any per-source reduce pays. ``group_col=None``
+    budgets the whole corpus through one global window: small-corpus
+    only (single reducer) — shard upstream for that case."""
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (
+        W.partitionBy(group_col) if group_col is not None else W.partitionBy()
+    ).orderBy(h.asc(), F.col(id_col).asc())
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    out_cols = [id_col] + ([group_col] if group_col else []) + ["n_tokens", "cum_tokens"]
+    return (
+        df.select(
+            F.col(id_col),
+            *([F.col(group_col)] if group_col else []),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(*out_cols)
+    )

@@ -4067,6 +4067,34 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_budget_mixture",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(doc_id::VARCHAR || 'budget1') AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+    """,
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly (curation.token_budget_sample): fill
+    each source's 2000-token allowance by walking documents in
+    salted-hash order and keeping them while the running total fits —
+    the deterministic engine-portable form of 'sample X tokens per
+    domain for the training mix'. One window pass per source; the
+    (hash, id) order is unique, so RANGE/ROWS frame semantics coincide
+    and the DuckDB oracle replays the walk exactly."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return curation.token_budget_sample(docs, 2000, group_col="source")
+
+
+@query(
     "event_funnel",
     sql="""
     WITH v AS (

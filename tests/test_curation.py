@@ -194,3 +194,20 @@ def test_quality_percentile_gate_keeps_top_quartile(spark):
     # scores .1..{.8} scaled e6; p75 of [1e5..8e5] = 1e5 + 0.75*7e5 = 625000
     assert set(kept) == {7, 8}
     assert kept[8] == 800000
+
+
+def test_token_budget_sample_respects_budget_and_order(spark):
+    df = _docs_df(
+        spark,
+        [(i, " ".join(["w"] * 10)) for i in range(1, 21)],  # 20 docs x 10 tokens
+    ).withColumn("source", F.lit("s0"))
+    out = curation.token_budget_sample(df, 35, group_col="source").collect()
+    # 10-token docs against a 35-token budget -> exactly 3 kept
+    assert len(out) == 3
+    assert max(r["cum_tokens"] for r in out) == 30
+    # deterministic: same call, same rows
+    again = curation.token_budget_sample(df, 35, group_col="source").collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+    # bigger budget keeps a superset
+    more = curation.token_budget_sample(df, 65, group_col="source").collect()
+    assert set(r["doc_id"] for r in out) <= set(r["doc_id"] for r in more)
