@@ -406,6 +406,97 @@ def cross_doc_ngram_dup(
     )
 
 
+def _frequent_gram_coverage(
+    df: DataFrame,
+    *,
+    n: int,
+    min_df: int,
+    text_col: str,
+    id_col: str,
+):
+    """Shared machinery for the cross-document boilerplate family:
+    returns ``(toks, covered)`` where ``toks`` is (id, pos, tok) —
+    0-based positions — and ``covered`` the distinct (id, pos) set of
+    positions lying inside any word n-gram that occurs in ≥ ``min_df``
+    distinct documents. Gram keys travel as portable md5 hex (DuckDB
+    oracles replay them bit-for-bit); grams are built as a zip_with fold
+    over shifted slices (5× the element_at-per-offset form); only
+    FREQUENT gram occurrences fan out into positions."""
+    from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
+
+    tok_df = ensure_min_parallelism(df).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    toks = tok_df.select(id_col, F.posexplode("__t").alias("pos", "tok"))
+
+    t_col = F.col("__t")
+    m = F.greatest(F.size(t_col) - (n - 1), F.lit(0))
+    g = F.slice(t_col, 1, m)
+    for j in range(1, n):
+        g = F.zip_with(g, F.slice(t_col, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    gram_arr = tok_df.select(
+        F.col(id_col),
+        F.when(F.size(t_col) >= n, F.transform(g, F.md5))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__gs"),
+    )
+    occ = gram_arr.select(id_col, F.posexplode("__gs").alias("start", "gh"))
+    frequent = (
+        occ.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("gh")
+    )
+    covered = (
+        occ.join(frequent, "gh")
+        .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    return toks, covered
+
+
+def duplicate_passages(
+    df: DataFrame,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated-passage spans per document: contiguous token
+    ranges covered by word n-grams that repeat across ≥ ``min_df``
+    documents — the reporting companion of ``scrub_frequent_ngrams``
+    (inspect/score what the scrub would remove, the exact-substring-dedup
+    shape of the dedup literature approximated at n-gram resolution).
+
+    Returns (id_col, span_start, span_end, span_tokens) with 0-based
+    inclusive token positions, one row per maximal span.
+
+    Plan: the shared coverage machinery, then gaps-and-islands — rank
+    covered positions per doc and group by ``pos − rank``, which is
+    constant exactly on consecutive runs; min/max/count per island give
+    the spans. One window pass + one aggregate over the covered set
+    (boilerplate volume, not corpus volume)."""
+    from pyspark.sql import Window as W
+
+    _, covered = _frequent_gram_coverage(
+        df, n=n, min_df=min_df, text_col=text_col, id_col=id_col
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    islands = covered.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )
+
+
 def scrub_frequent_ngrams(
     df: DataFrame,
     *,
@@ -437,41 +528,8 @@ def scrub_frequent_ngrams(
     100 TB that is the same movement any per-document reduce pays, and
     the wide text string exists only before tokenize and after reduce.
     """
-    from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
-
-    tok_df = ensure_min_parallelism(df).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
-    )
-    toks = tok_df.select(id_col, F.posexplode("__t").alias("pos", "tok"))
-
-    # gram array bound in its own projection (see ngrams_from_tokens), then
-    # exploded as a PLAIN column — generator expressions stay trivial.
-    # zip_with fold over shifted slices: 5× the element_at-per-offset
-    # form (interpreted random access per token per gram).
-    t_col = F.col("__t")
-    m = F.greatest(F.size(t_col) - (n - 1), F.lit(0))
-    g = F.slice(t_col, 1, m)
-    for j in range(1, n):
-        g = F.zip_with(g, F.slice(t_col, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b))
-    gram_arr = tok_df.select(
-        F.col(id_col),
-        F.when(F.size(t_col) >= n, F.transform(g, F.md5))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("__gs"),
-    )
-    occ = gram_arr.select(id_col, F.posexplode("__gs").alias("start", "gh"))
-    frequent = (
-        occ.select(id_col, "gh")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("gh")
-    )
-    covered = (
-        occ.join(frequent, "gh")
-        .select(id_col, F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"))
-        .distinct()
+    toks, covered = _frequent_gram_coverage(
+        df, n=n, min_df=min_df, text_col=text_col, id_col=id_col
     )
     # ONE per-doc reduce does totals + survivors + reassembly: tag covered
     # positions with a left join, then aggregate — count(*) is the token

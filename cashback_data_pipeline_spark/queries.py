@@ -4067,6 +4067,51 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_passages",
+    sql="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ex AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d),
+    g AS (
+      SELECT doc_id, i - 1 AS start,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS gh
+      FROM ex WHERE i <= len(t) - 4
+    ),
+    freq AS (
+      SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM g)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.start + u.o AS pos
+      FROM g JOIN freq USING (gh), (VALUES (0), (1), (2), (3), (4)) AS u(o)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM cov
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-passage spans (curation.duplicate_passages):
+    contiguous token ranges covered by 5-grams repeating across ≥2
+    documents, merged via gaps-and-islands (pos − rank is constant on
+    consecutive runs). The DuckDB oracle replays coverage and island
+    merge exactly."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = curation.duplicate_passages(docs, n=5, min_df=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        "span_tokens",
+    )
+
+
+@query(
     "token_budget_mixture",
     sql="""
     WITH t AS (

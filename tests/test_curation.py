@@ -211,3 +211,22 @@ def test_token_budget_sample_respects_budget_and_order(spark):
     # bigger budget keeps a superset
     more = curation.token_budget_sample(df, 65, group_col="source").collect()
     assert set(r["doc_id"] for r in out) <= set(r["doc_id"] for r in more)
+
+
+def test_duplicate_passages_merges_spans(spark):
+    df = _docs_df(
+        spark,
+        [
+            (1, "a b c d e unique1 x y z w v"),   # two 5-gram runs, separated
+            (2, "a b c d e unique2 x y z w v"),
+            (3, "totally different words here now"),
+        ],
+    )
+    out = {}
+    for r in curation.duplicate_passages(df, n=5, min_df=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"], r["span_tokens"]))
+    # docs 1/2 share "a b c d e" (pos 0-4) and "x y z w v" (pos 6-10);
+    # the unique token at pos 5 splits them into two maximal islands
+    assert sorted(out[1]) == [(0, 4, 5), (6, 10, 5)]
+    assert sorted(out[2]) == [(0, 4, 5), (6, 10, 5)]
+    assert 3 not in out
