@@ -81,7 +81,9 @@ HEADLINE = [
     "repetition_scores",
     "unigram_surprisal_scores",
     "boilerplate_scrub",
+    "duplicate_passages",
     "quality_percentile_filter",
+    "token_budget_mixture",
     "pii_redaction",
     "stratified_sample",
     "embedding_quantization",

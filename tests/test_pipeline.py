@@ -216,3 +216,18 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_orders")
         spark.sql("DROP TABLE IF EXISTS bt_customer")
+
+
+def test_warehouse_schema_evolution_merge(spark, tmp_path):
+    """Operational reality at 100 TB: columns get added over time.
+    Parquet + mergeSchema reads the union schema; old files surface the
+    new column as nulls, and per-file pruning still works."""
+    p = str(tmp_path / "wh_evo")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
