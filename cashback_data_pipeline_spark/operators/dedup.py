@@ -387,6 +387,71 @@ def minhash_signatures(
     return base.select("id", F.expr("array(" + ",".join(parts) + ")").alias("sig"))
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.9,
+    block_cols: list[str] | None = None,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All pairs with bag CONTAINMENT ≥ threshold, where containment =
+    |A∩B|_bag / min(|A|, |B|) — the asymmetric companion of
+    ``ngram_jaccard_pairs``: a short document quoted or embedded whole
+    inside a longer one scores ~1.0 here while its Jaccard (union
+    denominator) can be arbitrarily low. The subset-duplication screen
+    (quotes, partial crawls, doc-in-doc wrapping) exact and Jaccard
+    dedup both miss.
+
+    Same inverted-index plan as the Jaccard operator (explode → bag
+    count → self-join on token [+ blocks] → Σ min(cnt)), and the index
+    is checkpointed once for its three consumers. NO length blocking on
+    purpose: mismatched lengths are exactly the pairs this operator
+    exists for, so the candidate bound comes from ``block_cols`` and the
+    ``max_token_df`` hot-token cap instead.
+
+    Returns (id_a, id_b, containment) with id_a < id_b."""
+    df = ensure_min_parallelism(df)
+    sh = df.select(F.col(id_col).alias("id"), *(block_cols or []), shingles(text_col, n).alias("sh"))
+    exploded = sh.select("id", *(block_cols or []), F.explode("sh").alias("tok"))
+    tok = exploded.groupBy("id", *(block_cols or []), "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tok = tok.localCheckpoint()
+    sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
+    if max_token_df is not None:
+        hot = (
+            tok.groupBy("tok")
+            .agg(F.countDistinct("id").alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("tok")
+        )
+        tok = tok.join(F.broadcast(hot), on="tok", how="left_anti")
+    a = tok.select(
+        F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in (block_cols or [])],
+        F.col("tok"), F.col("cnt").alias("cnt_a"),
+    )
+    b = tok.select(
+        F.col("id").alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in (block_cols or [])],
+        F.col("tok"), F.col("cnt").alias("cnt_b"),
+    )
+    cond = (a["tok"] == b["tok"]) & (a["id_a"] < b["id_b"])
+    for c in block_cols or []:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    inter = (
+        a.join(b, on=cond, how="inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", F.col("inter") / F.least("size_a", "size_b"))
+    )
+    return scored.filter(F.col("containment") >= threshold).select("id_a", "id_b", "containment")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",

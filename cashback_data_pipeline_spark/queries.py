@@ -4067,6 +4067,44 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "containment_near_dups",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, lang, t AS tok, count(*) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM tok GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(CAST(i AS DOUBLE) / least(sa.sz, sb.sz) * 1000000 + 0.5) / 1000000 AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.95
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric bag-containment near-dup (dedup.ngram_containment_pairs):
+    |A∩B| / min(|A|,|B|) ≥ 0.95 within a language block — the
+    subset-duplication screen (quotes, partial crawls, doc-in-doc
+    wrapping) that union-denominator Jaccard misses. Deliberately NOT
+    length-blocked: mismatched lengths are the signal."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(
+        docs, id_col="doc_id", text_col="text", n=1, threshold=0.95, block_cols=["lang"]
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("containment") * 1000000 + 0.5) / 1000000).alias("containment"),
+    )
+
+
+@query(
     "duplicate_passages",
     sql="""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -212,3 +212,21 @@ def test_dedup_incremental_batch_and_history(spark):
     assert set(rows) == {11}
     import hashlib
     assert rows[11] == hashlib.md5(b"brand new").hexdigest()
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from cashback_data_pipeline_spark.operators import dedup as D
+
+    rows = [
+        (1, "alpha beta gamma"),                                      # fully inside doc 2
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "totally other words entirely present here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in D.ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0  # subset pair found
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # same pair under Jaccard: 3/9 — far below any useful threshold
+    jac = D.ngram_jaccard_pairs(df, threshold=0.9)
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in jac.collect()}
