@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_fingerprints",
     "simhash_near_dups",
     "minhash_trigram_near_dups",
+    "containment_near_dups",
     "ann_topk_cosine",
     "ann_topk_batch",
     "embedding_near_dups_fast",
