@@ -4069,15 +4069,18 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "containment_near_dups",
     sql="""
-    WITH tok AS (
-      SELECT doc_id, lang, t AS tok, count(*) AS cnt
-      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    ex AS (SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM d WHERE len(t) >= 3),
+    tok AS (
+      SELECT doc_id, lang, gram, count(*) AS cnt
+      FROM (SELECT doc_id, lang, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram FROM ex)
       GROUP BY 1, 2, 3
     ), sizes AS (
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz FROM tok GROUP BY 1
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS i
-      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM tok a JOIN tok b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -4090,13 +4093,22 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric bag-containment near-dup (dedup.ngram_containment_pairs):
-    |A∩B| / min(|A|,|B|) ≥ 0.95 within a language block — the
+    trigram-bag |A∩B| / min(|A|,|B|) ≥ 0.95 within a language block — the
     subset-duplication screen (quotes, partial crawls, doc-in-doc
     wrapping) that union-denominator Jaccard misses. Deliberately NOT
-    length-blocked: mismatched lengths are the signal."""
+    length-blocked (mismatched lengths are the signal); TRIGRAM shingles
+    because the synthetic corpus's 31-word vocabulary saturates unigram
+    bags — every token is corpus-hot and the inverted-index join
+    degenerates toward all-pairs (measured 24 s vs 2 s at sf0.1), the
+    same regime that makes trigram MinHash the production config here.
+    The oracle mirrors the Spark side's gram-equality semantics (the
+    separator byte differs; only equality matters). Docs shorter than 3
+    tokens contribute their degenerate shingle on the Spark side and
+    nothing in SQL — absent from this corpus; the operator itself
+    handles them."""
     docs = read_testdata(spark, sf_dir, "documents")
     pairs = dedup.ngram_containment_pairs(
-        docs, id_col="doc_id", text_col="text", n=1, threshold=0.95, block_cols=["lang"]
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.95, block_cols=["lang"]
     )
     return pairs.select(
         "id_a", "id_b",
