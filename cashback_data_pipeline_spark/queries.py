@@ -1168,6 +1168,37 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_counts",
+    sql=f"""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) - o.k * INTERVAL 1 HOUR AS win_start,
+             event_type, value
+      FROM events, (VALUES (0), (1)) AS o(k)
+    )
+    SELECT win_start, event_type,
+           count(*) AS n,
+           {{sum_value}} AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """.format(sum_value=sql_dsum2("value")),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation (2h windows every 1h) — the overlapping
+    form tumbling windows can't express: each event contributes to
+    size/slide windows (Spark's window() fans the row out map-side, no
+    extra shuffle beyond the aggregate). The oracle replays the fan-out
+    as a 2-row offset cross join onto the hourly grid — identical window
+    membership, and only windows containing events appear on both
+    engines."""
+    events = read_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+@query(
     "warehouse_roundtrip",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
