@@ -4098,6 +4098,89 @@ def time_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_health_by_source",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, source, length(text) AS n,
+             len(string_split(text, ' ')) AS nt,
+             len(list_distinct(string_split(text, ' '))) AS nd
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(floor(avg(nt) * 100 + 0.5) AS BIGINT) AS avg_tokens_e2,
+           CAST(floor(avg(CAST(nd AS DOUBLE) / nt) * 1000000 + 0.5) AS BIGINT) AS avg_diversity_e6,
+           CAST(min(n) AS INT) AS min_chars, CAST(max(n) AS INT) AS max_chars
+    FROM t GROUP BY source
+    """,
+)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard — the monitoring query a
+    training-data pipeline runs after every ingest: volume, token
+    budget, lexical diversity, and length extremes per source, in ONE
+    scan with map-side-combined aggregates. Ratio means are quantized to
+    scaled BIGINTs; avg() of the per-doc ratio is order-sensitive at the
+    1e-16 level but the 1e-6 grid absorbs it (same margin argument as
+    the ANN quantization)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "source",
+        F.length("text").alias("n"),
+        F.size(toks).alias("nt"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.floor(F.avg("nt") * 100 + 0.5).cast("bigint").alias("avg_tokens_e2"),
+        F.floor(F.avg(F.col("nd").cast("double") / F.col("nt")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("avg_diversity_e6"),
+        F.min("n").alias("min_chars"),
+        F.max("n").alias("max_chars"),
+    )
+
+
+@query(
+    "value_outliers",
+    sql="""
+    WITH p AS (
+      SELECT event_type, quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(floor(p.p99 * 10000 + 0.5) AS BIGINT) AS p99_e4,
+           CAST(count(*) AS BIGINT) AS n_outliers
+    FROM events e JOIN p ON p.event_type = e.event_type
+    WHERE e.value > p.p99
+    GROUP BY e.event_type, p.p99
+    """,
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based outlier screen per event type: count events above
+    the exact interpolated p99 (Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont`` — the pairing value_percentiles pins). The
+    per-group threshold broadcasts back over the fact scan; no
+    stddev/z-score (double-summation order is engine-specific; an order
+    statistic is not)."""
+    events = read_testdata(spark, sf_dir, "events")
+    p = events.groupBy("event_type").agg(F.expr("percentile(value, 0.99)").alias("p99"))
+    return (
+        events.join(F.broadcast(p), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .groupBy("event_type", "p99")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .select(
+            "event_type",
+            F.floor(F.col("p99") * 10_000 + 0.5).cast("bigint").alias("p99_e4"),
+            "n_outliers",
+        )
+    )
+
+
+@query(
     "containment_near_dups",
     sql="""
     WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
