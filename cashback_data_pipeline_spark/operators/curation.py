@@ -421,11 +421,16 @@ def _frequent_gram_coverage(
     distinct documents. Gram keys travel as portable md5 hex (DuckDB
     oracles replay them bit-for-bit); grams are built as a zip_with fold
     over shifted slices (5× the element_at-per-offset form); only
-    FREQUENT gram occurrences fan out into positions."""
+    FREQUENT gram occurrences fan out into positions.
+
+    NULL text coalesces to '' BEFORE tokenizing: split(NULL) is NULL and
+    posexplode would drop the document entirely, while the DuckDB oracle's
+    LEFT JOIN keeps it — a latent cross-engine row-count divergence
+    (ADVICE r3). Both engines now see the one-empty-token document."""
     from cashback_data_pipeline_spark.operators.dedup import ensure_min_parallelism
 
     tok_df = ensure_min_parallelism(df).select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+        F.col(id_col), F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__t")
     )
     toks = tok_df.select(id_col, F.posexplode("__t").alias("pos", "tok"))
 

@@ -409,7 +409,10 @@ def ngram_containment_pairs(
     is checkpointed once for its three consumers. NO length blocking on
     purpose: mismatched lengths are exactly the pairs this operator
     exists for, so the candidate bound comes from ``block_cols`` and the
-    ``max_token_df`` hot-token cap instead.
+    ``max_token_df`` hot-token cap instead. With the cap set, document
+    sizes are computed over the retained (post-cap) token bag, so the
+    score stays an unbiased containment over that bag rather than a
+    deflated lower bound (see inline note).
 
     Returns (id_a, id_b, containment) with id_a < id_b."""
     df = ensure_min_parallelism(df)
@@ -417,7 +420,6 @@ def ngram_containment_pairs(
     exploded = sh.select("id", *(block_cols or []), F.explode("sh").alias("tok"))
     tok = exploded.groupBy("id", *(block_cols or []), "tok").agg(F.count(F.lit(1)).alias("cnt"))
     tok = tok.localCheckpoint()
-    sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
     if max_token_df is not None:
         hot = (
             tok.groupBy("tok")
@@ -426,6 +428,15 @@ def ngram_containment_pairs(
             .select("tok")
         )
         tok = tok.join(F.broadcast(hot), on="tok", how="left_anti")
+    # Sizes are taken AFTER the hot-token cap, unlike the Jaccard
+    # operator's deliberate lower bound: a containment score with capped
+    # tokens removed from the numerator but not the min(|A|,|B|)
+    # denominator deflates, silently dropping true pairs at the
+    # threshold. Post-cap sizes keep the score an unbiased containment
+    # over the RETAINED token bag — the cap then only redefines the
+    # universe (stop-shingles carry no subset-duplication signal), it
+    # never biases the ratio.
+    sizes = tok.groupBy("id").agg(F.sum("cnt").alias("size"))
     a = tok.select(
         F.col("id").alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in (block_cols or [])],
         F.col("tok"), F.col("cnt").alias("cnt_a"),
