@@ -89,22 +89,37 @@ def merge_asof(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
-    """Generic as-of join (pandas ``merge_asof`` semantics, backward
-    direction): for every left row, attach the columns of the LATEST
-    right row with ``right.on <= left.on`` (within ``tolerance_seconds``
-    if given), optionally per ``by`` group.
+    """Generic as-of join (full pandas ``merge_asof`` semantics): for
+    every left row, attach the columns of the matched right row,
+    optionally per ``by`` group and within ``tolerance_seconds``:
 
-    Plan: tag-union both inputs, ONE window pass per attached column
-    (``last(col, ignorenulls)`` over the union ordered by (on, tag) with
-    right rows tagged 0 so they sort before same-instant left rows), then
-    keep the left rows. No range join, no per-key loop: one shuffle on
-    ``by`` (or one global window without it — shard upstream in that
-    case), linear in |left| + |right|.
+    - ``backward``: LATEST right with ``right.on <= left.on``
+      (``<`` when ``allow_exact_matches=False``);
+    - ``forward``: EARLIEST right with ``right.on >= left.on``
+      (``>`` when strict);
+    - ``nearest``: whichever of the two is closer in absolute time;
+      equal distance resolves BACKWARD (pandas-verified tie-break,
+      tests/test_temporal.py).
+
+    Plan: tag-union both inputs, one window pass per direction needed
+    (``last(struct, ignorenulls)`` over the union ordered by (on, tag);
+    ``forward`` is the same pass on the reversed ordering, ``nearest``
+    runs both and picks per row), then keep the left rows. No range
+    join, no per-key loop: ONE shuffle on ``by`` (the second window of
+    ``nearest`` reuses the exchange — same partition keys, extra sort
+    only), linear in |left| + |right|. Exactness is encoded in the sort
+    tag: right rows order before same-instant left rows only when exact
+    matches may see them, so the running ``last`` can never leak an
+    excluded same-instant row.
 
     ``right_cols`` defaults to every non-key right column; attached
     columns keep their names, so they must not collide with left's.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
     collision = set(right_cols) & set(left.columns)
@@ -117,7 +132,7 @@ def merge_asof(
     # columns from rows that never co-existed (and would let a stale value
     # pass the tolerance check). The struct is non-null for every right
     # row, null for left rows, so last(struct, ignorenulls) picks the
-    # latest right ROW atomically.
+    # matched right ROW atomically.
     r_struct = F.struct(F.col(on).alias("__asof_ts"), *[F.col(c) for c in right_cols])
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -136,23 +151,60 @@ def merge_asof(
     from pyspark.sql import Window as W
 
     u = l_tagged.unionByName(r_tagged)
-    # order ties among same-instant right rows by the struct itself —
-    # deterministic (last = greatest right row field-wise); pandas breaks
-    # such ties by input order, which a distributed table does not have.
-    w = (
-        (W.partitionBy(*by) if by else W.partitionBy())
-        .orderBy(F.col(on).asc(), F.col("__is_left").asc(), F.col("__r").asc_nulls_first())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    # Sort tag: left rows are 1. Right rows take 0 when same-instant
+    # rows are visible to the running last() (exact matches allowed) and
+    # 2 when they must sort after the left row (strict inequality).
+    r_tag = 0 if allow_exact_matches else 2
+    u = u.withColumn(
+        "__tag",
+        F.when(F.col("__is_left") == 1, F.lit(1)).otherwise(F.lit(r_tag)),
     )
-    filled = u.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
-    out = filled.filter(F.col("__is_left") == 1)
-    match = F.col("__match")
-    if tolerance_seconds is not None:
-        fresh = (
-            _epoch_us(on) - _epoch_us(match["__asof_ts"])
-            <= tolerance_seconds * 1_000_000
+
+    def running_match(descending: bool) -> F.Column:
+        # ties among same-instant right rows resolve to the greatest
+        # struct field-wise — deterministic (pandas breaks such ties by
+        # input order, which a distributed table does not have)
+        on_ord = F.col(on).desc() if descending else F.col(on).asc()
+        w = (
+            (W.partitionBy(*by) if by else W.partitionBy())
+            .orderBy(on_ord, F.col("__tag").asc(), F.col("__r").asc_nulls_first())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        match = F.when(fresh, match)
+        return F.last("__r", ignorenulls=True).over(w)
+
+    def bounded(match: F.Column, signed_gap_us: F.Column) -> F.Column:
+        """NULL out a match outside tolerance (gap is ≥0 for real ones)."""
+        if tolerance_seconds is None:
+            return match
+        return F.when(signed_gap_us <= tolerance_seconds * 1_000_000, match)
+
+    if direction == "backward":
+        u = u.withColumn("__match", running_match(descending=False))
+        match = bounded(
+            F.col("__match"), _epoch_us(on) - _epoch_us(F.col("__match")["__asof_ts"])
+        )
+    elif direction == "forward":
+        u = u.withColumn("__match", running_match(descending=True))
+        match = bounded(
+            F.col("__match"), _epoch_us(F.col("__match")["__asof_ts"]) - _epoch_us(on)
+        )
+    else:  # nearest: both passes (one exchange, two sorts), pick per row
+        u = u.withColumn("__mb", running_match(descending=False)).withColumn(
+            "__mf", running_match(descending=True)
+        )
+        db = _epoch_us(on) - _epoch_us(F.col("__mb")["__asof_ts"])
+        df_ = _epoch_us(F.col("__mf")["__asof_ts"]) - _epoch_us(on)
+        mb, mf = bounded(F.col("__mb"), db), bounded(F.col("__mf"), df_)
+        # backward wins ties (pandas-verified); a NULL candidate loses
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(df_ < db, mf)
+            .otherwise(mb)
+        )
+
+    out = u.filter(F.col("__is_left") == 1)
     return out.select(
         *[c for c in left.columns],
         *[match[c].alias(c) for c in right_cols],
