@@ -605,6 +605,7 @@ def token_budget_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "budget1",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Deterministic token-budget sampling — the mixture-assembly step
     that fills each source's token allowance for a training run: walk
@@ -619,14 +620,22 @@ def token_budget_sample(
     running sum, one filter. The window shuffles on ``group_col`` only —
     the same movement any per-source reduce pays. ``group_col=None``
     budgets the whole corpus through one global window: small-corpus
-    only (single reducer) — shard upstream for that case."""
+    only (single reducer) — shard upstream for that case.
+
+    ``tokens_col`` names a precomputed token-count column (e.g. from
+    ``text.greedy_bpe_token_ids`` — true tokenizer counts instead of the
+    whitespace proxy); when given, ``text_col`` is ignored."""
     from pyspark.sql import Window as W
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = (
         W.partitionBy(group_col) if group_col is not None else W.partitionBy()
     ).orderBy(h.asc(), F.col(id_col).asc())
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
     out_cols = [id_col] + ([group_col] if group_col else []) + ["n_tokens", "cum_tokens"]
     return (
         df.select(

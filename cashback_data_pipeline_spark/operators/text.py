@@ -367,3 +367,105 @@ def vocab_top_terms(
         F.count(F.lit(1)).alias("doc_freq"),
     )
     return totals.orderBy(F.col("term_freq").desc(), F.col("term").asc()).limit(k)
+
+
+#: Deterministic demo vocabulary for the greedy tokenizer — ids are list
+#: positions. The production shape is identical with a 50k-entry vocab
+#: loaded from a tokenizer file; this one is inlined so the DuckDB
+#: oracle can carry the SAME table as a VALUES list and replay the
+#: tokenization bit-for-bit. Word entries carry their trailing space
+#: (GPT-style pre-space merges); multi-char pieces + full a-z/space
+#: fallback; anything else (digits, punctuation) emits id -1.
+GREEDY_BPE_VOCAB: tuple[str, ...] = (
+    # frequent corpus words (trailing-space merges)
+    "the ", "data ", "row ", "table ", "value ", "query ", "window ",
+    "spark ", "join ", "hash ", "scan ", "fast ", "slow ", "part ",
+    "batch ", "stream ", "filter ", "small ", "agg ", "key ",
+    # sub-word merges
+    "th", "er", "in", "an", "at", "ow", "ta", "st", "lo", "ar", "or",
+    "en", "es", "le", "ue",
+    # byte-level fallback
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+    " ",
+)
+
+
+def greedy_bpe_token_ids(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """TRUE greedy tokenization against a broadcast vocabulary (VERDICT
+    r3 item 7 — ``bpe_token_estimate`` is a heuristic; packing and
+    token-budget accuracy at production need real token counts): at each
+    position consume the LONGEST vocab entry that prefixes the remaining
+    text (longest-match greedy, the WordPiece/tiktoken-style inference
+    walk), else emit -1 and advance one character.
+
+    Returns (id_col, token_ids array<int>, n_bpe_tokens).
+
+    Scale design: the vocab ships to executors as a real Spark broadcast
+    (one copy per executor, not per task), pre-indexed by first
+    character with entries sorted longest-first, and the kernel is an
+    Arrow-batched ``mapInPandas`` over ONLY (id, text) — column pruning
+    keeps payload columns out of the exchange, Arrow keeps the
+    Python/JVM hop at batch granularity, and tokenization is
+    embarrassingly parallel per partition. This is the engine's
+    designated slow path (U1 policy: Python only where built-ins
+    genuinely cannot express the op — an iterative longest-match walk is
+    one of them)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vocab = tuple(vocab if vocab is not None else GREEDY_BPE_VOCAB)
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab entries must be unique")
+    sc = df.sparkSession.sparkContext
+    # first-char index, entries longest-first: the greedy walk probes
+    # only candidates that can possibly match at this position
+    index: dict[str, list[tuple[str, int]]] = {}
+    for i, tok in enumerate(vocab):
+        index.setdefault(tok[0], []).append((tok, i))
+    for lst in index.values():
+        lst.sort(key=lambda e: -len(e[0]))
+    b_index = sc.broadcast(index)
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("token_ids", T.ArrayType(T.IntegerType()), False),
+            T.StructField("n_bpe_tokens", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        idx = b_index.value
+
+        def encode(text: str) -> list[int]:
+            ids: list[int] = []
+            pos, n = 0, len(text)
+            while pos < n:
+                best_id, best_len = -1, 1
+                for tok, tid in idx.get(text[pos], ()):
+                    if text.startswith(tok, pos):
+                        best_id, best_len = tid, len(tok)
+                        break  # longest-first order: first hit wins
+                ids.append(best_id)
+                pos += best_len
+            return ids
+
+        for pdf in batches:
+            ids = [encode(t if isinstance(t, str) else "") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": ids,
+                    "n_bpe_tokens": [len(x) for x in ids],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

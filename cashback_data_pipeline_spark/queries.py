@@ -4581,6 +4581,104 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# True-tokenizer surface (VERDICT r3 item 7)
+# ---------------------------------------------------------------------------
+
+# The oracle carries the engine's broadcast vocabulary verbatim as a
+# VALUES list and replays greedy longest-match tokenization with a
+# recursive CTE: state = (doc, untokenized suffix, ids so far); each
+# iteration consumes the longest matching vocab prefix (scalar subquery,
+# longest-first) or one fallback character as id -1.
+_BPE_VOCAB_VALUES = ", ".join(
+    f"({i}, '{tok}')" for i, tok in enumerate(text.GREEDY_BPE_VOCAB)
+)
+
+
+@query(
+    "bpe_tokenize",
+    sql=f"""
+    WITH RECURSIVE vocab(id, tok) AS (
+      VALUES {_BPE_VOCAB_VALUES}
+    ),
+    step(doc_id, rest, ids, n) AS (
+      SELECT doc_id, coalesce(text, ''), CAST('' AS VARCHAR), 0 FROM documents
+      UNION ALL
+      SELECT doc_id,
+             substr(rest, coalesce((SELECT max(length(tok)) FROM vocab
+                                    WHERE starts_with(step.rest, tok)), 1) + 1),
+             ids || ',' || CAST(coalesce((SELECT id FROM vocab
+                                          WHERE starts_with(step.rest, tok)
+                                          ORDER BY length(tok) DESC LIMIT 1), -1) AS VARCHAR),
+             n + 1
+      FROM step WHERE rest <> ''
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_bpe_tokens, md5(ltrim(ids, ',')) AS tok_hash
+    FROM step WHERE rest = ''
+    """,
+)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy tokenization over a broadcast vocabulary
+    (text.greedy_bpe_token_ids — Arrow-batched mapInPandas kernel, the
+    engine's designated Python slow path): per document, the full token-id
+    sequence, checked as count + md5 of the comma-joined ids so the
+    oracle verifies every id in order, not just the total."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = text_ops.greedy_bpe_token_ids(docs)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.array_join(F.col("token_ids").cast("array<string>"), ",")).alias("tok_hash"),
+    )
+
+
+@query(
+    "token_budget_mixture_bpe",
+    sql=f"""
+    WITH RECURSIVE vocab(id, tok) AS (
+      VALUES {_BPE_VOCAB_VALUES}
+    ),
+    step(doc_id, rest, n) AS (
+      SELECT doc_id, coalesce(text, ''), 0 FROM documents
+      UNION ALL
+      SELECT doc_id,
+             substr(rest, coalesce((SELECT max(length(tok)) FROM vocab
+                                    WHERE starts_with(step.rest, tok)), 1) + 1),
+             n + 1
+      FROM step WHERE rest <> ''
+    ),
+    counts AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM step WHERE rest = ''),
+    t AS (
+      SELECT d.doc_id, d.source, c.n_tokens,
+             md5(d.doc_id::VARCHAR || 'budget1') AS h
+      FROM documents d JOIN counts c USING (doc_id)
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens <= 2000
+    """,
+)
+def token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_budget_mixture on TRUE tokenizer counts (VERDICT r3 item 7
+    'done' criterion): the same deterministic salted-hash budget walk,
+    but each document's cost is its real greedy-BPE token count from the
+    broadcast-vocab kernel instead of the whitespace proxy — the form a
+    production mixture assembly needs, since packing overruns come from
+    exactly the docs where the proxy undercounts."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    counts = text_ops.greedy_bpe_token_ids(docs).select("doc_id", "n_bpe_tokens")
+    with_counts = docs.select("doc_id", "source").join(counts, "doc_id")
+    return curation.token_budget_sample(
+        with_counts, 2000, group_col="source", tokens_col="n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01–r03 keys).
 #

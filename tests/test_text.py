@@ -116,3 +116,36 @@ def test_vocab_top_terms_counts_and_order(spark):
     # space) filtered; doc_freq counts docs, not occurrences
     assert out[0]["term"] == "a" and out[0]["term_freq"] == 3 and out[0]["doc_freq"] == 3
     assert out[1]["term"] == "b" and out[1]["term_freq"] == 3 and out[1]["doc_freq"] == 2
+
+
+def test_greedy_bpe_token_ids_edges(spark):
+    """Longest-match wins over shorter prefixes, unknown chars emit -1
+    and advance one char, NULL/empty texts keep a row with 0 tokens."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    v = text_ops.GREEDY_BPE_VOCAB
+    df = spark.createDataFrame(
+        [(1, "the table"), (2, "9!"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.greedy_bpe_token_ids(df).collect()}
+    # 'the ' must win over 'th'/'t'; 'table' has no trailing space so the
+    # word-entry 'table ' cannot match and sub-word merges take over
+    assert out[1].token_ids[0] == v.index("the ")
+    assert v.index("th") not in out[1].token_ids[:1]
+    assert out[2].token_ids == [-1, -1] and out[2].n_bpe_tokens == 2
+    assert out[3].token_ids == [] and out[3].n_bpe_tokens == 0
+    assert out[4].token_ids == []
+    # round-trip: decoding with the vocab reproduces the text (no -1s)
+    decoded = "".join(v[i] for i in out[1].token_ids)
+    assert decoded == "the table"
+
+
+def test_greedy_bpe_rejects_duplicate_vocab(spark):
+    import pytest
+
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique"):
+        text_ops.greedy_bpe_token_ids(df, vocab=("a", "a"))
