@@ -683,18 +683,26 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """Duplicate-cluster assembly: near-dup PAIRS → CLUSTERS via
-    small-label propagation. Returns (id, cluster_id) where cluster_id is
-    the smallest member id — the canonical representative.
+    min-label propagation WITH POINTER JUMPING. Returns (id, cluster_id)
+    where cluster_id is the smallest member id — the canonical
+    representative.
 
-    Iterative relational plan (label = min(label, neighbors' labels) until
-    fixpoint): each round is one join + one agg, checkpoint-free because
-    the label table is re-derived per round. The minimum label advances
-    ONE HOP per round, so rounds needed = the largest component's
-    diameter; near-dup clusters are usually shallow similarity balls, but
-    drifting-chain corpora can be deep — if ``max_iter`` rounds pass
-    without reaching the fixpoint the function RAISES rather than return
-    silently-split clusters (raise max_iter, or pre-collapse chains with
-    exact dedup first). Each round ``localCheckpoint``s its label table:
+    Each round does (1) one-hop neighbor-min propagation (join + agg)
+    and (2) a label shortcut ``cluster_id ← label(cluster_id)`` (one
+    self-join) — the pointer-doubling step of the MapReduce
+    connected-components literature (Kiveris et al.'s star operations
+    are the same idea). Label chains collapse exponentially, so rounds
+    needed is O(log diameter) instead of the diameter itself (VERDICT r3
+    item 5: a one-hop-only loop needed ~1000 rounds on a 1000-node
+    drifting chain; this converges in ≤ ~12 — pinned in
+    tests/test_dedup.py). Invariant both steps preserve: a node's label
+    is always the id of a SAME-COMPONENT node ≤ its own, so at fixpoint
+    every edge joins equal labels and each component's shared label can
+    only be its minimum id.
+
+    If ``max_iter`` rounds pass without the fixpoint the function RAISES
+    rather than return silently-split clusters (the default allows
+    diameters ~2^20). Each round ``localCheckpoint``s its label table:
     caching alone is NOT enough for iterative plans — the logical plan
     still grows per round and Catalyst analysis time explodes; the
     checkpoint truncates lineage to a leaf."""
@@ -717,14 +725,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        prop = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        # pointer jumping: follow the label one more level in the SAME
+        # round (label(label(v))). Every label is a node id, so the
+        # self-join always matches; chains halve each round.
+        jump = prop.select(F.col("id").alias("__pid"), F.col("cluster_id").alias("__pcl"))
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
+            prop.join(jump, prop.cluster_id == jump.__pid, "left")
+            .select("id", F.coalesce("__pcl", "cluster_id").alias("cluster_id"))
             .localCheckpoint()  # truncate lineage — see docstring
         )
         changed = (

@@ -230,3 +230,19 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # same pair under Jaccard: 3/9 — far below any useful threshold
     jac = D.ngram_jaccard_pairs(df, threshold=0.9)
     assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in jac.collect()}
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """VERDICT r3 item 5: pointer jumping must collapse a 1000-node path
+    graph within ~log2(1000) rounds — one-hop propagation alone would
+    need ~1000 (d_k = 2^(k+1)-2, so 9 rounds reach depth 1022; 12 is
+    the criterion with slack)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
+    )
+    labels = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(chain, max_iter=12).collect()
+    }
+    assert len(labels) == 1001
+    assert set(labels.values()) == {0}
