@@ -231,3 +231,72 @@ def test_warehouse_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "v", "score"}
     rows = {r["k"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_warehouse_bloom_filters_written_and_skip_row_groups(spark, tmp_path):
+    """VERDICT r3 item 8: pin the write_warehouse bloom-filter claim.
+
+    (a) Footer assertion: parquet-java (the classes Spark itself ships)
+    reports a bloom filter offset for the bloom column and -1 for others
+    / for a bloom-less write. (b) Skip-metric delta: keys are written in
+    hash-random order so every row group's min/max (and every page's
+    column index) spans the whole key range — stats pruning is
+    impossible, dictionary pruning is impossible (PLAIN-encoded unique
+    longs), so a point probe for an absent in-range key can only skip
+    via the bloom filter. Scan numOutputRows: 0 with bloom vs the full
+    row count without."""
+    import glob
+
+    from cashback_data_pipeline_spark.sinks import write_warehouse
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.xxhash64("id").alias("k"),
+        F.col("id").alias("v"),
+        F.lit("2024-01-01").alias("transaction_date"),
+    ).repartition(3)
+
+    with_bloom = str(tmp_path / "wh_bloom")
+    without = str(tmp_path / "wh_plain")
+    write_warehouse(df, with_bloom, bloom_filter_cols=["k"])
+    write_warehouse(df, without)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def bloom_offsets(path: str) -> dict[str, int]:
+        offs: dict[str, int] = {}
+        for f in glob.glob(path + "/**/*.parquet", recursive=True):
+            inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jvm.org.apache.hadoop.fs.Path(f), conf
+            )
+            r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+            fm = r.getFooter()
+            for bi in range(fm.getBlocks().size()):
+                blk = fm.getBlocks().get(bi)
+                for ci in range(blk.getColumns().size()):
+                    c = blk.getColumns().get(ci)
+                    name = c.getPath().toDotString()
+                    offs[name] = max(offs.get(name, -1), c.getBloomFilterOffset())
+            r.close()
+        return offs
+
+    offs_b, offs_n = bloom_offsets(with_bloom), bloom_offsets(without)
+    assert offs_b["k"] > 0, offs_b      # bloom header present
+    assert offs_b["v"] == -1            # only the requested column
+    assert offs_n["k"] == -1            # bloom-less write has none
+
+    def scan_rows(path: str, val: int) -> int:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            d = spark.read.parquet(path).filter(F.col("k") == val)
+            d.collect()
+            leaves = d._jdf.queryExecution().executedPlan().collectLeaves()
+            return leaves.apply(0).metrics().apply("numOutputRows").value()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    absent = 1234567  # xxhash64 image is sparse; verified absent below
+    assert spark.read.parquet(with_bloom).filter(F.col("k") == absent).count() == 0
+    assert scan_rows(with_bloom, absent) == 0   # every row group bloom-skipped
+    assert scan_rows(without, absent) == n      # nothing else could prune
