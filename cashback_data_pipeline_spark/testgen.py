@@ -62,3 +62,88 @@ def gen_rewards(spark: SparkSession, n: int, n_txn: int) -> DataFrame:
         F.lit(None).cast("string").alias("contis_transaction"),
         F.lit(None).cast("string").alias("fiat_transaction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-shaped generators (documents / embeddings), used by the empirical
+# scale validation (tools/scale_check.py): same statistical character as the
+# driver's testdata tables — 31-word vocabulary, 10–100-word docs, ~41% en,
+# 20 sources, a deterministic near-dup/exact-dup tail — so operator timings
+# measured on generated corpora extrapolate to the graded sf tables.
+# ---------------------------------------------------------------------------
+
+# The driver corpus vocabulary (TESTDATA sf0.1 documents.parquet, extracted
+# by word-frequency scan): 31 words. Near-dup candidate volume depends on
+# this vocabulary size (see SCALE.md), so the generator reuses it verbatim.
+DOC_VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch", "dup",
+]
+
+
+def gen_documents(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic documents table: same layout/distributions as the
+    driver's. Every value derives from the row id; no RNG. Near-dup
+    structure: id%40==0 docs repeat id-1's word stream with the final
+    word replaced (a true near dup); id%100==0 docs are exact copies of
+    id-2 (an exact-dup group member)."""
+    vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+    base = (
+        F.when((F.col("id") % 100 == 0) & (F.col("id") >= 2), F.col("id") - 2)
+        .when((F.col("id") % 40 == 0) & (F.col("id") >= 1), F.col("id") - 1)
+        .otherwise(F.col("id"))
+    )
+    # xxhash64(base, j) rather than modular arithmetic: any affine formula
+    # in (base, j) collapses mod 31 to at most lcm-of-moduli distinct word
+    # streams (measured: 2,056 accidental exact-dup groups at n=5,000),
+    # while the hash gives full diversity with the same determinism.
+    length = F.lit(10) + F.pmod(F.xxhash64(base), F.lit(91))
+    words = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.element_at(vocab, F.pmod(F.xxhash64(base, j), F.lit(31)).cast("int") + 1),
+    )
+    # the near-dup perturbation: swap the last word (exact copies keep it)
+    perturbed = F.when(
+        (F.col("id") % 40 == 0) & (F.col("id") % 100 != 0) & (F.col("id") >= 1),
+        F.concat(
+            F.slice(words, 1, F.size(words) - 1),
+            F.array(F.element_at(vocab, F.pmod(F.col("id"), F.lit(31)).cast("int") + 1)),
+        ),
+    ).otherwise(words)
+    text = F.array_join(perturbed, " ")
+    lang_bucket = F.pmod(F.col("id") * 13, F.lit(100))
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.when(lang_bucket < 41, "en")
+        .when(lang_bucket < 56, "zh")
+        .when(lang_bucket < 71, "es")
+        .when(lang_bucket < 86, "fr")
+        .otherwise("de")
+        .alias("lang"),
+        F.concat(F.lit("src"), F.pmod(F.col("id") * 3, F.lit(20))).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def gen_embeddings(spark: SparkSession, n: int, dim: int = 64, n_labels: int = 10) -> DataFrame:
+    """Deterministic embeddings table: ``dim``-float vectors clustered
+    around ``n_labels`` fixed centers (cosine-separable), with a small
+    per-row deterministic perturbation and an id%50 near-dup tail —
+    mirroring the driver table's label-cluster structure."""
+    base = F.when((F.col("id") % 50 == 0) & (F.col("id") >= 1), F.col("id") - 1).otherwise(F.col("id"))
+    label = F.pmod(base * 7, F.lit(n_labels)).cast("int")
+    j = F.sequence(F.lit(0), F.lit(dim - 1))
+    center = F.transform(j, lambda k: F.cos((label * dim + k) * F.lit(2.3999632)))
+    vec = F.zip_with(
+        center,
+        F.transform(j, lambda k: F.sin((base * dim + k) * F.lit(1.6180339)) * F.lit(0.08)),
+        lambda c, e: (c + e).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        label.alias("label"),
+    )

@@ -1,0 +1,191 @@
+"""Empirical scale validation (VERDICT r3 item 4).
+
+SCALE.md's 100 TB arguments are plan-derived; this tool validates the
+exponents empirically: it generates corpus-shaped documents/embeddings
+tables (testgen.gen_documents / gen_embeddings — same vocabulary, length
+distribution, near-dup structure as the driver's testdata) at two scales
+(default 1× = the sf0.1 corpus size, and 10×), times the scale-path
+operators at each, and reports the measured scaling exponent
+``log(t_hi/t_lo) / log(hi/lo)`` per operator.
+
+Expected exponents: ≈1 (linear) for the map/LSH/simhash/IVF paths; >1
+for the inverted-index Jaccard path (Σdf² candidate volume) — see
+SCALE.md "Empirical scale validation" for the recorded table.
+
+Usage:
+    python tools/scale_check.py [--scales 1,10] [--ops name,name,...]
+
+Writes SCALE_CHECK.json at the repo root and prints one JSON line.
+Generated parquet lands under .scaledata/ (gitignored); other testdata
+tables are not needed — every validated operator reads only
+documents/embeddings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import math
+import os
+import sys
+import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Base corpus sizes at scale 1× — chosen to equal the driver's sf0.1
+# documents/embeddings tables so 1× timings are comparable to bench.py.
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+
+# Scale-path operators: every query here reads ONLY documents.parquet /
+# embeddings.parquet from sf_dir, so the generated dirs satisfy them.
+DEFAULT_OPS = [
+    # dedup family
+    "dedup_exact_groups",
+    "doc_fingerprints",
+    "simhash_near_dups",
+    "minhash_lsh_near_dups",
+    "minhash_trigram_near_dups",
+    "near_dup_jaccard",
+    "containment_near_dups",
+    "incremental_corpus_dedup",
+    "cross_doc_ngram_dup",
+    # similarity family
+    "embedding_near_dups_fast",
+    "embedding_lsh_near_dups",
+    "ann_topk_cosine",
+    "ann_ivf_topk",
+    "embedding_quantization",
+    # text/curation family
+    "text_quality_scores",
+    "text_lang_id",
+    "bpe_tokenize",
+    "repetition_scores",
+    "unigram_surprisal_scores",
+    "quality_percentile_filter",
+    "boilerplate_scrub",
+    "duplicate_passages",
+    "benchmark_decontamination",
+    "doc_chunks",
+    "doc_packing_sharded",
+    "token_budget_mixture",
+    "pii_redaction",
+    "vocab_top_terms",
+]
+
+
+def ensure_dir(spark, base: str, scale: float) -> str:
+    from cashback_data_pipeline_spark.testgen import gen_documents, gen_embeddings
+
+    out = os.path.join(base, f"x{scale:g}")
+    docs_path = os.path.join(out, "documents.parquet")
+    vecs_path = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(docs_path):
+        gen_documents(spark, int(BASE_DOCS * scale)).write.mode("overwrite").parquet(docs_path)
+    if not os.path.exists(vecs_path):
+        gen_embeddings(spark, int(BASE_VECS * scale)).write.mode("overwrite").parquet(vecs_path)
+    return out
+
+
+def release(spark) -> None:
+    # same state-release discipline as bench.py: clear cache, unpersist
+    # checkpointed relations, collect dead py4j refs so ContextCleaner
+    # can reap broadcasts — otherwise later timings inherit GC churn.
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(False)
+    gc.collect()
+
+
+def time_query(spark, fn, sf_dir: str, repeats: int = 2) -> list[float]:
+    runs: list[float] = []
+    for _ in range(repeats):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+        release(spark)
+    # box-stall defense: disagreeing or uniformly slow repeats buy a third
+    if min(runs) > 2.0 and (max(runs) > 2 * min(runs) or min(runs) > 4.0):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.time() - t0, 3))
+        release(spark)
+    return runs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10")
+    ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CHECK.json"))
+    args = ap.parse_args()
+
+    scales = [float(s) for s in args.scales.split(",")]
+    ops = [o for o in args.ops.split(",") if o]
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("scale_check")
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaledata")
+    dirs = {s: ensure_dir(spark, base, s) for s in scales}
+
+    # warm the JVM once
+    qs[ops[0]](spark, dirs[scales[0]]).write.format("noop").mode("overwrite").save()
+    release(spark)
+
+    results: dict[str, dict] = {}
+    lo, hi = min(scales), max(scales)
+    for name in ops:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"-- skip {name}: not registered", file=sys.stderr)
+            continue
+        per_scale: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
+        for s in scales:
+            runs = time_query(spark, fn, dirs[s])
+            per_scale[f"x{s:g}"] = min(runs)
+            samples[f"x{s:g}"] = runs
+        t_lo, t_hi = per_scale[f"x{lo:g}"], per_scale[f"x{hi:g}"]
+        ratio = t_hi / t_lo if t_lo > 0 else float("inf")
+        # subtract nothing: fixed per-query overhead (~0.2-0.5 s of plan +
+        # scheduling) inflates t_lo and therefore DEFLATES the measured
+        # exponent; report the overhead-corrected exponent too, using the
+        # smallest observed query time this run as the overhead floor.
+        results[name] = {
+            "times": per_scale,
+            "samples": samples,
+            "ratio": round(ratio, 2),
+            "exponent": round(math.log(ratio) / math.log(hi / lo), 2) if ratio > 0 else None,
+        }
+        print(f"-- {name}: {per_scale} ratio={ratio:.2f}", file=sys.stderr)
+
+    floor = min(min(r["times"].values()) for r in results.values())
+    for r in results.values():
+        t_lo = r["times"][f"x{lo:g}"] - 0.8 * floor
+        t_hi = r["times"][f"x{hi:g}"] - 0.8 * floor
+        if t_lo > 0 and t_hi > 0:
+            r["exponent_overhead_corrected"] = round(math.log(t_hi / t_lo) / math.log(hi / lo), 2)
+
+    doc = {
+        "metric": "scale_check",
+        "scales": scales,
+        "base_docs": BASE_DOCS,
+        "base_vecs": BASE_VECS,
+        "overhead_floor_sec": round(floor, 3),
+        "results": results,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: {"ratio": v["ratio"], "exponent": v["exponent"]} for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
