@@ -246,3 +246,42 @@ def test_connected_components_deep_chain_log_rounds(spark):
     }
     assert len(labels) == 1001
     assert set(labels.values()) == {0}
+
+
+def test_lsh_hot_bucket_cap_stars_oversized_buckets(spark):
+    """max_bucket_size: a bucket of k identical docs must yield k-1 star
+    edges (hub = min id) instead of k(k-1)/2 pairs, while distinct docs
+    in small buckets keep exhaustive pairs; connectivity is preserved
+    (one component per bucket either way)."""
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    rows = [(i, same) for i in range(10)] + [(100, other), (101, other)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = dedup.minhash_lsh_candidates(df, max_bucket_size=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # hot bucket (k=10 > 5): only hub edges 0->1..9
+    hot = {p for p in pairs if p[0] < 100}
+    assert hot == {(0, i) for i in range(1, 10)}
+    # small bucket (k=2 <= 5): exhaustive pair survives
+    assert (100, 101) in pairs
+
+    # connectivity equivalence with the uncapped candidates
+    full = dedup.minhash_lsh_candidates(df)
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert {(0, i) for i in range(1, 10)} <= full_pairs  # k^2/2 pairs include hub's
+
+    comp_capped = {
+        r["id"]: r["cluster_id"] for r in dedup.connected_components(capped).collect()
+    }
+    comp_full = {
+        r["id"]: r["cluster_id"] for r in dedup.connected_components(full).collect()
+    }
+    assert comp_capped == comp_full
+
+
+def test_lsh_cap_none_is_exhaustive(spark):
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame([(i, same) for i in range(4)], "doc_id int, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
