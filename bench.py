@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_topk_cosine",
     "ann_topk_batch",
     "embedding_near_dups_fast",
+    "embedding_lsh_auto_near_dups",
     # TPC-H shapes (multi-join / disjunctive pushdown / scalar subquery)
     "local_supplier_volume",
     "promo_revenue_share",
@@ -106,6 +107,8 @@ HEADLINE = [
     "incremental_corpus_dedup",
     "cross_doc_ngram_dup",
     "vocab_top_terms",
+    "quality_classifier_scores",
+    "semantic_dedup",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather

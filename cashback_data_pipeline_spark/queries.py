@@ -3360,13 +3360,37 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SUB-QUADRATIC embedding near-dup scale path as a contract
     query: sign-LSH buckets (similarity.hyperplane_lsh_buckets —
     deterministic splitmix hyperplanes, no RNG state) bound the pair
-    space, exact expression cosine verifies within buckets (recall < 1
-    vs the unbucketed twin `embedding_near_dups` by design; the bucket
-    count is the knob). Every stage — plane constants, projection fold,
-    sign, cosine — is replayed bit-identically by the DuckDB oracle."""
+    space, per-bucket GEMM verifies within buckets (recall < 1 vs the
+    unbucketed twin `embedding_near_dups` by design; the bucket count is
+    the knob — the self-scaling production entry is
+    similarity.embedding_near_dups_lsh_fast, which grows planes with the
+    corpus; this contract query pins n_planes=4 because the oracle
+    unrolls the planes in SQL). Plane constants, projection fold, sign,
+    and the pair set replay bit-identically in DuckDB; cos agrees to
+    GEMM-summation order (quantized 1e-6, same treatment as
+    embedding_near_dups_fast)."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     bucketed = similarity.hyperplane_lsh_buckets(emb, n_planes=4, seed=42)
-    pairs = dedup.embedding_near_dups(bucketed, threshold=0.4, block_col="bucket")
+    pairs = similarity.bucket_pairs_gemm(bucketed, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", (F.floor(F.col("cos") * 1_000_000 + 0.5) / 1_000_000).alias("cos")
+    )
+
+
+@query("embedding_lsh_auto_near_dups", sql=_hyperplane_lsh_oracle(n_planes=1, threshold=0.4))
+def embedding_lsh_auto_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELF-SCALING LSH near-dup entry
+    (similarity.embedding_near_dups_lsh_fast): plane count grows
+    log2(n/target_bucket_size) with the corpus, so per-bucket population
+    — and therefore total GEMM work per vector — stays constant (the
+    fixed-plane contract query above goes quadratic by construction; the
+    1×→10× scale check measured it at exponent 1.7 before the GEMM
+    switch). Oracle note: the SQL twin hardcodes ONE plane because
+    auto-sizing at the correctness gate's corpus (sf0.01: 500 vectors,
+    target 1024) resolves to exactly 1; at any other sf the oracle
+    constant must be re-derived (ceil(log2(max(2, n/1024))))."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups_lsh_fast(emb, threshold=0.4, target_bucket_size=1024)
     return pairs.select(
         "id_a", "id_b", (F.floor(F.col("cos") * 1_000_000 + 0.5) / 1_000_000).alias("cos")
     )
@@ -4675,6 +4699,56 @@ def token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_counts = docs.select("doc_id", "source").join(counts, "doc_id")
     return curation.token_budget_sample(
         with_counts, 2000, group_col="source", tokens_col="n_bpe_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (operators/similarity.semantic_dedup — SemDeDup,
+# Abbas et al. 2023): IVF-cluster then within-cluster pairwise cosine,
+# keep-lowest-id. Oracle replays seeding → assignment → cluster-bounded
+# pair max → keep rule; cosines quantized at 1e-6 like every embedding
+# oracle (ulp drift between engines), keep compared on the raw value
+# (repo convention, see embedding_near_dups).
+# ---------------------------------------------------------------------------
+
+@query(
+    "semantic_dedup",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
+    ), assign AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e, cent c) a
+      WHERE rn = 1
+    ), prior AS (
+      SELECT b.vec_id AS id_b, max(list_cosine_similarity(a.v, b.v)) AS mp
+      FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, CAST(s.centroid_id AS INT) AS centroid_id,
+           floor(p.mp * 1000000 + 0.5) / 1000000 AS max_prior_cos,
+           (coalesce(p.mp, -1.0) < 0.4) AS keep
+    FROM assign s LEFT JOIN prior p ON s.vec_id = p.id_b
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over ``embeddings``: cluster-bounded pairwise cosine with
+    the deterministic keep-lowest-id drop rule (similarity.semantic_dedup).
+    Threshold 0.4 matches embedding_near_dups (this corpus's cosines max
+    out ≈0.51, so 0.4 exercises real drops). Scale: Σ|cluster|² pair work,
+    equi-join on centroid_id — never an uncluster'd cartesian."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, n_clusters=16, threshold=0.4)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        (F.floor(F.col("max_prior_cos") * 1000000 + 0.5) / 1000000).alias("max_prior_cos"),
+        "keep",
     )
 
 

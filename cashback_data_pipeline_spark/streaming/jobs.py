@@ -213,3 +213,40 @@ def deduped_stream(events: DataFrame, key: str = "event_id", watermark: str = "2
     (which guards the TABLE; this guards the STREAM, e.g. against
     at-least-once sources double-delivering)."""
     return events.withWatermark("ts", watermark).dropDuplicates([key])
+
+
+def quality_routed_stream(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming corpus quality gate: the hashed-linear-classifier score
+    (operators.classify, literal-array strategy) is a STATELESS projection
+    — no aggregation, no watermark, no state store — so it composes with
+    any streaming source at input rate. Adds ``score`` and a ``route``
+    column ('keep'/'drop') for downstream routing."""
+    from cashback_data_pipeline_spark.operators import classify
+
+    scored = classify.score_with_weights_array(docs, weights, bias)
+    return scored.withColumn(
+        "route", F.when(F.col("score") >= threshold, "keep").otherwise("drop")
+    )
+
+
+def route_stream_to_sinks(scored: DataFrame, keep_path: str, drop_path: str, checkpoint: str):
+    """foreachBatch fan-out of a routed stream to two parquet sinks.
+    One source pass per micro-batch feeds both sinks (persist the batch;
+    two filtered writes); checkpointing makes replays append-idempotent
+    at the micro-batch level. Returns the DataStreamWriter (caller calls
+    .start()/.trigger())."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            batch.filter(F.col("route") == "keep").drop("route").write.mode("append").parquet(keep_path)
+            batch.filter(F.col("route") == "drop").drop("route").write.mode("append").parquet(drop_path)
+        finally:
+            batch.unpersist()
+
+    return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)

@@ -182,3 +182,101 @@ def test_block_gemm_empty_right_block_no_duplicates(spark):
     assert len(keys) == len(set(keys)), f"duplicate pairs emitted: {sorted(keys)}"
     n = len(one_block)
     assert len(set(keys)) == n * (n - 1) // 2
+
+
+def test_semantic_dedup_keep_lowest_id_rule(spark):
+    """Hand-built corpus: v0≈v1≈v2 (one dup set), v3 orthogonal. With one
+    cluster the rule must keep the lowest id of the dup set and drop the
+    rest; max_prior_cos is NULL only for each cluster's lowest id."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.00)),
+        (1, unit(0.01)),   # cos≈0.99995 to v0 → dropped
+        (2, unit(0.02)),   # near both → dropped
+        (3, [0.0, 0.0, 1.0, 0.0]),  # orthogonal → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(df, n_clusters=1, threshold=0.9).collect()}
+    assert out[0]["keep"] and out[0]["max_prior_cos"] is None
+    assert not out[1]["keep"] and out[1]["max_prior_cos"] > 0.99
+    assert not out[2]["keep"]
+    assert out[3]["keep"] and out[3]["max_prior_cos"] < 0.1  # prior exists but far
+
+
+def test_semantic_dedup_cluster_bounded(spark):
+    """Two orthogonal dup sets must land in different clusters (k=2,
+    seeded from the two lowest ids which are one from each set) and
+    dedup within their own cluster only."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # dup of 0
+        (3, [0.04, 0.999, 0.0, 0.0]),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(df, n_clusters=2, threshold=0.95).collect()}
+    assert out[0]["keep"] and out[1]["keep"]
+    assert not out[2]["keep"] and not out[3]["keep"]
+    assert out[0]["centroid_id"] == out[2]["centroid_id"]
+    assert out[1]["centroid_id"] == out[3]["centroid_id"]
+    assert out[0]["centroid_id"] != out[1]["centroid_id"]
+
+
+def test_bucket_gemm_matches_expression_cosine_within_buckets(spark, emb):
+    """GEMM within-bucket verification must produce the identical pair
+    set as the expression-cosine self-join on the same buckets, with cos
+    equal to summation order (1e-9)."""
+    from cashback_data_pipeline_spark.operators import dedup
+
+    small = emb.limit(300)
+    bucketed = similarity.hyperplane_lsh_buckets(small, n_planes=4)
+    expr_pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_near_dups(bucketed, threshold=0.35, block_col="bucket").collect()
+    }
+    gemm_pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.bucket_pairs_gemm(bucketed, threshold=0.35).collect()
+    }
+    assert gemm_pairs.keys() == expr_pairs.keys()
+    for k, v in expr_pairs.items():
+        assert abs(gemm_pairs[k] - v) < 1e-9, k
+
+
+def test_lsh_fast_auto_planes_scale_with_corpus(spark, emb):
+    """n_planes must grow with the corpus at fixed target bucket size —
+    the fixed-plane degeneration caught by the 1x->10x scale check."""
+    import math
+
+    def planes(n, target):
+        return max(1, math.ceil(math.log2(max(2.0, n / target))))
+
+    # the sizing rule: planes grow logarithmically with the corpus, so
+    # expected bucket population stays ~target (linear total pair work)
+    assert planes(1_000, 1024) == 1
+    assert planes(100_000, 1024) == 7
+    assert planes(10_000_000, 1024) == 14
+    assert planes(10_000_000, 1024) - planes(1_000_000, 1024) >= 3
+
+    # auto mode runs end-to-end and emits a sane pair set
+    out = similarity.embedding_near_dups_lsh_fast(
+        emb.limit(300), threshold=0.35, target_bucket_size=64
+    ).collect()
+    assert all(r["id_a"] < r["id_b"] and r["cos"] >= 0.35 for r in out)
+
+    # explicit planes short-circuit the sizing count and match the
+    # fixed-plane contract query's pair set
+    fixed = similarity.embedding_near_dups_lsh_fast(
+        emb.limit(300), threshold=0.35, n_planes=4
+    )
+    bucketed = similarity.hyperplane_lsh_buckets(emb.limit(300), n_planes=4)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.bucket_pairs_gemm(bucketed, threshold=0.35).collect()
+    }
+    got = {(r["id_a"], r["id_b"]) for r in fixed.collect()}
+    assert got == want

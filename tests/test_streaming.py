@@ -175,3 +175,40 @@ def test_deduped_stream_drops_cross_batch_duplicates(spark, sf_dir, events_dir):
     n_unique = read_testdata(spark, sf_dir, "events").count()
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     assert got["n"] == got["d"] == n_unique
+
+
+def test_quality_routed_stream_matches_batch_scoring(spark, tmp_path):
+    """The streaming quality gate must route exactly the docs the batch
+    classifier keeps (stateless projection → stream ≡ batch)."""
+    from cashback_data_pipeline_spark.operators import classify
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        quality_routed_stream,
+        route_stream_to_sinks,
+    )
+
+    weights = [((b * 3) % 9 - 4) / 8.0 for b in range(16)]
+    bias = 0.0
+    src = tmp_path / "docs_src"
+    batch_docs = spark.createDataFrame(
+        [(i, f"word{i % 5} spark join filter value " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch_docs.repartition(4).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    routed = quality_routed_stream(stream, weights, bias, threshold=0.5)
+    q = (
+        route_stream_to_sinks(
+            routed, str(tmp_path / "keep"), str(tmp_path / "drop"), str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    kept_stream = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "keep")).collect()}
+    scored = classify.score_with_weights_array(batch_docs, weights, bias)
+    kept_batch = {r["doc_id"] for r in scored.where(F.col("score") >= 0.5).collect()}
+    assert kept_stream == kept_batch
+    dropped = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "drop")).collect()}
+    assert kept_stream | dropped == set(range(40)) and not (kept_stream & dropped)

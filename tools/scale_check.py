@@ -45,20 +45,31 @@ BASE_VECS = 2_000
 
 # Scale-path operators: every query here reads ONLY documents.parquet /
 # embeddings.parquet from sf_dir, so the generated dirs satisfy them.
+#
+# Excluded as corpus-pathological, NOT engine-pathological (same
+# rationale as bench.py's curate_corpus/dedup_clusters exclusion): on
+# the 31-word-vocabulary corpus every long document's unigram token SET
+# approaches the full vocabulary, so unigram Jaccard ≈ 1 for most long
+# pairs and the TRUE answer is quadric-sized — `near_dup_jaccard`
+# (unigram inverted index) and `minhash_lsh_near_dups` (unigram LSH:
+# most docs share one signature → one hot bucket) measure the data
+# degeneration, not the engine (the 10× run produced 820 MB hot-bucket
+# partitions before the max_bucket_size cap existed). The trigram
+# variants below are the engine's designated scale paths and stay in.
 DEFAULT_OPS = [
     # dedup family
     "dedup_exact_groups",
     "doc_fingerprints",
     "simhash_near_dups",
-    "minhash_lsh_near_dups",
     "minhash_trigram_near_dups",
-    "near_dup_jaccard",
     "containment_near_dups",
     "incremental_corpus_dedup",
     "cross_doc_ngram_dup",
     # similarity family
     "embedding_near_dups_fast",
     "embedding_lsh_near_dups",
+    "embedding_lsh_auto_near_dups",
+    "semantic_dedup",
     "ann_topk_cosine",
     "ann_ivf_topk",
     "embedding_quantization",
@@ -77,6 +88,7 @@ DEFAULT_OPS = [
     "token_budget_mixture",
     "pii_redaction",
     "vocab_top_terms",
+    "quality_classifier_scores",
 ]
 
 
