@@ -4703,6 +4703,101 @@ def token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling: per-source acceptance rate
+# ∝ n_source^(α−1) (α=0.5 — the multilingual-LM temperature trick that
+# up-weights tail domains), applied as the same salted-md5 hash filter
+# the other samplers use. No cross-source normalization sum: each rate
+# is an independent pow() of that source's count, so no accumulation-
+# order divergence between engines (sum-normalized weights would need
+# an ordered exact sum).
+# ---------------------------------------------------------------------------
+
+@query(
+    "temperature_mixture",
+    sql="""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (SELECT source, least(1.0, 4.0 * pow(n, -0.5)) AS rate FROM counts)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp1'), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over ``documents``: acceptance rate
+    min(1, 4·n^(α−1)) per source with α=0.5, decided by a salted-md5
+    uniform draw per doc (deterministic, shuffle-free — the same
+    hash-filter family as corpus_split/domain_mixture). Scale: one
+    count aggregate over the partition key + a broadcast rate join +
+    a scan-stage filter; u is a 2^-32-grid uniform, so an engine-ulp
+    difference in pow() flips nothing in practice."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select("source", F.least(F.lit(1.0), F.lit(4.0) * F.pow(F.col("n"), F.lit(-0.5))).alias("rate"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("temp1"))), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(u < F.col("rate"))
+        .select("doc_id", "source", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval join: ANN neighbors enriched with document metadata — the
+# serving-side shape of a RAG/similar-documents endpoint (top-k ids from
+# the vector index, then a broadcast join to the doc store).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_neighbor_docs",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cos
+      FROM e q JOIN e c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM s
+    )
+    SELECT r.query_id, r.neighbor_id,
+           floor(r.cos * 1000000 + 0.5) / 1000000 AS cos,
+           CAST(r.rnk AS INT) AS rank,
+           d.source, d.lang, d.n_chars
+    FROM r JOIN documents d ON d.doc_id = r.neighbor_id
+    WHERE r.rnk <= 5
+    """,
+)
+def ann_neighbor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-documents retrieval: brute-force cosine top-5 for the
+    first 10 query vectors, neighbor ids joined to the documents table
+    for metadata (broadcast — the top-k result is serving-sized). The
+    join loses neighbors with no doc row (inner, like the SQL twin)."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    topk = similarity.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return (
+        topk.join(F.broadcast(docs), topk["neighbor_id"] == docs["doc_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
+            "rank",
+            "source",
+            "lang",
+            "n_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic deduplication (operators/similarity.semantic_dedup — SemDeDup,
 # Abbas et al. 2023): IVF-cluster then within-cluster pairwise cosine,
 # keep-lowest-id. Oracle replays seeding → assignment → cluster-bounded
