@@ -4703,6 +4703,41 @@ def token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe grouped split: the split decision hashes the GROUP key
+# (source), not the row, so every document of a source lands in the same
+# split — near-duplicate documents cluster within sources, and a
+# row-level split would leak them across train/val/test. Same salted-md5
+# family as corpus_split; group-level instead of row-level.
+# ---------------------------------------------------------------------------
+
+@query(
+    "grouped_corpus_split",
+    sql="""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source || 'gsplit1'), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(source || 'gsplit1'), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def grouped_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-safe 80/10/10 split over ``documents``: assignment
+    is a pure projection of md5(source), so it needs no shuffle, no
+    group materialization, and no coordination — every row of a group
+    independently computes the same split. At 100 TB that beats a
+    groupBy-then-broadcast assignment map outright (the map would be
+    dim-sized here, but unbounded for high-cardinality keys like URL
+    hosts or author ids, where this stays O(1) per row)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.col("source"), F.lit("gsplit1"))), 1, 4)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test").alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature-flattened mixture sampling: per-source acceptance rate
 # ∝ n_source^(α−1) (α=0.5 — the multilingual-LM temperature trick that
 # up-weights tail domains), applied as the same salted-md5 hash filter

@@ -312,3 +312,110 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    incoming: DataFrame,
+    target_path: str,
+    key: str,
+    ts_col: str,
+    compare_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Slowly-changing-dimension type 2 upsert without a transactional
+    format: the target keeps FULL VERSION HISTORY — each row carries
+    ``__valid_from`` (the version's effective timestamp), ``__valid_to``
+    (NULL while current) and ``__is_current``. An incoming batch:
+
+    1. key-dedupes to its latest row per key (max ``ts_col``; full-tuple
+       tiebreak) — one version step per batch, the standard batch-SCD2
+       contract;
+    2. drops no-op updates (every ``compare_cols`` value equal to the
+       key's current version — change detection uses a null-safe
+       comparison so NULL→NULL is "unchanged");
+    3. closes the superseded current rows (``__valid_to`` = incoming
+       ``ts_col``, ``__is_current`` = false) and appends the new
+       versions.
+
+    Returns (n_closed, n_inserted) in distinct keys/rows. History rows
+    are immutable after closing — re-running the same batch is a no-op
+    (step 2 filters it), giving the same idempotence contract as
+    ``append_if_absent``. Swap discipline is rename-based like
+    ``merge_upsert``; true atomicity needs Delta/Iceberg.
+
+    Scale: one shuffle to dedupe incoming, one join against ONLY the
+    current slice (``__is_current`` filter prunes history at the scan —
+    at 100 TB partition the target by ``__is_current`` so the closed
+    history is never read), and a union write. History grows by exactly
+    the changed keys per batch.
+    """
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(ts_col).desc(), *[c for c in incoming.columns])
+    latest = (
+        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    versioned = latest.select(
+        "*",
+        F.col(ts_col).alias("__valid_from"),
+        F.lit(None).cast("timestamp").alias("__valid_to"),
+        F.lit(True).alias("__is_current"),
+    )
+
+    if not _path_exists(spark, target_path):
+        versioned = versioned.cache()
+        try:
+            n = versioned.count()
+            versioned.write.parquet(target_path)
+        finally:
+            versioned.unpersist()
+        return (0, n)
+
+    target = spark.read.parquet(target_path)
+    current = target.filter(F.col("__is_current"))
+    history = target.filter(~F.col("__is_current"))
+
+    cmp_cols = compare_cols or [c for c in latest.columns if c not in (key, ts_col)]
+    cur_cmp = current.select(
+        F.col(key),
+        F.col("__valid_from").alias("__cur_from"),
+        *[F.col(c).alias(f"__cur_{c}") for c in cmp_cols],
+    )
+    joined = latest.join(F.broadcast(cur_cmp), on=key, how="left")
+    unchanged = F.lit(True)
+    for c in cmp_cols:
+        unchanged = unchanged & F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+    is_new_key = F.col("__cur_from").isNull()
+    effective = joined.filter(is_new_key | ~unchanged).select(*latest.columns).cache()
+    try:
+        change_keys = effective.select(key).distinct()
+        n_inserted = effective.count()
+        closing = (
+            current.join(F.broadcast(change_keys.withColumnRenamed(key, "__k")), F.col(key) == F.col("__k"), "inner")
+            .drop("__k")
+        )
+        n_closed = closing.count()
+        close_ts = effective.select(F.col(key).alias("__k"), F.col(ts_col).alias("__close_ts"))
+        closed = (
+            current.join(F.broadcast(close_ts), F.col(key) == F.col("__k"), "inner")
+            .withColumn("__valid_to", F.col("__close_ts"))
+            .withColumn("__is_current", F.lit(False))
+            .drop("__k", "__close_ts")
+        )
+        survivors = current.join(change_keys, on=key, how="left_anti")
+        new_versions = effective.select(
+            "*",
+            F.col(ts_col).alias("__valid_from"),
+            F.lit(None).cast("timestamp").alias("__valid_to"),
+            F.lit(True).alias("__is_current"),
+        )
+        merged = history.unionByName(closed).unionByName(survivors).unionByName(new_versions)
+
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.parquet(tmp)
+        _swap_paths(spark, tmp, target_path)
+    finally:
+        effective.unpersist()
+    return (n_closed, n_inserted)

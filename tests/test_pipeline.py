@@ -300,3 +300,45 @@ def test_warehouse_bloom_filters_written_and_skip_row_groups(spark, tmp_path):
     assert spark.read.parquet(with_bloom).filter(F.col("k") == absent).count() == 0
     assert scan_rows(with_bloom, absent) == 0   # every row group bloom-skipped
     assert scan_rows(without, absent) == n      # nothing else could prune
+
+
+def test_scd2_upsert_version_history(spark, tmp_path):
+    """SCD2: changed keys close their current version and append a new
+    one; unchanged keys are untouched (no-op idempotence); history rows
+    are immutable."""
+    import datetime as dt
+
+    from cashback_data_pipeline_spark.sinks import scd2_upsert
+
+    target = str(tmp_path / "dim")
+    t1 = dt.datetime(2024, 1, 1)
+    t2 = dt.datetime(2024, 2, 1)
+
+    b1 = spark.createDataFrame(
+        [("a", "alpha", t1), ("b", "beta", t1)], "k string, v string, ts timestamp"
+    )
+    closed, inserted = scd2_upsert(spark, b1, target, key="k", ts_col="ts")
+    assert (closed, inserted) == (0, 2)
+
+    # a changes, b unchanged, c new; plus a duplicate older row for a
+    # that must lose the within-batch dedupe
+    b2 = spark.createDataFrame(
+        [("a", "ALPHA", t2), ("a", "stale", t1), ("b", "beta", t2), ("c", "gamma", t2)],
+        "k string, v string, ts timestamp",
+    )
+    closed, inserted = scd2_upsert(spark, b2, target, key="k", ts_col="ts", compare_cols=["v"])
+    assert (closed, inserted) == (1, 2)  # close a; insert new a + c
+
+    rows = spark.read.parquet(target).collect()
+    cur = {r["k"]: r for r in rows if r["__is_current"]}
+    hist = [r for r in rows if not r["__is_current"]]
+    assert set(cur) == {"a", "b", "c"}
+    assert cur["a"]["v"] == "ALPHA" and cur["a"]["__valid_from"] == t2
+    assert cur["b"]["v"] == "beta" and cur["b"]["__valid_from"] == t1  # untouched
+    assert len(hist) == 1 and hist[0]["k"] == "a"
+    assert hist[0]["__valid_to"] == t2 and hist[0]["v"] == "alpha"
+
+    # replay: everything matches current versions -> full no-op
+    closed, inserted = scd2_upsert(spark, b2, target, key="k", ts_col="ts", compare_cols=["v"])
+    assert (closed, inserted) == (0, 0)
+    assert spark.read.parquet(target).count() == 4  # 3 current + 1 history
