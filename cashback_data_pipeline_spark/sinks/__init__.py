@@ -5,10 +5,12 @@ from cashback_data_pipeline_spark.sinks.writers import (
     compact_warehouse,
     merge_upsert,
     scd2_upsert,
+    write_zordered,
+    zorder_column,
     write_csv,
     write_bucketed,
     write_orc,
     write_warehouse,
 )
 
-__all__ = ["append_if_absent", "compact_warehouse", "merge_upsert", "scd2_upsert", "write_bucketed", "write_csv", "write_orc", "write_warehouse"]
+__all__ = ["append_if_absent", "compact_warehouse", "merge_upsert", "scd2_upsert", "write_zordered", "zorder_column", "write_bucketed", "write_csv", "write_orc", "write_warehouse"]

@@ -419,3 +419,60 @@ def scd2_upsert(
     finally:
         effective.unpersist()
     return (n_closed, n_inserted)
+
+
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+    """Add ``__z``: the Morton (z-order) interleaving of the rank-scaled
+    values of ``cols``. Each column is min/max-normalized to ``bits``
+    bits (one tiny agg to fetch the bounds), then bit b of column i
+    lands at z-bit ``b·k + i`` — points close in EVERY dimension get
+    close z-values, so sorting by ``__z`` clusters all dimensions at
+    once. Normalization is rank-free (linear min/max): heavily skewed
+    columns cluster worse than with an exact-rank scale, but need no
+    window over the full table."""
+    k = len(cols)
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).first()
+    z = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for ci, c in enumerate(cols):
+        mn, mx = float(bounds[f"__mn_{c}"]), float(bounds[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            F.greatest(F.lit(0), F.floor((F.col(c).cast("double") - mn) / span * top).cast("long")),
+        )
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * k + ci
+            )
+    return df.withColumn("__z", z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+) -> None:
+    """Multi-dimensional data-skipping layout: z-order the rows on
+    ``cols`` and write range-partitioned, sorted parquet. Every file /
+    row group then holds a contiguous z-range ≈ a hyper-rectangle in
+    ALL ``cols`` — min/max stats become selective for predicates on ANY
+    of them (a plain sort clusters only its leading column; a contiguous
+    z-fraction f covers ≈ f^(1/k) of each of k dimensions). This is the
+    engine's answer to Delta/Iceberg OPTIMIZE ZORDER at 100 TB: a
+    one-time layout shuffle (repartitionByRange on __z — range, not
+    hash, so file boundaries are z-contiguous) that every later
+    multi-dimension range scan repays through row-group pruning."""
+    zdf = zorder_column(df, cols, bits)
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -342,3 +342,58 @@ def test_scd2_upsert_version_history(spark, tmp_path):
     closed, inserted = scd2_upsert(spark, b2, target, key="k", ts_col="ts", compare_cols=["v"])
     assert (closed, inserted) == (0, 0)
     assert spark.read.parquet(target).count() == 4  # 3 current + 1 history
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """write_zordered must make per-file min/max stats selective in BOTH
+    z-order columns (a plain sort clusters only its leading column; an
+    unsorted write clusters neither) — asserted from parquet footers via
+    pyarrow, plus a scan-metric delta for a 2-d range probe."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cashback_data_pipeline_spark.sinks import write_zordered
+
+    n = 100_000
+    # two independent uniform dimensions (decorrelated by hashing)
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("y"),
+    )
+
+    zpath, spath, upath = (str(tmp_path / p) for p in ("z", "sorted_x", "unsorted"))
+    write_zordered(df, zpath, ["x", "y"], n_files=8)
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(spath)
+    df.repartition(8).write.parquet(upath)
+
+    def avg_coverage(path: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            schema_idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(schema_idx).statistics
+                spans.append((st.max - st.min) / 10_000.0)
+        return sum(spans) / len(spans)
+
+    # z-order: both dimensions clustered (f=1/8 -> ~sqrt(1/8)=0.35/dim)
+    assert avg_coverage(zpath, "x") < 0.7 and avg_coverage(zpath, "y") < 0.7
+    # leading-column sort: x tight, y unclustered
+    assert avg_coverage(spath, "x") < 0.2 and avg_coverage(spath, "y") > 0.9
+    # unsorted: neither
+    assert avg_coverage(upath, "x") > 0.9 and avg_coverage(upath, "y") > 0.9
+
+    # skip-metric delta: a 2-d range probe scans fewer rows on the
+    # z-ordered layout than on the unsorted one (row-group pruning)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        def scanned(path: str) -> int:
+            d = spark.read.parquet(path).filter((F.col("x") < 500) & (F.col("y") < 500))
+            d.collect()
+            leaves = d._jdf.queryExecution().executedPlan().collectLeaves()
+            return leaves.apply(0).metrics().apply("numOutputRows").value()
+
+        assert scanned(zpath) < scanned(upath)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
