@@ -250,3 +250,129 @@ def route_stream_to_sinks(scored: DataFrame, keep_path: str, drop_path: str, che
             batch.unpersist()
 
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+
+
+def near_dup_ingest_stream(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming NEAR-dup corpus ingestion: each micro-batch is screened
+    against a persisted MinHash index of everything previously ingested —
+    the streaming generalization of ``incremental_corpus_dedup`` (which
+    is exact/batch) using the LSH machinery of operators.dedup.
+
+    Per micro-batch (foreachBatch):
+
+    1. signatures + band keys for the batch docs
+       (dedup.minhash_signatures → hash per ``num_hashes/bands`` slice);
+    2. candidates = batch bands ⋈ persisted band index (equi-join on
+       (band, bh) — the persisted side holds only (id, band, bh) longs);
+    3. verification WITHOUT original texts: the persisted (id, sig)
+       store yields a signature-estimated Jaccard (mean of equal
+       signature positions — the standard MinHash estimator, ±1/√k), so
+       the historical corpus never retains payloads: the index is
+       ~(bands+num_hashes) longs per document regardless of doc size;
+    4. docs whose best estimate ≥ threshold route ``is_dup`` with
+       ``dup_of`` = the matched historical id (lowest id tie-break);
+       fresh docs append their bands + signatures to the index.
+
+    Batch order is the dedup order (micro-batch boundaries decide who is
+    "first"); within a batch, lower ids win against the in-batch index
+    the same way. Returns the DataStreamWriter (caller sets trigger)."""
+    from cashback_data_pipeline_spark.operators import dedup as D
+
+    spark = docs.sparkSession
+    rows_per_band = num_hashes // bands
+
+    def band_keys(sig_df: DataFrame) -> DataFrame:
+        band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+        return sig_df.select(
+            "id",
+            F.explode(
+                F.transform(
+                    band_idx,
+                    lambda bi: F.struct(
+                        bi.alias("band"),
+                        F.hash(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    ),
+                )
+            ).alias("b"),
+        ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    def est_jaccard(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(num_hashes)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint()
+        bks = band_keys(sigs).localCheckpoint()
+
+        try:
+            hist_bands = spark.read.parquet(f"{index_path}/bands")
+            hist_sigs = spark.read.parquet(f"{index_path}/sigs")
+            have_index = True
+        except Exception:
+            have_index = False
+
+        matches = None
+        if have_index:
+            cand = (
+                bks.join(hist_bands.select(F.col("id").alias("old_id"), "band", "bh"), ["band", "bh"])
+                .select("id", "old_id")
+                .distinct()
+            )
+            matches = (
+                cand.join(hist_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
+                .join(sigs.select("id", F.col("sig").alias("new_sig")), "id")
+                .withColumn("est_j", est_jaccard("new_sig", "old_sig"))
+                .filter(F.col("est_j") >= threshold)
+                .groupBy("id")
+                .agg(F.min("old_id").alias("dup_of"), F.max("est_j").alias("est_jaccard"))
+            )
+        # in-batch dedup: lower id wins (same LSH + estimator, batch vs itself)
+        in_batch = (
+            bks.alias("l")
+            .join(bks.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") > F.col("r.id")))
+            .select(F.col("l.id").alias("id"), F.col("r.id").alias("old_id"))
+            .distinct()
+            .join(sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
+            .join(sigs.select("id", F.col("sig").alias("new_sig")), "id")
+            .withColumn("est_j", est_jaccard("new_sig", "old_sig"))
+            .filter(F.col("est_j") >= threshold)
+            .groupBy("id")
+            .agg(F.min("old_id").alias("dup_of"), F.max("est_j").alias("est_jaccard"))
+        )
+        all_matches = in_batch if matches is None else matches.unionByName(in_batch).groupBy("id").agg(
+            F.min("dup_of").alias("dup_of"), F.max("est_jaccard").alias("est_jaccard")
+        )
+        # in-batch transitivity: only match against docs that are themselves
+        # fresh is NOT enforced (a dup-of-a-dup maps to its earliest sighting
+        # via min(dup_of) — adequate for routing; exact clustering is the
+        # batch dedup_clusters job)
+        routed = (
+            batch.join(all_matches.withColumnRenamed("id", id_col), id_col, "left")
+            .withColumn("is_dup", F.col("dup_of").isNotNull())
+        )
+        routed.persist()
+        try:
+            routed.write.mode("append").parquet(out_path)
+            fresh_ids = routed.filter(~F.col("is_dup")).select(F.col(id_col).alias("id"))
+            bks.join(fresh_ids, "id", "leftsemi").write.mode("append").parquet(f"{index_path}/bands")
+            sigs.join(fresh_ids, "id", "leftsemi").write.mode("append").parquet(f"{index_path}/sigs")
+        finally:
+            routed.unpersist()
+
+    return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)

@@ -212,3 +212,57 @@ def test_quality_routed_stream_matches_batch_scoring(spark, tmp_path):
     assert kept_stream == kept_batch
     dropped = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "drop")).collect()}
     assert kept_stream | dropped == set(range(40)) and not (kept_stream & dropped)
+
+
+def test_near_dup_ingest_stream_screens_against_history(spark, tmp_path):
+    """Two micro-batches: batch 2 carries an exact dup and a near dup of
+    batch-1 docs (must route is_dup with dup_of = the historical id),
+    one in-batch dup pair (lower id wins), and a fresh doc. The index
+    stores only bands + signatures — no text."""
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    other = "one two three four five six seven eight nine ten " * 3
+    third = "red orange yellow green blue indigo violet umber black white " * 3
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, third), (13, third)], "doc_id long, text string"
+    )
+    # two source files, one per micro-batch (maxFilesPerTrigger=1)
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        near_dup_ingest_stream(
+            stream,
+            index_path=str(tmp_path / "index"),
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"),
+            threshold=0.7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {1, 2, 10, 11, 12, 13}
+    assert not out[1]["is_dup"] and not out[2]["is_dup"]          # batch 1 fresh
+    assert out[10]["is_dup"] and out[10]["dup_of"] == 1           # exact dup of 1
+    assert out[11]["is_dup"] and out[11]["dup_of"] == 1           # near dup of 1
+    assert not out[12]["is_dup"]                                   # fresh
+    assert out[13]["is_dup"] and out[13]["dup_of"] == 12          # in-batch dup
+
+    # index holds only fresh docs' bands+sigs, and never text
+    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
+    assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 12}
+    assert set(sigs.columns) == {"id", "sig"}
