@@ -280,3 +280,32 @@ def test_lsh_fast_auto_planes_scale_with_corpus(spark, emb):
     }
     got = {(r["id_a"], r["id_b"]) for r in fixed.collect()}
     assert got == want
+
+
+def test_lsh_multi_table_or_amplification(spark, emb):
+    """L independent tables must strictly lift recall vs one table and
+    emit each pair once (union dedupe via groupBy max cos)."""
+    small = emb.limit(400)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_pairs_fast(small, threshold=0.4).select("id_a", "id_b").collect()
+    }
+    if not exact:
+        import pytest as _pytest
+
+        _pytest.skip("no exact pairs at this threshold in the fixture corpus")
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups_lsh_fast(
+            small, threshold=0.4, target_bucket_size=64, n_tables=1
+        ).collect()
+    }
+    eight_rows = similarity.embedding_near_dups_lsh_fast(
+        small, threshold=0.4, target_bucket_size=64, n_tables=8
+    ).collect()
+    eight = {(r["id_a"], r["id_b"]) for r in eight_rows}
+    assert len(eight_rows) == len(eight)  # union deduped
+    assert one <= eight  # monotone
+    assert len(eight & exact) >= len(one & exact)
+    assert eight <= exact  # GEMM verification keeps precision exact
+    assert len(eight & exact) / len(exact) >= 0.8  # amplified recall

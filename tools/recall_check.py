@@ -1,0 +1,113 @@
+"""Measured recall of the approximate near-dup paths vs their exact twins.
+
+Approximate operators trade recall for sub-quadratic work; this tool
+measures that trade on the driver's sf0.01 corpus so SCALE.md carries
+numbers instead of adjectives:
+
+- token near-dup: exact = inverted-index set-Jaccard (ngram_jaccard_pairs,
+  bag=False) at the threshold; approx = MinHash-LSH (trigram), SimHash.
+- embedding near-dup: exact = blocked-GEMM all pairs; approx = fixed-plane
+  sign-LSH and the self-scaling auto variant.
+
+Precision is 1.0 by construction wherever a verification stage re-checks
+candidates exactly (minhash verify, bucket GEMM >= threshold); recall is
+|approx ∩ exact| / |exact|. SimHash verifies by Hamming distance, not
+Jaccard, so both its precision and recall against the Jaccard truth are
+reported.
+
+Usage: python tools/recall_check.py [sf_dir]   (writes RECALL.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def pairs(df) -> set[tuple]:
+    return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+
+def pr(approx: set, exact: set) -> dict:
+    tp = len(approx & exact)
+    return {
+        "exact_pairs": len(exact),
+        "approx_pairs": len(approx),
+        "recall": round(tp / len(exact), 4) if exact else None,
+        "precision": round(tp / len(approx), 4) if approx else None,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("recall_check")
+
+    from cashback_data_pipeline_spark.operators import dedup as D
+    from cashback_data_pipeline_spark.operators import similarity as S
+    from cashback_data_pipeline_spark.sources import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out: dict[str, dict] = {}
+
+    # token family at trigram set-jaccard >= 0.8
+    exact_tok = pairs(D.ngram_jaccard_pairs(docs, threshold=0.8, n=3, bag=False))
+    out["minhash_trigram_lsh@j0.8"] = pr(
+        pairs(D.minhash_near_dups(docs, threshold=0.8, n=3)), exact_tok
+    )
+    out["simhash@j0.8"] = pr(pairs(D.simhash_near_dups(docs, max_hamming=8)), exact_tok)
+
+    # embedding family at cosine >= 0.4
+    exact_emb = pairs(S.embedding_pairs_fast(emb, threshold=0.4))
+    bucketed = S.hyperplane_lsh_buckets(emb, n_planes=4, seed=42)
+    out["sign_lsh_4planes@c0.4"] = pr(
+        pairs(S.bucket_pairs_gemm(bucketed, threshold=0.4)), exact_emb
+    )
+    out["sign_lsh_auto@c0.4"] = pr(
+        pairs(S.embedding_near_dups_lsh_fast(emb, threshold=0.4, target_bucket_size=1024)),
+        exact_emb,
+    )
+    out["sign_lsh_auto_8tables@c0.4"] = pr(
+        pairs(
+            S.embedding_near_dups_lsh_fast(
+                emb, threshold=0.4, target_bucket_size=256, n_tables=8
+            )
+        ),
+        exact_emb,
+    )
+    # semantic_dedup emits DROP DECISIONS, not pairs: compare its dropped
+    # set against the exactly-droppable set (every vector that has a
+    # smaller-id neighbor at cos >= threshold anywhere in the corpus)
+    sd_drops = {
+        r["vec_id"]
+        for r in S.semantic_dedup(emb, n_clusters=16, threshold=0.4).filter("NOT keep").collect()
+    }
+    exact_droppable = {b for (_, b) in exact_emb}
+    out["semantic_dedup_k16@c0.4"] = {
+        "note": "drop-decision operator (cluster-bounded, recall<1 by design)",
+        "drops": len(sd_drops),
+        "exact_droppable": len(exact_droppable),
+        "recall": round(len(sd_drops & exact_droppable) / len(exact_droppable), 4)
+        if exact_droppable
+        else None,
+        "precision": round(len(sd_drops & exact_droppable) / len(sd_drops), 4)
+        if sd_drops
+        else None,
+    }
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
+    with open(path, "w") as fh:
+        json.dump({"sf_dir": sf_dir, "results": out}, fh, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
