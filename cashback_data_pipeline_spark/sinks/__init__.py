@@ -5,6 +5,7 @@ from cashback_data_pipeline_spark.sinks.writers import (
     compact_warehouse,
     merge_upsert,
     scd2_upsert,
+    write_training_shards,
     write_zordered,
     zorder_column,
     write_csv,
@@ -13,4 +14,4 @@ from cashback_data_pipeline_spark.sinks.writers import (
     write_warehouse,
 )
 
-__all__ = ["append_if_absent", "compact_warehouse", "merge_upsert", "scd2_upsert", "write_zordered", "zorder_column", "write_bucketed", "write_csv", "write_orc", "write_warehouse"]
+__all__ = ["append_if_absent", "compact_warehouse", "merge_upsert", "scd2_upsert", "write_training_shards", "write_zordered", "zorder_column", "write_bucketed", "write_csv", "write_orc", "write_warehouse"]

@@ -476,3 +476,81 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens_per_shard: int = 100_000,
+    n_shards: int | None = None,
+) -> dict:
+    """Export a curated corpus as deterministic training shards plus a
+    manifest — the hand-off format from the data pipeline to a training
+    job (each trainer rank reads its shard subset; the manifest carries
+    the numbers loaders need without opening files).
+
+    Sharding is a salted hash of the id: stateless, reproducible, and
+    shard sizes concentrate tightly around total/n (no coordination, no
+    sort). ``n_shards`` defaults to ceil(total_tokens / target) — one
+    sizing aggregate. Rows repartition BY THE SHARD COLUMN before a
+    partitionBy write, so each shard directory holds exactly one file
+    (a shard's rows land in one task; a task may own several shards and
+    writes one file per value). The manifest records per-shard doc and
+    whitespace-token counts plus an order-insensitive content checksum
+    (sum of xxhash64(id || sha of text) — stable across task order).
+
+    Returns the manifest (also written as ``_manifest.json`` in ``path`` —
+    underscore-prefixed so parquet readers skip it like ``_SUCCESS``)."""
+    import json as _json
+
+    spark = df.sparkSession
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    base = df.withColumn("__n_tokens", n_tok)
+    if n_shards is None:
+        total = base.agg(F.sum("__n_tokens")).first()[0] or 0
+        n_shards = max(1, -(-int(total) // target_tokens_per_shard))
+    sharded = base.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("shard-v1")), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tokens").alias("n_tokens"),
+            F.sum(
+                F.xxhash64(F.col(id_col).cast("string"), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256))
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "total_tokens": int(sum(r["n_tokens"] for r in stats)),
+        "shards": [
+            {
+                "shard": int(r["shard"]),
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+                "checksum": int(r["checksum"]),
+            }
+            for r in stats
+        ],
+    }
+    # underscore prefix: Spark/Hadoop file listings ignore _-files, so
+    # a later spark.read.parquet(path) never trips over the manifest
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest.json")
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jvm_path, True)
+    out.write(bytearray(_json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest

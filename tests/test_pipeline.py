@@ -397,3 +397,37 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
         assert scanned(zpath) < scanned(upath)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """One file per shard directory, manifest totals equal the corpus,
+    checksums reproduce on rewrite (deterministic, order-insensitive),
+    and a re-read returns the original rows."""
+    import glob
+    import json
+
+    from cashback_data_pipeline_spark.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, ("tok " * (5 + i % 7)).strip()) for i in range(300)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, path, target_tokens_per_shard=500)
+
+    assert m1["total_docs"] == 300
+    assert m1["total_tokens"] == sum(5 + i % 7 for i in range(300))
+    assert m1["n_shards"] == -(-m1["total_tokens"] // 500)
+    for sh in m1["shards"]:
+        files = glob.glob(f"{path}/shard={sh['shard']}/*.parquet")
+        assert len(files) == 1, (sh, files)
+    disk = json.load(open(f"{path}/_manifest.json"))
+    assert disk == m1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(300))
+
+    # determinism: a second write (different task order) → same manifest
+    m2 = write_training_shards(docs.repartition(7), path, target_tokens_per_shard=500)
+    assert m2 == m1
