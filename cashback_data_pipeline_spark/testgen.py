@@ -129,19 +129,23 @@ def gen_documents(spark: SparkSession, n: int) -> DataFrame:
 
 
 def gen_embeddings(spark: SparkSession, n: int, dim: int = 64, n_labels: int = 10) -> DataFrame:
-    """Deterministic embeddings table: ``dim``-float vectors clustered
-    around ``n_labels`` fixed centers (cosine-separable), with a small
-    per-row deterministic perturbation and an id%50 near-dup tail —
-    mirroring the driver table's label-cluster structure."""
-    base = F.when((F.col("id") % 50 == 0) & (F.col("id") >= 1), F.col("id") - 1).otherwise(F.col("id"))
+    """Deterministic embeddings table matching the DRIVER distribution,
+    which is near-orthogonal: the sf0.1 table measures same-label mean
+    cos ≈ 0.002 (q90 0.163, max 0.51) — labels are NOT cosine clusters.
+    A first-cut generator with tight label clusters made the TRUE
+    near-dup answer quadratic at 10× (every within-cluster pair ≥ 0.4),
+    i.e. measured the data, not the engine. Components are xxhash64
+    pseudo-uniforms in [−1, 1) (E[cos]=0, sd≈1/√dim ⇒ the same tail as
+    the real table) plus a WEAK label pull (0.1·center) and an id%200
+    exact-copy tail so dedup paths still have a sparse signal to find."""
+    base = F.when((F.col("id") % 200 == 0) & (F.col("id") >= 1), F.col("id") - 1).otherwise(F.col("id"))
     label = F.pmod(base * 7, F.lit(n_labels)).cast("int")
     j = F.sequence(F.lit(0), F.lit(dim - 1))
-    center = F.transform(j, lambda k: F.cos((label * dim + k) * F.lit(2.3999632)))
-    vec = F.zip_with(
-        center,
-        F.transform(j, lambda k: F.sin((base * dim + k) * F.lit(1.6180339)) * F.lit(0.08)),
-        lambda c, e: (c + e).cast("float"),
+    rand = F.transform(
+        j, lambda k: F.pmod(F.xxhash64(base, k), F.lit(1_000_000)) / F.lit(500_000.0) - 1.0
     )
+    center = F.transform(j, lambda k: F.cos((label * dim + k) * F.lit(2.3999632)) * F.lit(0.1))
+    vec = F.zip_with(rand, center, lambda r, c: (r + c).cast("float"))
     return spark.range(n).select(
         F.col("id").alias("vec_id"),
         vec.alias("embedding"),

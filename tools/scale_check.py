@@ -69,6 +69,7 @@ DEFAULT_OPS = [
     "embedding_near_dups_fast",
     "embedding_lsh_near_dups",
     "embedding_lsh_auto_near_dups",
+    "embedding_lsh_multitable_near_dups",
     "semantic_dedup",
     "ann_topk_cosine",
     "ann_ivf_topk",
