@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_topk_batch",
     "embedding_near_dups_fast",
     "embedding_lsh_auto_near_dups",
+    "embedding_lsh_multitable_near_dups",
     # TPC-H shapes (multi-join / disjunctive pushdown / scalar subquery)
     "local_supplier_volume",
     "promo_revenue_share",
