@@ -45,9 +45,13 @@ def portable_token_hash(t: Column) -> Column:
 def token_buckets(
     col: Column | str, n_buckets: int, hash_fn: Callable[[Column], Column] | None = None
 ) -> Column:
-    """Token array → hashed feature-bucket array (hash mod D). Empty
+    """Token array → hashed feature-bucket array (hash mod D). NULL text
+    coalesces to '' (a NULL array would propagate through the fold and
+    null the literal-array strategy's score while the weight-table
+    strategy's left join scored it at bias — strategy divergence); empty
     tokens are dropped (splitting '' yields [''] — zero real tokens)."""
-    toks = F.filter(tokens(col), lambda t: F.length(t) > 0)
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    toks = F.filter(tokens(c), lambda t: F.length(t) > 0)
     h = hash_fn or F.xxhash64
     return F.transform(toks, lambda t: F.pmod(h(t), F.lit(n_buckets)))
 

@@ -112,3 +112,17 @@ def test_weight_table_join_broadcasts(spark, docs_df):
     )
     plan = classify.score_with_weight_table(docs_df, weight_table, BIAS)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_null_text_scores_at_bias_in_both_strategies(spark):
+    """NULL text must behave like zero tokens (score = sigmoid(bias)) in
+    BOTH physical strategies — regression for the literal-array fold
+    nulling out on a NULL token array."""
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    want = 1.0 / (1.0 + math.exp(-BIAS))
+    via_array = {r["doc_id"]: r["score"] for r in classify.score_with_weights_array(df, WEIGHTS, BIAS).collect()}
+    wt = spark.createDataFrame([(b, w) for b, w in enumerate(WEIGHTS)], "bucket long, weight double")
+    via_table = {r["doc_id"]: r["score"] for r in classify.score_with_weight_table(df, wt, BIAS).collect()}
+    assert via_array[1] == pytest.approx(want)
+    assert via_table[1] == pytest.approx(want)
+    assert via_array[2] == pytest.approx(via_table[2])
