@@ -103,6 +103,21 @@ def main() -> None:
         else None,
     }
 
+    sd_ref = {
+        r["vec_id"]
+        for r in S.semantic_dedup(emb, n_clusters=16, threshold=0.4, refine_iters=2)
+        .filter("NOT keep")
+        .collect()
+    }
+    out["semantic_dedup_k16_refined@c0.4"] = {
+        "note": "2 Lloyd rounds on the coarse quantizer",
+        "drops": len(sd_ref),
+        "recall": round(len(sd_ref & exact_droppable) / len(exact_droppable), 4)
+        if exact_droppable
+        else None,
+        "precision": round(len(sd_ref & exact_droppable) / len(sd_ref), 4) if sd_ref else None,
+    }
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
     with open(path, "w") as fh:
         json.dump({"sf_dir": sf_dir, "results": out}, fh, indent=1, sort_keys=True)
