@@ -220,6 +220,7 @@ def quality_routed_stream(
     weights: list[float],
     bias: float,
     threshold: float = 0.5,
+    hash_fn=None,
 ) -> DataFrame:
     """Streaming corpus quality gate: the hashed-linear-classifier score
     (operators.classify, literal-array strategy) is a STATELESS projection
@@ -228,7 +229,7 @@ def quality_routed_stream(
     column ('keep'/'drop') for downstream routing."""
     from cashback_data_pipeline_spark.operators import classify
 
-    scored = classify.score_with_weights_array(docs, weights, bias)
+    scored = classify.score_with_weights_array(docs, weights, bias, hash_fn=hash_fn)
     return scored.withColumn(
         "route", F.when(F.col("score") >= threshold, "keep").otherwise("drop")
     )
