@@ -235,20 +235,57 @@ def quality_routed_stream(
     )
 
 
+def _write_epoch_partition(df: DataFrame, path: str, epoch_id: int) -> None:
+    """Exactly-once micro-batch commit: write the batch under an
+    ``__epoch=<id>`` partition with DYNAMIC partition overwrite, so a
+    replayed epoch (restart after a partially-completed micro-batch)
+    REPLACES its own partition instead of appending a second copy.
+    Spark's checkpointed sources guarantee a replayed batch carries the
+    same ``epoch_id`` and the same data, which makes this idempotent —
+    the standard foreachBatch exactly-once recipe without a
+    transactional table format. Readers see ``__epoch`` as an extra
+    int partition column (provenance: which micro-batch wrote the row).
+
+    Empty batches are skipped: partitionBy of zero rows writes no files
+    (and could leave an unreadable footer-less directory on a fresh
+    path), and a replayed epoch that is empty now was empty before."""
+    if df.isEmpty():
+        return
+    (
+        df.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(path)
+    )
+
+
+def route_batch_to_sinks(batch: DataFrame, epoch_id: int, keep_path: str, drop_path: str) -> None:
+    """One routed micro-batch → two parquet sinks, exactly-once: each
+    sink write lands in that epoch's ``__epoch=<id>`` partition via
+    dynamic overwrite (see :func:`_write_epoch_partition`), so replaying
+    the epoch after a crash between the keep and drop writes rewrites
+    both partitions instead of duplicating rows. Exposed at module level
+    so crash-replay tests can invoke the same code path foreachBatch runs."""
+    batch.persist()
+    try:
+        _write_epoch_partition(batch.filter(F.col("route") == "keep").drop("route"), keep_path, epoch_id)
+        _write_epoch_partition(batch.filter(F.col("route") == "drop").drop("route"), drop_path, epoch_id)
+    finally:
+        batch.unpersist()
+
+
 def route_stream_to_sinks(scored: DataFrame, keep_path: str, drop_path: str, checkpoint: str):
     """foreachBatch fan-out of a routed stream to two parquet sinks.
     One source pass per micro-batch feeds both sinks (persist the batch;
-    two filtered writes); checkpointing makes replays append-idempotent
-    at the micro-batch level. Returns the DataStreamWriter (caller calls
-    .start()/.trigger())."""
+    two filtered writes). Exactly-once under replay: each epoch commits
+    by dynamically overwriting its own ``__epoch`` partition in both
+    sinks (:func:`route_batch_to_sinks`), so a restart after a partially
+    completed micro-batch replaces, never duplicates. Returns the
+    DataStreamWriter (caller calls .start()/.trigger())."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        batch.persist()
-        try:
-            batch.filter(F.col("route") == "keep").drop("route").write.mode("append").parquet(keep_path)
-            batch.filter(F.col("route") == "drop").drop("route").write.mode("append").parquet(drop_path)
-        finally:
-            batch.unpersist()
+        route_batch_to_sinks(batch, epoch_id, keep_path, drop_path)
 
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
@@ -285,12 +322,59 @@ def near_dup_ingest_stream(
        ``dup_of`` = the matched historical id (lowest id tie-break);
        fresh docs append their bands + signatures to the index.
 
+    Exactly-once under replay: (a) the routed output and both index
+    stores commit per epoch via dynamic ``__epoch`` partition overwrite
+    (:func:`_write_epoch_partition`) — a replayed micro-batch rewrites
+    its own partitions instead of appending a second copy; (b) the
+    candidate join excludes ``old_id == id`` so a replay that already
+    appended the batch's own docs to the index (crash after the index
+    write) does not self-match every doc as a dup; (c) the index append
+    additionally anti-joins on id against the loaded history, so even a
+    changed-epoch replay cannot double-insert a doc's bands/sigs.
+
     Batch order is the dedup order (micro-batch boundaries decide who is
     "first"); within a batch, lower ids win against the in-batch index
     the same way. Returns the DataStreamWriter (caller sets trigger)."""
-    from cashback_data_pipeline_spark.operators import dedup as D
 
-    spark = docs.sparkSession
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        near_dup_ingest_batch(
+            batch,
+            epoch_id,
+            index_path=index_path,
+            out_path=out_path,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)
+
+
+def near_dup_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of :func:`near_dup_ingest_stream` (module-level so
+    crash-replay tests drive the exact code path foreachBatch runs —
+    calling it twice with the same ``epoch_id`` must leave output, index,
+    and routing byte-identical to calling it once)."""
+    from cashback_data_pipeline_spark.operators import dedup as D
+    from cashback_data_pipeline_spark.sinks.writers import _path_exists
+
+    if not batch.head(1):
+        return
+    spark = batch.sparkSession
     rows_per_band = num_hashes // bands
 
     def band_keys(sig_df: DataFrame) -> DataFrame:
@@ -315,65 +399,73 @@ def near_dup_ingest_stream(
             lambda acc, x: acc + x,
         ) / F.lit(num_hashes)
 
-    def process_batch(batch: DataFrame, epoch_id: int) -> None:
-        if not batch.head(1):
-            return
-        sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint()
-        bks = band_keys(sigs).localCheckpoint()
+    sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint()
+    bks = band_keys(sigs).localCheckpoint()
 
-        try:
-            hist_bands = spark.read.parquet(f"{index_path}/bands")
-            hist_sigs = spark.read.parquet(f"{index_path}/sigs")
-            have_index = True
-        except Exception:
-            have_index = False
-
-        matches = None
-        if have_index:
-            cand = (
-                bks.join(hist_bands.select(F.col("id").alias("old_id"), "band", "bh"), ["band", "bh"])
-                .select("id", "old_id")
-                .distinct()
-            )
-            matches = (
-                cand.join(hist_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
-                .join(sigs.select("id", F.col("sig").alias("new_sig")), "id")
-                .withColumn("est_j", est_jaccard("new_sig", "old_sig"))
-                .filter(F.col("est_j") >= threshold)
-                .groupBy("id")
-                .agg(F.min("old_id").alias("dup_of"), F.max("est_j").alias("est_jaccard"))
-            )
-        # in-batch dedup: lower id wins (same LSH + estimator, batch vs itself)
-        in_batch = (
-            bks.alias("l")
-            .join(bks.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") > F.col("r.id")))
-            .select(F.col("l.id").alias("id"), F.col("r.id").alias("old_id"))
+    # Explicit existence check (NOT try/except): a transient FS error or a
+    # corrupt index must FAIL the micro-batch (checkpoint replays it) rather
+    # than silently skip history screening and admit duplicates. A missing
+    # sigs store with bands present is the recoverable crash-between-appends
+    # state: no screening possible (matching needs sigs), replay rewrites it.
+    have_index = _path_exists(spark, f"{index_path}/bands") and _path_exists(
+        spark, f"{index_path}/sigs"
+    )
+    hist_ids = None
+    matches = None
+    if have_index:
+        hist_bands = spark.read.parquet(f"{index_path}/bands")
+        hist_sigs = spark.read.parquet(f"{index_path}/sigs")
+        hist_ids = hist_sigs.select("id")
+        cand = (
+            bks.join(hist_bands.select(F.col("id").alias("old_id"), "band", "bh"), ["band", "bh"])
+            # replay guard: the crashed first attempt may have indexed this
+            # very batch — a doc must never match itself in history
+            .filter(F.col("old_id") != F.col("id"))
+            .select("id", "old_id")
             .distinct()
-            .join(sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
+        )
+        matches = (
+            cand.join(hist_sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
             .join(sigs.select("id", F.col("sig").alias("new_sig")), "id")
             .withColumn("est_j", est_jaccard("new_sig", "old_sig"))
             .filter(F.col("est_j") >= threshold)
             .groupBy("id")
             .agg(F.min("old_id").alias("dup_of"), F.max("est_j").alias("est_jaccard"))
         )
-        all_matches = in_batch if matches is None else matches.unionByName(in_batch).groupBy("id").agg(
-            F.min("dup_of").alias("dup_of"), F.max("est_jaccard").alias("est_jaccard")
-        )
-        # in-batch transitivity: only match against docs that are themselves
-        # fresh is NOT enforced (a dup-of-a-dup maps to its earliest sighting
-        # via min(dup_of) — adequate for routing; exact clustering is the
-        # batch dedup_clusters job)
-        routed = (
-            batch.join(all_matches.withColumnRenamed("id", id_col), id_col, "left")
-            .withColumn("is_dup", F.col("dup_of").isNotNull())
-        )
-        routed.persist()
-        try:
-            routed.write.mode("append").parquet(out_path)
-            fresh_ids = routed.filter(~F.col("is_dup")).select(F.col(id_col).alias("id"))
-            bks.join(fresh_ids, "id", "leftsemi").write.mode("append").parquet(f"{index_path}/bands")
-            sigs.join(fresh_ids, "id", "leftsemi").write.mode("append").parquet(f"{index_path}/sigs")
-        finally:
-            routed.unpersist()
-
-    return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)
+    # in-batch dedup: lower id wins (same LSH + estimator, batch vs itself)
+    in_batch = (
+        bks.alias("l")
+        .join(bks.alias("r"), (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")) & (F.col("l.id") > F.col("r.id")))
+        .select(F.col("l.id").alias("id"), F.col("r.id").alias("old_id"))
+        .distinct()
+        .join(sigs.select(F.col("id").alias("old_id"), F.col("sig").alias("old_sig")), "old_id")
+        .join(sigs.select("id", F.col("sig").alias("new_sig")), "id")
+        .withColumn("est_j", est_jaccard("new_sig", "old_sig"))
+        .filter(F.col("est_j") >= threshold)
+        .groupBy("id")
+        .agg(F.min("old_id").alias("dup_of"), F.max("est_j").alias("est_jaccard"))
+    )
+    all_matches = in_batch if matches is None else matches.unionByName(in_batch).groupBy("id").agg(
+        F.min("dup_of").alias("dup_of"), F.max("est_jaccard").alias("est_jaccard")
+    )
+    # in-batch transitivity: only match against docs that are themselves
+    # fresh is NOT enforced (a dup-of-a-dup maps to its earliest sighting
+    # via min(dup_of) — adequate for routing; exact clustering is the
+    # batch dedup_clusters job)
+    routed = (
+        batch.join(all_matches.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+    routed.persist()
+    try:
+        _write_epoch_partition(routed, out_path, epoch_id)
+        fresh_ids = routed.filter(~F.col("is_dup")).select(F.col(id_col).alias("id"))
+        if hist_ids is not None:
+            # belt-and-braces idempotence: never re-insert an already-indexed
+            # id, even if a replay arrived under a different epoch
+            fresh_ids = fresh_ids.join(hist_ids, "id", "left_anti")
+        fresh_ids = fresh_ids.localCheckpoint()
+        _write_epoch_partition(bks.join(fresh_ids, "id", "leftsemi"), f"{index_path}/bands", epoch_id)
+        _write_epoch_partition(sigs.join(fresh_ids, "id", "leftsemi"), f"{index_path}/sigs", epoch_id)
+    finally:
+        routed.unpersist()

@@ -195,8 +195,12 @@ def test_quality_routed_stream_matches_batch_scoring(spark, tmp_path):
     )
     batch_docs.repartition(4).write.parquet(str(src))
 
+    # threshold chosen to genuinely SPLIT this corpus (scores are 0.4502
+    # for doc_id%5 in {0,4} and 0.4688 otherwise) — both sinks non-empty,
+    # so the test can't pass vacuously on an empty keep set
+    threshold = 0.46
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
-    routed = quality_routed_stream(stream, weights, bias, threshold=0.5)
+    routed = quality_routed_stream(stream, weights, bias, threshold=threshold)
     q = (
         route_stream_to_sinks(
             routed, str(tmp_path / "keep"), str(tmp_path / "drop"), str(tmp_path / "ckpt")
@@ -208,7 +212,8 @@ def test_quality_routed_stream_matches_batch_scoring(spark, tmp_path):
 
     kept_stream = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "keep")).collect()}
     scored = classify.score_with_weights_array(batch_docs, weights, bias)
-    kept_batch = {r["doc_id"] for r in scored.where(F.col("score") >= 0.5).collect()}
+    kept_batch = {r["doc_id"] for r in scored.where(F.col("score") >= threshold).collect()}
+    assert kept_stream and kept_stream != set(range(40))
     assert kept_stream == kept_batch
     dropped = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "drop")).collect()}
     assert kept_stream | dropped == set(range(40)) and not (kept_stream & dropped)
@@ -263,6 +268,71 @@ def test_near_dup_ingest_stream_screens_against_history(spark, tmp_path):
     assert out[13]["is_dup"] and out[13]["dup_of"] == 12          # in-batch dup
 
     # index holds only fresh docs' bands+sigs, and never text
+    # (__epoch is the commit-partition column, not payload)
     sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
     assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 12}
-    assert set(sigs.columns) == {"id", "sig"}
+    assert set(sigs.columns) == {"id", "sig", "__epoch"}
+
+
+def _near_dup_state(spark, tmp_path):
+    """Snapshot (routing, index ids, row counts) for replay comparison."""
+    out = spark.read.parquet(str(tmp_path / "out"))
+    routing = sorted(
+        (r["doc_id"], r["is_dup"], r["dup_of"]) for r in out.collect()
+    )
+    sig_ids = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "index/sigs")).collect())
+    band_rows = spark.read.parquet(str(tmp_path / "index/bands")).count()
+    return routing, sig_ids, band_rows
+
+
+def test_near_dup_ingest_batch_replay_exactly_once(spark, tmp_path):
+    """Crash-replay contract (VERDICT r4 #1): re-running a micro-batch
+    with the same epoch_id — the foreachBatch restart scenario, where the
+    first attempt may have already committed output AND index — leaves
+    output rows, routing decisions, and the MinHash index byte-identical.
+    In particular the replay must not self-match batch docs against their
+    own crashed-attempt index entries."""
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    other = "one two three four five six seven eight nine ten " * 3
+
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b1 = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, base), (11, near)], "doc_id long, text string")
+
+    near_dup_ingest_batch(b1, 0, **kw)
+    # replay epoch 0 (crash after full commit): must be a no-op
+    near_dup_ingest_batch(b1, 0, **kw)
+    s1 = _near_dup_state(spark, tmp_path)
+    assert s1[1] == [1, 2]
+
+    near_dup_ingest_batch(b2, 1, **kw)
+    once = _near_dup_state(spark, tmp_path)
+    # replay epoch 1: docs 10/11 are dups of 1 — must STAY dups (no
+    # self-match flip, no duplicated out rows, no index growth)
+    near_dup_ingest_batch(b2, 1, **kw)
+    twice = _near_dup_state(spark, tmp_path)
+    assert once == twice
+    routing = dict((d, (isd, dof)) for d, isd, dof in twice[0])
+    assert routing[10] == (True, 1) and routing[11] == (True, 1)
+    assert twice[1] == [1, 2]  # dups never enter the index
+
+
+def test_route_batch_to_sinks_replay_exactly_once(spark, tmp_path):
+    """Replaying a routed micro-batch overwrites its own __epoch
+    partition in both sinks — no duplicate keep/drop rows."""
+    from cashback_data_pipeline_spark.streaming.jobs import route_batch_to_sinks
+
+    batch = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(10)],
+        "doc_id long, route string",
+    )
+    keep, drop = str(tmp_path / "keep"), str(tmp_path / "drop")
+    route_batch_to_sinks(batch, 7, keep, drop)
+    route_batch_to_sinks(batch, 7, keep, drop)  # crash-replay
+    kept = spark.read.parquet(keep)
+    dropped = spark.read.parquet(drop)
+    assert kept.count() == 5 and dropped.count() == 5
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 4, 6, 8]
