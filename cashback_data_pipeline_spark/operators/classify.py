@@ -86,10 +86,19 @@ def score_with_weight_table(
     out_col: str = "score",
     hash_fn: Callable[[Column], Column] | None = None,
     logit_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Weight-table strategy for models too large to inline.
 
-    ``weight_table``: (bucket: long, weight: double), D = its row count.
+    ``weight_table``: (bucket: long, weight: double). The hash modulus
+    ``n_buckets`` (the trained model's dimension) must be passed
+    explicitly for SPARSE tables (zero-weight buckets omitted — a common
+    trained-model layout); when omitted it defaults to the row count,
+    which is only correct for dense tables, so the dense assumption is
+    VALIDATED (max(bucket) == count-1 and min(bucket) == 0) and a sparse
+    table without ``n_buckets`` raises instead of silently hashing every
+    token into a different bucket than training.
+
     Missing buckets weigh 0 (left join + coalesce); a doc with no tokens
     pools to 0 (score = sigmoid(bias)). The token fan-out is aggregated
     to (doc, bucket, n) BEFORE the join, so each distinct bucket of a
@@ -97,7 +106,18 @@ def score_with_weight_table(
     ``logit_col`` additionally exposes ``bias + pooled`` — exact
     arithmetic (no transcendental), which cross-engine oracles compare
     in preference to the sigmoid (libm vs Math.exp differ by ulps)."""
-    n_buckets = weight_table.count()
+    if n_buckets is None:
+        stats = weight_table.agg(
+            F.count(F.lit(1)).alias("n"), F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+        ).first()
+        if stats["n"] == 0:
+            raise ValueError("empty weight_table; pass n_buckets explicitly")
+        if stats["mn"] != 0 or stats["mx"] != stats["n"] - 1:
+            raise ValueError(
+                f"weight_table looks sparse (buckets [{stats['mn']}, {stats['mx']}] for "
+                f"{stats['n']} rows); pass n_buckets (the trained model dimension) explicitly"
+            )
+        n_buckets = stats["n"]
     exploded = (
         docs.select(id_col, F.explode(token_buckets(text_col, n_buckets, hash_fn)).alias("bucket"))
         .groupBy(id_col, "bucket")

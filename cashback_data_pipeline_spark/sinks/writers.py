@@ -332,7 +332,11 @@ def scd2_upsert(
        contract;
     2. drops no-op updates (every ``compare_cols`` value equal to the
        key's current version — change detection uses a null-safe
-       comparison so NULL→NULL is "unchanged");
+       comparison so NULL→NULL is "unchanged") AND late updates
+       (``ts_col`` ≤ the key's current ``__valid_from``): an
+       out-of-order batch must not close the current version with
+       ``__valid_to`` earlier than its ``__valid_from`` or promote
+       stale data to current;
     3. closes the superseded current rows (``__valid_to`` = incoming
        ``ts_col``, ``__is_current`` = false) and appends the new
        versions.
@@ -388,7 +392,12 @@ def scd2_upsert(
     for c in cmp_cols:
         unchanged = unchanged & F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
     is_new_key = F.col("__cur_from").isNull()
-    effective = joined.filter(is_new_key | ~unchanged).select(*latest.columns).cache()
+    # ordering guard: an incoming row no newer than the key's current
+    # version is LATE (an out-of-order batch) — applying it would close
+    # the current row with __valid_to < __valid_from and promote stale
+    # data to current. Late rows are a no-op, like no-op updates.
+    is_newer = F.col(ts_col) > F.col("__cur_from")
+    effective = joined.filter(is_new_key | (~unchanged & is_newer)).select(*latest.columns).cache()
     try:
         change_keys = effective.select(key).distinct()
         n_inserted = effective.count()
@@ -429,8 +438,19 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     close z-values, so sorting by ``__z`` clusters all dimensions at
     once. Normalization is rank-free (linear min/max): heavily skewed
     columns cluster worse than with an exact-rank scale, but need no
-    window over the full table."""
+    window over the full table.
+
+    The interleave occupies ``bits·k`` bits of the signed-64 ``__z``;
+    Spark's ``shiftleft`` wraps its shift amount mod 64, so bits is
+    auto-reduced to keep ``bits·k ≤ 63`` (≥1 bit per column; >63 columns
+    raises). An all-NULL column has no bounds and contributes plane 0
+    (NULL values likewise scale to 0 via the greatest/least clamp)."""
     k = len(cols)
+    if k == 0:
+        raise ValueError("zorder_column needs at least one column")
+    if k > 63:
+        raise ValueError(f"cannot z-order {k} columns into 63 bits (max 63)")
+    bits = max(1, min(bits, 63 // k))
     bounds = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
@@ -438,7 +458,10 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     z = F.lit(0).cast("long")
     top = (1 << bits) - 1
     for ci, c in enumerate(cols):
-        mn, mx = float(bounds[f"__mn_{c}"]), float(bounds[f"__mx_{c}"])
+        mn_raw, mx_raw = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        if mn_raw is None or mx_raw is None:
+            continue  # all-NULL column: no information, plane stays 0
+        mn, mx = float(mn_raw), float(mx_raw)
         span = (mx - mn) or 1.0
         scaled = F.least(
             F.lit(top),
