@@ -245,28 +245,56 @@ def main() -> None:
         with open(ref_path, "w") as fh:
             json.dump({"sf": sf, "queries": timings}, fh, indent=1, sort_keys=True)
 
-    print(
-        json.dumps(
+    ref_total = (
+        round(sum(v for k, v in reftimes.items() if k in timings), 3) if reftimes else None
+    )
+    # Full artifact (every raw sample + stall evidence) goes to a
+    # committed file; the driver's stdout capture keeps only the LAST
+    # 2000 CHARS, so the stdout line must be compact or the driver
+    # records parsed=null (this is exactly what truncated BENCH_r04 —
+    # VERDICT r4 item 3). 2-decimal mins + compact separators keep
+    # ~60 queries near 1800 chars; if the surface grows past the
+    # budget, the smallest entries are dropped from the LINE only
+    # (they remain in the local artifact) and flagged.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-                # self-defense fields (VERDICT r3 item 2): every raw
-                # sample, which entries exceeded the committed stall
-                # bound even after escalation, and the committed totals
-                # for the entries this run covered.
+                "queries": timings,
                 "samples": samples,
                 "stalled": stalled,
-                "ref_total": round(
-                    sum(v for k, v in reftimes.items() if k in timings), 3
-                )
-                if reftimes
-                else None,
-            }
+                "ref_total": ref_total,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+
+    doc = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "stalled": stalled,
+        "ref_total": ref_total,
+        "full": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(doc, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > budget and by_cost:
+            doc["queries"].pop(by_cost.pop(), None)
+            doc["queries_truncated"] = True
+            line = json.dumps(doc, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -648,7 +648,8 @@ def bucket_pairs_gemm(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_col: str = "bucket",
+    bucket_col: str | list[str] = "bucket",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Within-bucket exact near-dup pairs via per-bucket GEMM: one
     applyInPandas group per bucket, numpy matmul of the bucket's
@@ -657,30 +658,97 @@ def bucket_pairs_gemm(
     self-join (the 1×→10× scale check measured the expression path at
     84.6 s where this kernel runs in ~2 s on identical buckets), and the
     join's two-arrays-per-row materialization disappears — each vector
-    crosses the shuffle once, keyed by bucket."""
+    crosses the shuffle once, keyed by bucket.
+
+    ``bucket_col`` may be a list (compound bucket key, e.g. the
+    multi-table LSH's (table, bucket)).
+
+    ``max_bucket_size`` bounds the DEGENERATE-BUCKET failure mode (a
+    skewed corpus concentrating in one bucket turns that bucket's GEMM
+    into a single-task |b|²-memory hot spot): buckets larger than the
+    cap are hash-split into ⌈|b|/cap⌉ sub-blocks and every unordered
+    sub-block pair becomes its own GEMM task — the same distributed
+    blocked-GEMM shape as :func:`embedding_pairs_fast`, so per-task
+    memory stays ≤ cap² and a degenerate bucket parallelizes across the
+    cluster instead of serializing on one executor. The pair set is
+    IDENTICAL to the uncapped path (exact within bucket, each pair in
+    exactly one sub-block group); cost is one small (bucket, count)
+    aggregate + re-shuffle of oversized buckets' rows ⌈|b|/cap⌉ times."""
     import numpy as np
     import pandas as pd
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        mat = np.array(list(pdf["v"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
+    keys = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    kcols = [f"__k{i}" for i in range(len(keys))]
+    base = bucketed.select(
+        *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
 
-    return (
-        bucketed.select(
-            F.col(bucket_col).alias("bkt"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
+    empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+
+    def _norm_mat(series) -> "np.ndarray":
+        mat = np.array(list(series), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat
+
+    if max_bucket_size is None:
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame(empty)
+            mat = _norm_mat(pdf["v"])
+            sims = mat @ mat.T
+            i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
+
+        return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
+
+    counts = base.groupBy(*kcols).agg(
+        F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("__nblk")
+    )
+    tagged = (
+        base.join(counts, kcols)
+        .withColumn("__blk", F.pmod(F.xxhash64("id"), F.col("__nblk")).cast("int"))
+        .select(
+            *kcols, "id", "v", "__blk",
+            F.explode(F.sequence(F.lit(0), F.col("__nblk") - 1)).alias("__other"),
         )
-        .groupBy("bkt")
-        .applyInPandas(kernel, schema="id_a long, id_b long, cos double")
+        .select(
+            *kcols, "id", "v", "__blk",
+            F.least("__blk", "__other").alias("__lo"),
+            F.greatest("__blk", "__other").alias("__hi"),
+        )
+    )
+
+    def blocked_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["__lo"].iat[0]), int(pdf["__hi"].iat[0])
+        if lo == hi:
+            ids = pdf["id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame(empty)
+            mat = _norm_mat(pdf["v"])
+            sims = mat @ mat.T
+            i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
+        amask = pdf["__blk"].to_numpy() == lo
+        aids = pdf["id"].to_numpy()[amask]
+        bids = pdf["id"].to_numpy()[~amask]
+        if len(aids) == 0 or len(bids) == 0:
+            return pd.DataFrame(empty)
+        amat = _norm_mat(pdf["v"][amask])
+        bmat = _norm_mat(pdf["v"][~amask])
+        sims = amat @ bmat.T
+        i, j = np.nonzero(sims >= threshold)
+        ia, jb = aids[i], bids[j]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, jb), "id_b": np.maximum(ia, jb), "cos": sims[i, j]}
+        )
+
+    return tagged.groupBy(*kcols, "__lo", "__hi").applyInPandas(
+        blocked_kernel, schema="id_a long, id_b long, cos double"
     )
 
 
@@ -693,6 +761,8 @@ def embedding_near_dups_lsh_fast(
     target_bucket_size: int = 1024,
     seed: int = 42,
     n_tables: int = 1,
+    max_bucket_size: int | None = 8192,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """The self-scaling sub-quadratic embedding near-dup path: sign-LSH
     buckets SIZED TO THE CORPUS (``n_planes = ceil(log2(n /
@@ -705,17 +775,29 @@ def embedding_near_dups_lsh_fast(
     n·target_bucket_size total dot products, i.e. LINEAR in n at fixed
     target size. Recall < 1 vs the exact twin (embedding_pairs_fast) and
     drops as planes grow — target_bucket_size is the recall/throughput
-    knob. A skew-degenerate bucket (all signs equal) degrades to that
-    bucket's |b|² — bound it by routing oversized buckets through
-    embedding_pairs_fast(n_blocks=...) if a corpus concentrates."""
+    knob.
+
+    A skew-degenerate bucket (all signs equal — e.g. a corpus of
+    all-positive embeddings) degrades to that bucket's |b|² in ONE task;
+    ``max_bucket_size`` (default 8× target) routes any bucket over the
+    cap through distributed blocked GEMM (hash sub-blocks × block-pair
+    tasks — see :func:`bucket_pairs_gemm`), bounding per-task memory and
+    re-parallelizing the degenerate bucket with an identical pair set.
+    Pass None to disable the (bucket, count) sizing aggregate.
+
+    ``n_hint`` (corpus size, e.g. from table stats or a prior stage)
+    sizes the plane count without the per-invocation ``df.count()`` job,
+    so the production call is single-job at fixed/hinted n."""
     import math
 
     if n_planes is None:
-        n = df.count()
+        n = n_hint if n_hint is not None else df.count()
         n_planes = max(1, math.ceil(math.log2(max(2.0, n / target_bucket_size))))
     if n_tables <= 1:
         bucketed = hyperplane_lsh_buckets(df, n_planes=n_planes, id_col=id_col, vec_col=vec_col, seed=seed)
-        return bucket_pairs_gemm(bucketed, threshold, id_col, vec_col)
+        return bucket_pairs_gemm(
+            bucketed, threshold, id_col, vec_col, max_bucket_size=max_bucket_size
+        )
     # OR-amplification: L independent tables (disjoint hyperplane seeds),
     # union of within-bucket pair sets. Single-table recall for a pair at
     # angle θ is p = (1−θ/π)^planes (measured 0.15 at cos 0.4 with 4
@@ -736,23 +818,7 @@ def embedding_near_dups_lsh_fast(
     tagged = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.posexplode(buckets).alias("tbl", "bkt")
     )
-
-    import numpy as np
-    import pandas as pd
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        mat = np.array(list(pdf["v"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
-
-    allp = tagged.groupBy("tbl", "bkt").applyInPandas(
-        kernel, schema="id_a long, id_b long, cos double"
+    allp = bucket_pairs_gemm(
+        tagged, threshold, "id", "v", bucket_col=["tbl", "bkt"], max_bucket_size=max_bucket_size
     )
     return allp.groupBy("id_a", "id_b").agg(F.max("cos").alias("cos"))

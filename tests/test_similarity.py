@@ -309,3 +309,73 @@ def test_lsh_multi_table_or_amplification(spark, emb):
     assert len(eight & exact) >= len(one & exact)
     assert eight <= exact  # GEMM verification keeps precision exact
     assert len(eight & exact) / len(exact) >= 0.8  # amplified recall
+
+
+def test_bucket_cap_routes_degenerate_bucket_exactly(spark):
+    """Adversarial all-same-sign corpus (every embedding = one base
+    direction + tiny noise, so every vector lands on the SAME side of
+    every hyperplane → ONE bucket regardless of plane count): the
+    max_bucket_size path must sub-block the bucket through distributed
+    blocked GEMM and still emit EXACTLY the uncapped pair set."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    rows = [
+        (i, [b + rng.gauss(0, 1e-3) for b in base])
+        for i in range(240)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    bucketed = similarity.hyperplane_lsh_buckets(emb, n_planes=5)
+    # degenerate by construction: a single bucket holds the whole corpus
+    assert bucketed.select("bucket").distinct().count() == 1
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.bucket_pairs_gemm(bucketed, threshold=0.9).collect()
+    }
+    capped_rows = similarity.bucket_pairs_gemm(
+        bucketed, threshold=0.9, max_bucket_size=32
+    ).collect()
+    capped = {(r["id_a"], r["id_b"]): r["cos"] for r in capped_rows}
+    assert len(capped_rows) == len(capped)  # each pair exactly once
+    assert capped.keys() == uncapped.keys() and len(capped) > 0
+    for k, v in uncapped.items():
+        assert abs(capped[k] - v) < 1e-9, k
+
+    # end-to-end: the fast path with a cap matches its uncapped self on
+    # the same (degenerate) corpus, single- and multi-table
+    for n_tables in (1, 4):
+        a = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dups_lsh_fast(
+                emb, threshold=0.9, n_planes=5, n_tables=n_tables, max_bucket_size=32
+            ).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dups_lsh_fast(
+                emb, threshold=0.9, n_planes=5, n_tables=n_tables, max_bucket_size=None
+            ).collect()
+        }
+        assert a == b and a == set(uncapped)
+
+
+def test_lsh_fast_n_hint_skips_sizing_count(spark, emb):
+    """n_hint must size planes like a count() of the same magnitude and
+    produce a valid pair set without running the sizing job."""
+    small = emb.limit(300)
+    via_hint = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups_lsh_fast(
+            small, threshold=0.35, target_bucket_size=64, n_hint=300
+        ).collect()
+    }
+    via_count = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dups_lsh_fast(
+            small, threshold=0.35, target_bucket_size=64
+        ).collect()
+    }
+    assert via_hint == via_count
