@@ -469,3 +469,142 @@ def greedy_bpe_token_ids(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+#: Learned merge table for the MERGE-RANK tokenizer (true BPE inference,
+#: VERDICT r4 item 6 — greedy longest-match is WordPiece-style and
+#: diverges from BPE on merge-order-sensitive inputs like "ath": BPE
+#: applies rank-0 (t,h) first → [a, th]; longest-match would consume
+#: "at" first → [at, h]). Rank = position; the merged symbol is
+#: left+right. The table respects dependency order (a merged symbol is
+#: produced by an earlier rank than any merge consuming it), which is
+#: what makes merge-all-occurrences-per-step equivalent to the
+#: one-pair-at-a-time formulation — validated at broadcast time.
+MERGE_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),       # 0: th
+    ("h", "e"),       # 1: he
+    ("th", "e"),      # 2: the
+    ("i", "n"),       # 3: in
+    ("a", "n"),       # 4: an
+    ("e", "r"),       # 5: er
+    ("an", "d"),      # 6: and
+    ("the", " "),     # 7: 'the '
+    ("s", "t"),       # 8: st
+    ("a", "t"),       # 9: at
+    ("o", "w"),       # 10: ow
+    ("r", "o"),       # 11: ro
+    ("in", "g"),      # 12: ing
+    (" ", "t"),       # 13: ' t'
+    ("d", "a"),       # 14: da
+    ("da", "t"),      # 15: dat
+    ("dat", "a"),     # 16: data
+)
+
+#: Base alphabet of the merge tokenizer: ids 0..25 = a..z, 26 = space;
+#: merged symbols take 27.. in rank order. Anything outside the base
+#: alphabet is an unknown symbol with id -1 (never merges).
+MERGE_BPE_BASE: str = "abcdefghijklmnopqrstuvwxyz "
+
+
+def merge_bpe_vocab(
+    merges: tuple[tuple[str, str], ...] = MERGE_BPE_MERGES,
+    base: str = MERGE_BPE_BASE,
+) -> dict[str, int]:
+    """symbol → token id for the merge table: base alphabet first, then
+    one id per merge in rank order (the standard BPE vocab layout)."""
+    vocab = {ch: i for i, ch in enumerate(base)}
+    for left, right in merges:
+        vocab[left + right] = len(vocab)
+    return vocab
+
+
+def merge_bpe_token_ids(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: tuple[tuple[str, str], ...] | None = None,
+    base: str | None = None,
+) -> DataFrame:
+    """TRUE merge-rank BPE encoding (VERDICT r4 item 6): start from the
+    base-symbol sequence and repeatedly merge ALL left-to-right
+    non-overlapping occurrences of the LOWEST-RANK adjacent pair present,
+    until no pair is in the merge table — the Sennrich ``apply_bpe``
+    inference walk, which real BPE tokenizers implement (tiktoken's
+    byte_pair_merge is the one-pair-at-a-time equivalent; equivalence
+    holds because learned merge tables are dependency-ordered, validated
+    here at broadcast time).
+
+    Returns (id_col, token_ids array<int>, n_tokens). Same scale shape
+    as :func:`greedy_bpe_token_ids`: merge table broadcast once per
+    executor, Arrow-batched ``mapInPandas`` over only (id, text).
+    Production vocabularies swap in via ``merges``/``base``; the simple
+    per-step pair scan is O(steps·len) per doc — for 50k-merge
+    production tables substitute the heap+linked-list O(n log n) kernel
+    behind the same signature."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    merges = tuple(merges if merges is not None else MERGE_BPE_MERGES)
+    base = base if base is not None else MERGE_BPE_BASE
+    # dependency order: every component of a merge must be a base symbol
+    # or the product of an EARLIER merge
+    known = set(base)
+    for left, right in merges:
+        if left not in known or right not in known:
+            raise ValueError(f"merge ({left!r}, {right!r}) uses a symbol no earlier rank produced")
+        known.add(left + right)
+    vocab = merge_bpe_vocab(merges, base)
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    b_tab = sc.broadcast((ranks, vocab, set(base)))
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("token_ids", T.ArrayType(T.IntegerType()), False),
+            T.StructField("n_tokens", T.IntegerType(), False),
+        ]
+    )
+
+    UNK = "\x00"  # out-of-alphabet sentinel symbol; never merges, id -1
+
+    def kernel(batches):
+        ranks_, vocab_, base_ = b_tab.value
+
+        def encode(text: str) -> list[int]:
+            seq = [ch if ch in base_ else UNK for ch in text]
+            while len(seq) > 1:
+                best_rank, best_pair = None, None
+                for a, b in zip(seq, seq[1:]):
+                    r = ranks_.get((a, b))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (a, b)
+                if best_pair is None:
+                    break
+                # merge all left-to-right non-overlapping occurrences
+                merged = best_pair[0] + best_pair[1]
+                out: list[str] = []
+                i = 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == best_pair[0] and seq[i + 1] == best_pair[1]:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            return [vocab_.get(s, -1) for s in seq]
+
+        for pdf in batches:
+            ids = [encode(t if isinstance(t, str) else "") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": ids,
+                    "n_tokens": [len(x) for x in ids],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

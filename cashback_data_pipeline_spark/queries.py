@@ -4730,6 +4730,86 @@ def token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Merge-rank BPE oracle (VERDICT r4 item 6): the oracle replays the
+# ITERATIVE lowest-rank-pair merge walk on a single-char-coded symbol
+# string — every symbol (base char or merged) is one unique character,
+# so DuckDB's left-to-right non-overlapping replace() IS the BPE merge
+# step and no symbol boundary can be misread. Codes and the merge/vocab
+# VALUES lists are generated from the SAME Python table the Spark kernel
+# broadcasts, so the two sides cannot drift.
+_MB_CODES = "THEIARDGSBOUNWFQV"  # one unique char per merge, rank order
+
+
+def _merge_bpe_values() -> tuple[str, str]:
+    code = {ch: ch for ch in text.MERGE_BPE_BASE}
+    m_rows = []
+    for r, (left, right) in enumerate(text.MERGE_BPE_MERGES):
+        c = _MB_CODES[r]
+        m_rows.append(f"({r}, '{code[left]}{code[right]}', '{c}')")
+        code[left + right] = c
+    # coded seq → comma-joined id string via nested replace: every code
+    # is one char from [a-z THEIARDGSBOUNWFQV!] and every replacement
+    # emits only digits/commas/minus, so no later replace can match an
+    # earlier replacement's output
+    expr = "f.seq"
+    vocab = text.merge_bpe_vocab()
+    for sym, i in vocab.items():
+        expr = f"replace({expr}, '{code[sym]}', '{i},')"
+    expr = f"replace({expr}, '!', '-1,')"
+    return ", ".join(m_rows), expr
+
+
+_MB_MERGE_VALUES, _MB_IDS_EXPR = _merge_bpe_values()
+
+
+@query(
+    "bpe_merge_tokenize",
+    sql=f"""
+    WITH RECURSIVE merges(rank, pair, code) AS (
+      VALUES {_MB_MERGE_VALUES}
+    ),
+    base AS (
+      SELECT doc_id, regexp_replace(coalesce(text, ''), '[^a-z ]', '!', 'g') AS seq
+      FROM documents
+    ),
+    state(doc_id, seq) AS (
+      SELECT doc_id, seq FROM base
+      UNION ALL
+      SELECT doc_id,
+             replace(seq,
+               (SELECT pair FROM merges WHERE contains(state.seq, pair) ORDER BY rank LIMIT 1),
+               (SELECT code FROM merges WHERE contains(state.seq, pair) ORDER BY rank LIMIT 1))
+      FROM state
+      WHERE EXISTS (SELECT 1 FROM merges WHERE contains(state.seq, pair))
+    ),
+    final AS (
+      SELECT doc_id, seq FROM state
+      WHERE NOT EXISTS (SELECT 1 FROM merges WHERE contains(state.seq, pair))
+    )
+    SELECT f.doc_id,
+           CAST(length(f.seq) AS INT) AS n_tokens,
+           md5(rtrim({_MB_IDS_EXPR}, ',')) AS tok_hash
+    FROM final f
+    """,
+)
+def bpe_merge_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE merge-rank BPE encoding (text.merge_bpe_token_ids — the
+    iterative lowest-rank-pair walk real BPE tokenizers run, vs the
+    greedy longest-match of ``bpe_tokenize`` which is WordPiece-style
+    inference and diverges on merge-order-sensitive inputs). Checked as
+    token count + md5 of the full comma-joined id sequence, so the
+    oracle verifies every merge decision in order."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = text_ops.merge_bpe_token_ids(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.array_join(F.col("token_ids").cast("array<string>"), ",")).alias("tok_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Leakage-safe grouped split: the split decision hashes the GROUP key
 # (source), not the row, so every document of a source lands in the same
