@@ -4956,16 +4956,18 @@ def ann_neighbor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (
       SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)
-    ), assign AS (
-      SELECT vec_id, v, centroid_id FROM (
+    ), member AS (
+      SELECT vec_id, v, centroid_id, rn FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
         FROM e, cent c) a
-      WHERE rn = 1
+      WHERE rn <= 3
+    ), assign AS (
+      SELECT vec_id, v, centroid_id FROM member WHERE rn = 1
     ), prior AS (
       SELECT b.vec_id AS id_b, max(list_cosine_similarity(a.v, b.v)) AS mp
-      FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      FROM member a JOIN member b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
       GROUP BY b.vec_id
     )
     SELECT s.vec_id, CAST(s.centroid_id AS INT) AS centroid_id,
@@ -4976,12 +4978,17 @@ def ann_neighbor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over ``embeddings``: cluster-bounded pairwise cosine with
-    the deterministic keep-lowest-id drop rule (similarity.semantic_dedup).
+    the deterministic keep-lowest-id drop rule (similarity.semantic_dedup),
+    with TOP-3 SHADOW MEMBERSHIP (VERDICT r4 item 8): each vector joins
+    the pair pools of its 3 nearest centroids, so near-dups straddling a
+    cluster edge share a pool — measured drop-recall 0.21 (primary-only)
+    → 0.77 at 3× membership rows, total work still linear (RECALL.json).
+    The oracle replays the dual assignment verbatim (rn <= 3 member CTE).
     Threshold 0.4 matches embedding_near_dups (this corpus's cosines max
     out ≈0.51, so 0.4 exercises real drops). Scale: Σ|cluster|² pair work,
     equi-join on centroid_id — never an uncluster'd cartesian."""
     emb = read_testdata(spark, sf_dir, "embeddings")
-    out = similarity.semantic_dedup(emb, n_clusters=16, threshold=0.4)
+    out = similarity.semantic_dedup(emb, n_clusters=16, threshold=0.4, memberships=3)
     return out.select(
         "vec_id",
         "centroid_id",

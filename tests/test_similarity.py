@@ -379,3 +379,44 @@ def test_lsh_fast_n_hint_skips_sizing_count(spark, emb):
         ).collect()
     }
     assert via_hint == via_count
+
+
+def test_semantic_dedup_shadow_membership_catches_boundary_pair(spark):
+    """A near-dup pair whose two members assign to DIFFERENT primary
+    clusters is invisible to primary-only SemDeDup but must be caught
+    once shadow membership puts them in a shared pool."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    c1 = rng.normal(size=8); c1 /= np.linalg.norm(c1)
+    c2 = rng.normal(size=8); c2 /= np.linalg.norm(c2)
+    mid = (c1 + c2) / np.linalg.norm(c1 + c2)
+
+    def near(v, eps, seed):
+        r = np.random.default_rng(seed).normal(scale=eps, size=8)
+        out = v + r
+        return (out / np.linalg.norm(out)).tolist()
+
+    # ids 0,1 seed the two centroids (make_centroids_from_sample takes
+    # lowest ids); 10..13 populate the clusters; 20/21 are a near-dup
+    # pair sitting ON the boundary, nudged to opposite sides
+    rows = [
+        (0, c1.tolist()), (1, c2.tolist()),
+        (10, near(c1, 0.05, 1)), (11, near(c1, 0.05, 2)),
+        (12, near(c2, 0.05, 3)), (13, near(c2, 0.05, 4)),
+        (20, near(mid + 0.02 * c1, 0.001, 5)), (21, near(mid + 0.02 * c2, 0.001, 6)),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    primary = {r["vec_id"]: r for r in similarity.semantic_dedup(emb, n_clusters=2, threshold=0.95).collect()}
+    shadow = {r["vec_id"]: r for r in similarity.semantic_dedup(emb, n_clusters=2, threshold=0.95, memberships=2).collect()}
+    # the pair straddles: different primary clusters, primary-only misses it
+    assert primary[20]["centroid_id"] != primary[21]["centroid_id"]
+    assert primary[21]["keep"]  # missed by construction
+    assert not shadow[21]["keep"]  # shadow pool catches it
+    # primary centroid assignment unchanged by shadow membership
+    assert all(shadow[i]["centroid_id"] == primary[i]["centroid_id"] for i, _ in rows)
+    # shadow can only LOWER keep (monotone): nothing kept in primary-only
+    # mode may flip to kept-in-shadow
+    assert all(primary[i]["keep"] or not shadow[i]["keep"] for i, _ in rows)

@@ -103,20 +103,35 @@ def main() -> None:
         else None,
     }
 
-    sd_ref = {
-        r["vec_id"]
-        for r in S.semantic_dedup(emb, n_clusters=16, threshold=0.4, refine_iters=2)
-        .filter("NOT keep")
-        .collect()
-    }
-    out["semantic_dedup_k16_refined@c0.4"] = {
-        "note": "2 Lloyd rounds on the coarse quantizer",
-        "drops": len(sd_ref),
-        "recall": round(len(sd_ref & exact_droppable) / len(exact_droppable), 4)
-        if exact_droppable
-        else None,
-        "precision": round(len(sd_ref & exact_droppable) / len(sd_ref), 4) if sd_ref else None,
-    }
+    def sd_row(note: str, **kw) -> dict:
+        drops = {
+            r["vec_id"]
+            for r in S.semantic_dedup(emb, n_clusters=16, threshold=0.4, **kw)
+            .filter("NOT keep")
+            .collect()
+        }
+        return {
+            "note": note,
+            "drops": len(drops),
+            "recall": round(len(drops & exact_droppable) / len(exact_droppable), 4)
+            if exact_droppable
+            else None,
+            "precision": round(len(drops & exact_droppable) / len(drops), 4) if drops else None,
+        }
+
+    out["semantic_dedup_k16_refined@c0.4"] = sd_row(
+        "2 Lloyd rounds on the coarse quantizer", refine_iters=2
+    )
+    # shadow membership (VERDICT r4 item 8): boundary vectors join their
+    # 2nd/3rd-nearest cluster's pair pool — recall lifts without LSH at
+    # k x membership rows, total work still linear
+    out["semantic_dedup_k16_top2@c0.4"] = sd_row("top-2 shadow membership", memberships=2)
+    out["semantic_dedup_k16_top3@c0.4"] = sd_row(
+        "top-3 shadow membership (the oracled semantic_dedup query)", memberships=3
+    )
+    out["semantic_dedup_k16_top2_refined@c0.4"] = sd_row(
+        "top-2 shadow + 2 Lloyd rounds", memberships=2, refine_iters=2
+    )
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
     with open(path, "w") as fh:
