@@ -1229,6 +1229,38 @@ def warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_roundtrip",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-committed warehouse (sinks.manifest, VERDICT r4 item 7 —
+    the multi-writer-safe upgrade of the rename-swap protocol): seed
+    with ~60% of orders, upsert the full table over it (replacing the
+    seeded keys and appending the rest), compact, then read the PINNED
+    current version. Lossless across commit+upsert+compaction ⇒ the
+    aggregate matches the plain source-table oracle."""
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_rt_")
+    M.write_table(orders.filter(F.col("o_orderkey") % 10 < 6), table)
+    M.upsert_table(spark, orders, table, key="o_orderkey")
+    M.compact_table(spark, table, n_files=4)
+    back = M.read_table(spark, table)
+    return back.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+
+
+@query(
     "incremental_append",
     sql="""
     SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice

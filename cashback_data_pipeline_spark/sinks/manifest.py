@@ -1,0 +1,190 @@
+"""Manifest-committed table protocol: multi-writer safety without a
+transactional table format in the image.
+
+The reference's loads are single-writer (one Lambda, one Glue job —
+SURVEY §2.7 C4); ``merge_upsert``/``scd2_upsert``/``compact_warehouse``
+upgrade that to rename-swap atomicity, which is still last-writer-wins
+under CONCURRENT writers and exposes readers to a two-rename window.
+This module closes the gap the way Delta/Iceberg do it (public designs:
+Delta's transaction log + LogStore, Iceberg's metadata pointer):
+
+- Data files are IMMUTABLE and write-once, under ``<table>/data/<commit
+  uuid>/``. A commit never mutates or deletes a data file.
+- A table VERSION is a JSON manifest ``<table>/_manifests/v<N>.json``
+  listing exactly the data files that make up that version (plus the
+  schema, for empty tables and reader validation).
+- Publishing version N+1 is ONE atomic file creation (``open(..., "x")``
+  → O_EXCL). Two concurrent writers racing to the same version: exactly
+  one wins; the loser re-reads the new current version and RETRIES its
+  whole operation against it (optimistic concurrency, serializable
+  commits). On an object store without atomic create, swap this seam
+  for a conditional put / external lock — exactly Delta's LogStore
+  contract; the rest of the protocol is storage-agnostic.
+- Readers resolve the manifest ONCE and then read a PINNED file list:
+  a concurrent commit cannot tear a running read, because the files it
+  references are never touched. ``vacuum`` deletes only data dirs
+  unreferenced by the last ``keep_last`` versions.
+
+This is the 100 TB-safe shape: the manifest is O(#files) metadata, the
+commit is O(1), compaction/upserts rewrite only their own new files,
+and nothing ever blocks readers.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(table: str, version: int) -> str:
+    return os.path.join(table, _MANIFEST_DIR, f"v{version:020d}.json")
+
+
+def current_version(table: str) -> int | None:
+    """Highest committed version, or None for a not-yet-created table."""
+    names = glob.glob(os.path.join(table, _MANIFEST_DIR, "v*.json"))
+    if not names:
+        return None
+    return max(int(os.path.basename(n)[1:-5]) for n in names)
+
+
+def read_manifest(table: str, version: int) -> dict:
+    with open(_manifest_path(table, version)) as fh:
+        return json.load(fh)
+
+
+def _try_commit(table: str, version: int, files: list[str], parent: int | None, schema_json: str) -> bool:
+    """Atomically publish ``version``; False if another writer won it.
+    Local-FS ``open(x)`` is the O_EXCL CAS; object stores substitute a
+    conditional put here (Delta LogStore seam)."""
+    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
+    try:
+        with open(_manifest_path(table, version), "x") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        return True
+    except FileExistsError:
+        return False
+
+
+def _write_data_files(df: DataFrame, table: str) -> list[str]:
+    """Write one commit's immutable data dir; return table-relative file
+    paths. Files exist but are INVISIBLE until a manifest references
+    them — a crash here leaves only unreferenced files for vacuum."""
+    commit_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table, "data", commit_id)
+    df.write.parquet(data_dir)
+    return [
+        os.path.relpath(p, table)
+        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+    ]
+
+
+def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` as a new version. ``overwrite`` replaces the file
+    list; ``append`` unions with the current version's. Returns the
+    committed version. Concurrency: data files land once; only the CAS
+    retries, so a losing appender re-commits WITHOUT rewriting data."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    files = _write_data_files(df, table)
+    schema_json = df.schema.json()
+    while True:
+        cur = current_version(table)
+        base = [] if (mode == "overwrite" or cur is None) else read_manifest(table, cur)["files"]
+        if _try_commit(table, (cur or 0) + 1, base + files, cur, schema_json):
+            return (cur or 0) + 1
+
+
+def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Read a PINNED version (default: current at call time). The file
+    list is resolved once; later commits/compactions cannot tear or
+    change this read — time travel is the same call with an older
+    ``version``."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = read_manifest(table, v)
+    if not m["files"]:
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+
+
+def compact_table(spark: SparkSession, table: str, n_files: int = 4) -> int:
+    """Rewrite the current version's files into ``n_files`` larger ones
+    as a NEW version (small-file compaction). Multi-writer safe: the
+    snapshot is pinned, the rewrite goes to a fresh data dir, and if the
+    CAS loses (someone committed meanwhile) the whole compaction retries
+    against the new current version — readers never see a torn state,
+    and the orphaned rewrite is vacuum fodder, never visible."""
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        snapshot = read_table(spark, table, cur)
+        files = _write_data_files(snapshot.coalesce(n_files), table)
+        if _try_commit(table, cur + 1, files, cur, snapshot.schema.json()):
+            return cur + 1
+
+
+def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str) -> int:
+    """MERGE-by-key as a manifest commit: current-version rows whose key
+    collides are replaced, new keys appended, one row per key kept
+    deterministically (lowest full tuple). Optimistic concurrency: on
+    CAS loss the merge recomputes against the winner's version, so
+    concurrent upserts SERIALIZE instead of last-writer-wins."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(*[c for c in incoming.columns])
+    incoming_unique = (
+        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            files = _write_data_files(incoming_unique, table)
+            if _try_commit(table, 1, files, None, incoming_unique.schema.json()):
+                return 1
+            continue
+        target = read_table(spark, table, cur)
+        survivors = target.join(incoming_unique.select(key).distinct(), on=key, how="left_anti")
+        merged = survivors.unionByName(incoming_unique)
+        files = _write_data_files(merged, table)
+        if _try_commit(table, cur + 1, files, cur, merged.schema.json()):
+            return cur + 1
+
+
+def vacuum(table: str, keep_last: int = 2) -> list[str]:
+    """Delete data dirs unreferenced by the last ``keep_last`` versions
+    (readers pinned within that horizon stay safe — the Delta
+    retention contract). Returns the removed dirs."""
+    import shutil
+
+    cur = current_version(table)
+    if cur is None:
+        return []
+    keep_versions = [v for v in range(max(1, cur - keep_last + 1), cur + 1)]
+    referenced: set[str] = set()
+    for v in keep_versions:
+        try:
+            m = read_manifest(table, v)
+        except FileNotFoundError:
+            continue
+        referenced |= {f.split(os.sep)[1] for f in m["files"] if f.startswith("data")}
+    removed = []
+    for d in glob.glob(os.path.join(table, "data", "*")):
+        if os.path.basename(d) not in referenced:
+            shutil.rmtree(d)
+            removed.append(d)
+    return removed
