@@ -110,6 +110,8 @@ HEADLINE = [
     "vocab_top_terms",
     "quality_classifier_scores",
     "semantic_dedup",
+    "bpe_merge_tokenize",
+    "manifest_roundtrip",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather

@@ -178,6 +178,18 @@ def main() -> None:
             "ratio": round(ratio, 2),
             "exponent": round(math.log(ratio) / math.log(hi / lo), 2) if ratio > 0 else None,
         }
+        # per-segment slopes (VERDICT r4 item 5): with 3+ scales the top
+        # segment (e.g. 10x->100x) is where fixed overhead has amortized
+        # away, so it separates overhead floor from true slope without
+        # any correction heuristic.
+        if len(scales) > 2:
+            segs = {}
+            ordered = sorted(scales)
+            for a, b in zip(ordered, ordered[1:]):
+                ta, tb = per_scale[f"x{a:g}"], per_scale[f"x{b:g}"]
+                if ta > 0 and tb > 0:
+                    segs[f"x{a:g}->x{b:g}"] = round(math.log(tb / ta) / math.log(b / a), 2)
+            results[name]["segment_exponents"] = segs
         print(f"-- {name}: {per_scale} ratio={ratio:.2f}", file=sys.stderr)
 
     floor = min(min(r["times"].values()) for r in results.values())
