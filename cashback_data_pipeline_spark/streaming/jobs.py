@@ -260,6 +260,14 @@ def _write_epoch_partition(df: DataFrame, path: str, epoch_id: int) -> None:
     )
 
 
+def read_epoch_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read an epoch-partitioned streaming sink (anything written by
+    :func:`_write_epoch_partition`) as a plain table: partition pruning
+    over ``__epoch`` still applies upstream, the provenance column just
+    doesn't leak into the user schema."""
+    return spark.read.parquet(path).drop("__epoch")
+
+
 def route_batch_to_sinks(batch: DataFrame, epoch_id: int, keep_path: str, drop_path: str) -> None:
     """One routed micro-batch → two parquet sinks, exactly-once: each
     sink write lands in that epoch's ``__epoch=<id>`` partition via
