@@ -608,3 +608,92 @@ def merge_bpe_token_ids(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    base: str = MERGE_BPE_BASE,
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus (the training half of the
+    tokenizer story — :func:`merge_bpe_token_ids` is inference): the
+    classic Sennrich loop, each round fully distributed:
+
+    1. count every adjacent symbol pair across the corpus (overlapping
+       occurrences count, the standard get_stats definition) — one
+       zip-shifted explode + groupBy, the only shuffle per round;
+    2. pick the most frequent pair (ties: lexicographically smallest
+       (left, right) — deterministic, oracle-replayable);
+    3. merge all left-to-right non-overlapping occurrences corpus-wide
+       (Arrow mapInPandas over the symbol arrays) and checkpoint.
+
+    Rounds are driver-sequential (each needs the previous corpus state —
+    inherent to BPE), but each round's work is one aggregation over
+    (pair, count) longs plus a map: at 100 TB that is K scans with
+    map-side partial aggregation, no driver materialization beyond the
+    single argmax row per round.
+
+    Out-of-alphabet characters become an unknown sentinel that never
+    participates in merges. Returns a SMALL DataFrame (one row per
+    learned merge): (rank, lhs, rhs, pair_count, corpus_tokens_after) —
+    pair_count is the winning pair's corpus frequency at selection time,
+    corpus_tokens_after the total symbol count after applying it."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    UNK = "\x00"
+    chars = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""), lambda c: c != "")
+    seq0 = F.transform(chars, lambda c: F.when(c.rlike("^[a-z ]$"), c).otherwise(F.lit(UNK)))
+    cur = df.select(F.col(id_col).alias("id"), seq0.alias("seq")).localCheckpoint()
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType, False),
+            T.StructField("seq", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    learned: list[tuple[int, str, str, int, int]] = []
+    for rank in range(n_merges):
+        lefts = F.slice("seq", 1, F.greatest(F.size("seq") - 1, F.lit(0)))
+        rights = F.expr("slice(seq, 2, greatest(size(seq) - 1, 0))")
+        pairs = (
+            cur.select(F.explode(F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p"))
+            .select("p.l", "p.r")
+            .filter((F.col("l") != UNK) & (F.col("r") != UNK))
+            .groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc()).first()
+        if best is None:
+            break
+        bl, br, bc = best["l"], best["r"], int(best["c"])
+        merged_sym = bl + br
+
+        def kernel(batches, _bl=bl, _br=br, _m=merged_sym):
+            for pdf in batches:
+                out = []
+                for s in pdf["seq"]:
+                    s = list(s)
+                    res, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _bl and s[i + 1] == _br:
+                            res.append(_m)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"id": pdf["id"], "seq": out})
+
+        cur = cur.mapInPandas(kernel, out_schema).localCheckpoint()
+        tokens_after = cur.agg(F.sum(F.size("seq"))).first()[0]
+        learned.append((rank, bl, br, bc, int(tokens_after)))
+
+    return spark.createDataFrame(
+        learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
+    )

@@ -4842,6 +4842,67 @@ def bpe_merge_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_sql(k: int) -> str:
+    """Unrolled-SQL oracle for BPE merge TRAINING: each round is one
+    (pairs → argmax-with-decoded-tiebreak → corpus replace) CTE block on
+    the single-char-coded corpus (codes = digits, which the base
+    mapping can never produce). A recursive CTE can't express the
+    per-round corpus-wide argmax, so the k rounds are generated
+    explicitly — same coded-string replay technique as
+    ``bpe_merge_tokenize``. The tie-break decodes coded pairs back to
+    base characters (nested replace, highest code innermost) so it
+    compares the same symbol strings Spark compares."""
+
+    def dec(expr: str, upto: int) -> str:
+        for j in range(upto - 1, -1, -1):
+            expr = f"replace({expr}, '{j}', (SELECT pair FROM best{j + 1}))"
+        return expr
+
+    parts = [
+        "WITH nums AS (SELECT CAST(range AS INT) AS i FROM range(1, 2001)),",
+        "corpus0 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^a-z ]', '!', 'g') AS seq FROM documents)",
+    ]
+    for r in range(1, k + 1):
+        prev = f"corpus{r - 1}"
+        dl = dec("substr(pair, 1, 1)", r - 1)
+        dr = dec("substr(pair, 2, 1)", r - 1)
+        parts.append(
+            f", pairs{r} AS (SELECT substr(seq, n.i, 2) AS pair, count(*) AS c"
+            f" FROM {prev}, nums n WHERE n.i <= length(seq) - 1"
+            f" AND substr(seq, n.i, 2) NOT LIKE '%!%' GROUP BY 1)"
+        )
+        parts.append(
+            f", best{r} AS (SELECT pair, c FROM pairs{r} ORDER BY c DESC, {dl} ASC, {dr} ASC LIMIT 1)"
+        )
+        parts.append(
+            f", corpus{r} AS (SELECT doc_id, replace(seq, (SELECT pair FROM best{r}), '{r - 1}') AS seq FROM {prev})"
+        )
+    selects = []
+    for r in range(1, k + 1):
+        dl = dec(f"substr((SELECT pair FROM best{r}), 1, 1)", r - 1)
+        dr = dec(f"substr((SELECT pair FROM best{r}), 2, 1)", r - 1)
+        selects.append(
+            f'SELECT {r - 1} AS "rank", {dl} AS lhs, {dr} AS rhs,'
+            f" (SELECT c FROM best{r}) AS pair_count,"
+            f" (SELECT CAST(sum(length(seq)) AS BIGINT) FROM corpus{r}) AS corpus_tokens_after"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_train_merges", sql=_bpe_train_sql(5))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING over the corpus (text.bpe_train_merges —
+    the learning half; bpe_merge_tokenize is inference): 5 Sennrich
+    rounds, each one distributed pair-count aggregation + corpus-wide
+    merge. Oracle unrolls the 5 rounds in generated SQL and checks the
+    learned pairs (decoded), their selection-time frequencies, AND the
+    corpus token count after every round — i.e. every training decision."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return text_ops.bpe_train_merges(docs, 5)
+
+
 # ---------------------------------------------------------------------------
 # Leakage-safe grouped split: the split decision hashes the GROUP key
 # (source), not the row, so every document of a source lands in the same
@@ -5218,8 +5279,8 @@ _ROUND5_WINDOW = [
     "csv_roundtrip",
     "cube_summary",
     "curate_corpus",
-    "date_parts_projection",
     "dedup_exact_groups",
+    "bpe_train_merges",
 ]
 
 

@@ -222,3 +222,78 @@ def test_merge_bpe_rejects_dependency_violation(spark):
     with pytest.raises(ValueError, match="no earlier rank"):
         # 'th' is never produced before rank 0 consumes it
         text_ops.merge_bpe_token_ids(df, merges=(("th", "e"),))
+
+
+def _ref_bpe_train(texts, n_merges, base):
+    """Independent reference trainer: the classic get_stats/merge loop
+    over symbol lists (overlapping adjacents counted; ties broken on
+    lexicographically smallest (lhs, rhs))."""
+    UNK = "\x00"
+    corpus = [[c if c in base else UNK for c in t] for t in texts]
+    out = []
+    for rank in range(n_merges):
+        stats = {}
+        for s in corpus:
+            for a, b in zip(s, s[1:]):
+                if UNK not in (a, b):
+                    stats[(a, b)] = stats.get((a, b), 0) + 1
+        if not stats:
+            break
+        (bl, br), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = bl + br
+        nxt = []
+        for s in corpus:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == bl and s[i + 1] == br:
+                    res.append(merged); i += 2
+                else:
+                    res.append(s[i]); i += 1
+            nxt.append(res)
+        corpus = nxt
+        out.append((rank, bl, br, c, sum(len(s) for s in corpus)))
+    return out
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    texts = [
+        "the cat and the hat and the bat",
+        "thing the thin thaw",
+        "banana bandana and a band",
+        "x1! the end",  # unknowns never merge
+        "",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"], r["corpus_tokens_after"])
+        for r in text_ops.bpe_train_merges(df, 6).orderBy("rank").collect()
+    ]
+    want = _ref_bpe_train(texts, 6, set(text_ops.MERGE_BPE_BASE))
+    assert got == want, (got, want)
+    # sanity on content: the 'an'-family (banana/bandana/and/band)
+    # dominates this corpus — 'an' is the first learned merge
+    assert (got[0][1], got[0][2]) == ("a", "n")
+
+
+def test_bpe_train_then_encode_composes(spark):
+    """The learned table must be dependency-ordered by construction, so
+    merge_bpe_token_ids runs on it directly (train -> tokenize is the
+    production loop)."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    texts = ["the theme and the throne", "then and there the thing"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    learned = [
+        (r["lhs"], r["rhs"])
+        for r in text_ops.bpe_train_merges(df, 5).orderBy("rank").collect()
+    ]
+    out = {r["doc_id"]: r for r in text_ops.merge_bpe_token_ids(df, merges=tuple(learned)).collect()}
+    # encoding with the corpus-trained table compresses vs raw chars
+    assert all(out[i]["n_tokens"] < len(t) for i, t in enumerate(texts))
+    # and matches the independent reference encoder on the same table
+    vocab = text_ops.merge_bpe_vocab(tuple(learned))
+    for i, t in enumerate(texts):
+        ref = _ref_bpe_encode(t, tuple(learned), set(text_ops.MERGE_BPE_BASE))
+        assert list(out[i]["token_ids"]) == [vocab.get(s, -1) for s in ref]
