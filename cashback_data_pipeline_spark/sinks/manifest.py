@@ -61,12 +61,22 @@ def read_manifest(table: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _try_commit(table: str, version: int, files: list[str], parent: int | None, schema_json: str) -> bool:
+def _try_commit(
+    table: str,
+    version: int,
+    files: list[str],
+    parent: int | None,
+    schema_json: str,
+    meta: dict | None = None,
+) -> bool:
     """Atomically publish ``version``; False if another writer won it.
     Local-FS ``open(x)`` is the O_EXCL CAS; object stores substitute a
-    conditional put here (Delta LogStore seam)."""
+    conditional put here (Delta LogStore seam). ``meta`` rides in the
+    manifest (e.g. a streaming epoch id for replay detection)."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
+    if meta:
+        doc["meta"] = meta
     try:
         with open(_manifest_path(table, version), "x") as fh:
             json.dump(doc, fh)
@@ -90,7 +100,7 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
-def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> int:
+def write_table(df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the
     committed version. Concurrency: data files land once; only the CAS
@@ -102,8 +112,25 @@ def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> int:
     while True:
         cur = current_version(table)
         base = [] if (mode == "overwrite" or cur is None) else read_manifest(table, cur)["files"]
-        if _try_commit(table, (cur or 0) + 1, base + files, cur, schema_json):
+        if _try_commit(table, (cur or 0) + 1, base + files, cur, schema_json, meta=meta):
             return (cur or 0) + 1
+
+
+def committed_meta_values(table: str, key: str) -> set:
+    """All values of ``meta[key]`` across committed manifests — e.g. the
+    set of streaming epochs already committed (replay detection)."""
+    out = set()
+    cur = current_version(table)
+    if cur is None:
+        return out
+    for v in range(1, cur + 1):
+        try:
+            m = read_manifest(table, v)
+        except FileNotFoundError:
+            continue
+        if "meta" in m and key in m["meta"]:
+            out.add(m["meta"][key])
+    return out
 
 
 def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:

@@ -298,6 +298,38 @@ def route_stream_to_sinks(scored: DataFrame, keep_path: str, drop_path: str, che
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
 
+def route_batch_to_manifest(batch: DataFrame, epoch_id: int, table: str) -> bool:
+    """One routed micro-batch → ONE manifest commit carrying both routes
+    (``route`` stays as a column; readers filter). Strictly stronger
+    guarantees than the epoch-partition sinks: the commit is ATOMIC and
+    ALL-OR-NOTHING across keep and drop (a single version file makes
+    both visible together — the partition-overwrite path has a window
+    where keep is rewritten and drop is not), and replay detection is
+    explicit: the epoch id rides in the manifest meta, and a replayed
+    epoch is SKIPPED instead of rewritten (its crashed attempt either
+    committed — then the data is already visible — or left only
+    invisible orphan files for vacuum). Returns True if this call
+    committed, False if the epoch was already committed."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    if epoch_id in M.committed_meta_values(table, "epoch"):
+        return False
+    M.write_table(batch, table, mode="append", meta={"epoch": int(epoch_id)})
+    return True
+
+
+def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str):
+    """foreachBatch → manifest-committed routed table (exactly-once with
+    atomic cross-route visibility; see :func:`route_batch_to_manifest`).
+    Readers: ``manifest.read_table(spark, table)`` then filter
+    ``route``. Returns the DataStreamWriter (caller starts it)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        route_batch_to_manifest(batch, epoch_id, table)
+
+    return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+
+
 def near_dup_ingest_stream(
     docs: DataFrame,
     index_path: str,

@@ -336,3 +336,53 @@ def test_route_batch_to_sinks_replay_exactly_once(spark, tmp_path):
     dropped = spark.read.parquet(drop)
     assert kept.count() == 5 and dropped.count() == 5
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 4, 6, 8]
+
+
+def test_route_stream_to_manifest_exactly_once_and_atomic(spark, tmp_path):
+    """Manifest-committed routing: stream result == batch scoring, one
+    atomic commit per epoch, and a replayed epoch is a detected no-op
+    (even a crashed attempt that already committed adds nothing)."""
+    from cashback_data_pipeline_spark.operators import classify
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        quality_routed_stream,
+        route_batch_to_manifest,
+        route_stream_to_manifest,
+    )
+
+    weights = [((b * 3) % 9 - 4) / 8.0 for b in range(16)]
+    src = tmp_path / "docs_src"
+    batch_docs = spark.createDataFrame(
+        [(i, f"word{i % 5} spark join filter value " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch_docs.repartition(2).write.parquet(str(src))
+    table = str(tmp_path / "routed")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    routed = quality_routed_stream(stream, weights, 0.0, threshold=0.46)
+    q = (
+        route_stream_to_manifest(routed, table, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = M.read_table(spark, table)
+    kept_stream = {r["doc_id"] for r in out.filter(F.col("route") == "keep").collect()}
+    scored = classify.score_with_weights_array(batch_docs, weights, 0.0)
+    kept_batch = {r["doc_id"] for r in scored.where(F.col("score") >= 0.46).collect()}
+    assert kept_stream and kept_stream == kept_batch
+    assert out.count() == 40
+
+    # replay every committed epoch: all detected, nothing added
+    epochs = sorted(M.committed_meta_values(table, "epoch"))
+    assert epochs
+    batch = out.limit(5).withColumn("route", F.lit("keep"))
+    for e in epochs:
+        assert route_batch_to_manifest(batch, e, table) is False
+    assert M.read_table(spark, table).count() == 40
+    # a NEW epoch commits atomically (single version covers both routes)
+    v_before = M.current_version(table)
+    assert route_batch_to_manifest(batch, max(epochs) + 1000, table) is True
+    assert M.current_version(table) == v_before + 1
