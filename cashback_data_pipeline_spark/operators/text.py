@@ -697,3 +697,33 @@ def bpe_train_merges(
     return spark.createDataFrame(
         learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
     )
+
+
+def load_merges_txt(path: str) -> tuple[tuple[str, str], ...]:
+    """Load a merge table from the standard GPT-2-style ``merges.txt``
+    format (one ``left right`` pair per line, rank = line order, ``#``
+    comment/header lines skipped) — the file every BPE tokenizer release
+    ships. Space inside a symbol is stored as ``Ġ``, the GPT-2 byte-level
+    convention that exists precisely because the format is
+    space-delimited. The result feeds :func:`merge_bpe_token_ids`
+    directly; dependency order is validated there at broadcast time."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"malformed merges line: {line!r}")
+            merges.append((parts[0].replace("\u0120", " "), parts[1].replace("\u0120", " ")))
+    return tuple(merges)
+
+
+def save_merges_txt(merges: tuple[tuple[str, str], ...] | list, path: str) -> None:
+    """Inverse of :func:`load_merges_txt` — lets :func:`bpe_train_merges`
+    output round-trip through the standard interchange format."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for left, right in merges:
+            fh.write(f"{left.replace(' ', chr(0x120))} {right.replace(' ', chr(0x120))}\n")

@@ -393,6 +393,35 @@ def near_dup_ingest_stream(
     return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)
 
 
+def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 8) -> None:
+    """Periodic maintenance for the streaming near-dup index: thousands
+    of micro-batches leave thousands of tiny ``__epoch`` partitions in
+    bands/sigs, and the per-batch history read pays partition discovery
+    + file-open overhead proportional to epoch count. Rewrite each store
+    into ``n_files`` files under a single epoch (-1, reserved: real
+    epochs are non-negative) using the same rename-swap discipline as
+    the batch sinks. Run it BETWEEN streaming runs (the stream itself
+    reads the index at micro-batch start, so an in-flight batch may
+    race the swap on a real cluster — pause, compact, resume)."""
+    import uuid
+
+    from cashback_data_pipeline_spark.sinks.writers import _path_exists, _swap_paths
+
+    for store in ("bands", "sigs"):
+        path = f"{index_path}/{store}"
+        if not _path_exists(spark, path):
+            continue
+        snapshot = spark.read.parquet(path).drop("__epoch")
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        (
+            snapshot.coalesce(n_files)
+            .withColumn("__epoch", F.lit(-1))
+            .write.partitionBy("__epoch")
+            .parquet(tmp)
+        )
+        _swap_paths(spark, tmp, path)
+
+
 def near_dup_ingest_batch(
     batch: DataFrame,
     epoch_id: int,

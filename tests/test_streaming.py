@@ -386,3 +386,33 @@ def test_route_stream_to_manifest_exactly_once_and_atomic(spark, tmp_path):
     v_before = M.current_version(table)
     assert route_batch_to_manifest(batch, max(epochs) + 1000, table) is True
     assert M.current_version(table) == v_before + 1
+
+
+def test_compact_near_dup_index_preserves_screening(spark, tmp_path):
+    """Compacting the epoch-partitioned index into one consolidated
+    epoch must leave screening decisions unchanged."""
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        compact_near_dup_index,
+        near_dup_ingest_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    other = "one two three four five six seven eight nine ten " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string"), 0, **kw
+    )
+    near_dup_ingest_batch(
+        spark.createDataFrame([(3, "unrelated words entirely here now " * 4)], "doc_id long, text string"),
+        1, **kw,
+    )
+    compact_near_dup_index(spark, kw["index_path"], n_files=1)
+    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
+    assert {r["id"] for r in sigs.collect()} == {1, 2, 3}
+    assert {r["__epoch"] for r in sigs.collect()} == {-1}
+    # post-compaction batch still screens against the full history
+    near_dup_ingest_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"), 2, **kw
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[10]["is_dup"] and out[10]["dup_of"] == 1

@@ -297,3 +297,24 @@ def test_bpe_train_then_encode_composes(spark):
     for i, t in enumerate(texts):
         ref = _ref_bpe_encode(t, tuple(learned), set(text_ops.MERGE_BPE_BASE))
         assert list(out[i]["token_ids"]) == [vocab.get(s, -1) for s in ref]
+
+
+def test_merges_txt_roundtrip_and_encode(spark, tmp_path):
+    """Train -> save merges.txt -> load -> tokenize: the standard
+    interchange loop, byte-identical table through the file."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "the theme and the throne"), (1, "then and there the thing")],
+        "doc_id long, text string",
+    )
+    learned = tuple(
+        (r["lhs"], r["rhs"]) for r in text_ops.bpe_train_merges(df, 4).orderBy("rank").collect()
+    )
+    p = str(tmp_path / "merges.txt")
+    text_ops.save_merges_txt(learned, p)
+    loaded = text_ops.load_merges_txt(p)
+    assert loaded == learned
+    a = {r["doc_id"]: list(r["token_ids"]) for r in text_ops.merge_bpe_token_ids(df, merges=learned).collect()}
+    b = {r["doc_id"]: list(r["token_ids"]) for r in text_ops.merge_bpe_token_ids(df, merges=loaded).collect()}
+    assert a == b
