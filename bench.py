@@ -112,6 +112,9 @@ HEADLINE = [
     "semantic_dedup",
     "bpe_merge_tokenize",
     "manifest_roundtrip",
+    "doc_keywords_tfidf",
+    "bm25_search",
+    "hybrid_search_rrf",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather

@@ -1,0 +1,158 @@
+"""Lexical and hybrid retrieval over the document corpus.
+
+A training-data pipeline needs LEXICAL search next to the embedding ANN
+paths (operators/similarity): targeted corpus probes ("find documents
+mentioning X"), keyword-based decontamination audits, and the lexical
+leg of hybrid RAG retrieval. Everything here is plain DataFrame algebra
+— tokenize → aggregate → window — so Catalyst owns the plan and every
+score is replayable in ANSI SQL (these operators' queries are fully
+DuckDB-oracled, unlike typical search engines' opaque scoring).
+
+Scale shape: one explode + two aggregations over (term, doc) longs; the
+per-term document frequencies are a broadcast-sized relation for any
+real vocabulary; top-k cuts are windows over (score, id) total orders.
+Scores are quantized at 1e-6 for cross-engine rank stability (repo
+convention, same as the embedding cosines).
+
+Public references: BM25 per Robertson/Spärck Jones (the Lucene/Elastic
+``k1``/``b`` parameterization and idf form), reciprocal-rank fusion per
+Cormack/Clarke/Büttcher 2009.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _q6(c: Column) -> Column:
+    """1e-6 quantization — engine-portable floor-half-up."""
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+
+def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, term) pairs: whitespace tokenization (the corpus convention,
+    same as text.vocab_top_terms), empty terms and NULL texts dropped."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k keywords per document by tf·idf (idf = ln(N/df), N = docs
+    with text): the classic per-document summarization/indexing score.
+    Output (doc_id, term, tfidf, rank); ties broken on term for a total
+    order. One explode, tf/df aggregations, a broadcast join of the
+    (term, df) relation, one window."""
+    base = docs.filter(F.col(text_col).isNotNull())
+    n_docs = base.count()
+    terms = doc_terms(base, id_col, text_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        id_col,
+        "term",
+        _q6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 document ranking for a bag of query terms (Lucene's
+    parameterization: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf
+    saturation ``k1``, length normalization ``b`` against the corpus
+    mean length in tokens). Output (doc_id, score, rank), top-k by
+    (quantized score desc, doc_id) — the quantized total order is what
+    makes the ranking stable across engines.
+
+    Plan: the (term, df/idf) relation for the QUERY terms only is tiny
+    and broadcast; each candidate doc contributes one row per matched
+    query term; one aggregation sums the per-term contributions. Docs
+    matching no query term score nothing (standard BM25 top-k)."""
+    spark = docs.sparkSession
+    base = docs.filter(F.col(text_col).isNotNull())
+    stats = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    terms = doc_terms(base, id_col, text_col)
+    qterms = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "term string")
+    tf = (
+        terms.join(F.broadcast(qterms), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(_q6(F.sum("c")).alias("score"))
+    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack et al. 2009):
+    score(d) = Σ_lists 1/(rrf_k + rank_list(d)) over the lists that
+    contain d — the standard hybrid-search combiner (lexical ⊕ vector)
+    because it needs no score calibration between the legs. Output
+    (doc_id, rrf_score, rank), top-k on the quantized fused score."""
+    a = ranked_a.select(F.col(id_col), (F.lit(1.0) / (rrf_k + F.col(rank_col))).alias("ra"))
+    b_ = ranked_b.select(F.col(id_col), (F.lit(1.0) / (rrf_k + F.col(rank_col))).alias("rb"))
+    fused = (
+        a.join(b_, id_col, "full_outer")
+        .select(
+            id_col,
+            _q6(F.coalesce(F.col("ra"), F.lit(0.0)) + F.coalesce(F.col("rb"), F.lit(0.0))).alias(
+                "rrf_score"
+            ),
+        )
+    )
+    w = W.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rrf_score", "rank")
+    )

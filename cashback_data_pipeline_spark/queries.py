@@ -5034,6 +5034,148 @@ def ann_neighbor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical + hybrid retrieval (operators/retrieval): TF-IDF keywords,
+# BM25 ranking (Lucene parameterization), reciprocal-rank fusion of the
+# lexical and embedding legs — all plain DataFrame algebra, all scores
+# quantized at 1e-6 and ranked on the quantized total order so the
+# DuckDB twins replay the ranking exactly.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "vector", "window"]
+_BM25_TERM_VALUES = ", ".join(f"('{t}')" for t in sorted(_BM25_TERMS))
+
+# shared CTE prefix: tokenized corpus + per-doc lengths + corpus stats
+_LEX_CTES = """
+    base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    tt AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base
+    ),
+    toks AS (SELECT doc_id, term FROM tt WHERE term <> ''),
+    dl0 AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    dla AS (SELECT b.doc_id, CAST(coalesce(d.dl, 0) AS BIGINT) AS dl
+            FROM base b LEFT JOIN dl0 d USING (doc_id)),
+    stats AS (SELECT (SELECT count(*) FROM base) AS n,
+                     (SELECT avg(CAST(dl AS DOUBLE)) FROM dla) AS avgdl)
+"""
+
+_BM25_CTES = f"""
+    {_LEX_CTES},
+    qt(term) AS (VALUES {_BM25_TERM_VALUES}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1 + ((SELECT n FROM stats) - dfr.df + 0.5) / (dfr.df + 0.5))
+               * (tf.tf * (1.2 + 1))
+               / (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dla.dl) / (SELECT avgdl FROM stats))) AS c
+      FROM tf JOIN dfr USING (term) JOIN dla USING (doc_id)
+    ),
+    bm_scored AS (
+      SELECT doc_id, floor(sum(c) * 1000000 + 0.5) / 1000000 AS score
+      FROM contrib GROUP BY 1
+    ),
+    bm_ranked AS (
+      SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM bm_scored
+    )
+"""
+
+
+@query(
+    "doc_keywords_tfidf",
+    sql=f"""
+    WITH {_LEX_CTES},
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * ln(CAST((SELECT n FROM stats) AS DOUBLE) / dfr.df) * 1000000 + 0.5)
+               / 1000000 AS tfidf
+      FROM tf JOIN dfr USING (term)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5
+    """,
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by tf·idf (retrieval.tfidf_keywords):
+    the indexing/summarization score every lexical pipeline starts from.
+    Ranked on the 1e-6-quantized score with term tiebreak, so the
+    oracle replays the ranking bit-for-bit."""
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return retrieval.tfidf_keywords(docs, k=5)
+
+
+@query(
+    "bm25_search",
+    sql=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score, CAST(rnk AS INT) AS rank FROM bm_ranked WHERE rnk <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed query-term bag (retrieval.bm25_topk,
+    Lucene parameterization k1=1.2 b=0.75): the lexical leg of corpus
+    search. The oracle mirrors the exact expression shape (association
+    order of every float op) and both sides rank on the quantized
+    score, so ranks replay exactly."""
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+@query(
+    "hybrid_search_rrf",
+    sql=f"""
+    WITH {_BM25_CTES},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sem AS (
+      SELECT c.vec_id AS doc_id,
+             row_number() OVER (ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rnk
+      FROM e q JOIN e c ON c.vec_id != q.vec_id
+      WHERE q.vec_id = 0
+    ),
+    lex20 AS (SELECT doc_id, rnk FROM bm_ranked WHERE rnk <= 20),
+    sem20 AS (SELECT doc_id, rnk FROM sem WHERE rnk <= 20),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             floor((coalesce(1.0 / (60 + l.rnk), 0) + coalesce(1.0 / (60 + s.rnk), 0))
+                   * 1000000 + 0.5) / 1000000 AS rrf_score
+      FROM lex20 l FULL OUTER JOIN sem20 s ON l.doc_id = s.doc_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk FROM fused
+    )
+    SELECT doc_id, rrf_score, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.rrf_fuse — Cormack et al. 2009 RRF):
+    the lexical leg is BM25 top-20 on the fixed term bag, the semantic
+    leg is exact cosine top-20 for query vector 0 (query-by-example),
+    fused by Σ 1/(60+rank) — the calibration-free combiner production
+    hybrid search uses. Both legs and the fusion replay in SQL."""
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+    sem = (
+        similarity.brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return retrieval.rrf_fuse(lex, sem, k=10).select(
+        "doc_id", "rrf_score", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic deduplication (operators/similarity.semantic_dedup — SemDeDup,
 # Abbas et al. 2023): IVF-cluster then within-cluster pairwise cosine,
 # keep-lowest-id. Oracle replays seeding → assignment → cluster-bounded
@@ -5275,12 +5417,12 @@ _ROUND5_WINDOW = [
     "anti_join_absent_keys",
     "asof_last_signup",
     "compound_null_predicate",
-    "count_filtered",
-    "csv_roundtrip",
-    "cube_summary",
     "curate_corpus",
     "dedup_exact_groups",
     "bpe_train_merges",
+    "doc_keywords_tfidf",
+    "bm25_search",
+    "hybrid_search_rrf",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Lexical + hybrid retrieval operators vs independent pure-Python
+references (BM25 per the Lucene formula, RRF per Cormack et al. 2009)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators import retrieval
+
+TEXTS = [
+    (0, "spark join hash join merge"),
+    (1, "hash table scan and filter"),
+    (2, "window agg over stream data"),
+    (3, "join join join hash hash window"),
+    (4, "completely unrelated words here"),
+    (5, None),
+    (6, ""),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def _ref_bm25(query_terms, k1=1.2, b=0.75):
+    corpus = {i: (t.split(" ") if t else []) for i, t in TEXTS if t is not None}
+    corpus = {i: [w for w in ws if w] for i, ws in corpus.items()}
+    n = len(corpus)  # docs with non-null text
+    avgdl = sum(len(ws) for ws in corpus.values()) / n
+    df = {
+        t: sum(1 for ws in corpus.values() if t in ws)
+        for t in query_terms
+    }
+    scores = {}
+    for i, ws in corpus.items():
+        s = 0.0
+        for t in sorted(set(query_terms)):
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + (b * len(ws)) / avgdl))
+        if s > 0:
+            scores[i] = math.floor(s * 1_000_000 + 0.5) / 1_000_000
+    return scores
+
+
+def test_bm25_matches_reference(spark, docs):
+    terms = ["hash", "window"]
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in retrieval.bm25_topk(docs, terms, k=10).collect()}
+    want = _ref_bm25(terms)
+    assert {d: s for d, (s, _) in got.items()} == pytest.approx(want, abs=2e-6)
+    # ranking: score desc, doc_id asc
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in ranked] == [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    # docs matching nothing are absent
+    assert 4 not in got and 5 not in got and 6 not in got
+
+
+def test_bm25_repeated_query_terms_counted_once(spark, docs):
+    a = {r["doc_id"]: r["score"] for r in retrieval.bm25_topk(docs, ["hash", "hash"], k=10).collect()}
+    b = {r["doc_id"]: r["score"] for r in retrieval.bm25_topk(docs, ["hash"], k=10).collect()}
+    assert a == b
+
+
+def test_tfidf_keywords_basic(spark, docs):
+    out = retrieval.tfidf_keywords(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out.collect()}
+    # doc 3's top keyword: 'join' (tf 3) vs 'hash' (tf 2) — both df 3
+    assert rows[(3, 1)][0] == "join"
+    # corpus-unique terms on doc 4 beat common ones everywhere
+    assert rows[(4, 1)][1] > 0
+    # a term present in EVERY doc has idf ln(1)=0
+    every = spark.createDataFrame([(i, "x common") for i in range(3)], "doc_id long, text string")
+    kw = {(r["doc_id"], r["term"]): r["tfidf"] for r in retrieval.tfidf_keywords(every, k=5).collect()}
+    assert all(v == 0.0 for v in kw.values())
+
+
+def test_rrf_fusion_reference(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)], "doc_id long, rank int")
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in retrieval.rrf_fuse(a, b, k=10).collect()}
+
+    def q6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    want = {
+        10: q6(1 / 61 + 1 / 62),
+        11: q6(1 / 62),
+        12: q6(1 / 63 + 1 / 61),
+        13: q6(1 / 63),
+    }
+    assert {d: s for d, (s, _) in got.items()} == want
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    # 10: 1/61+1/62 ≈ .032523 beats 12: 1/63+1/61 ≈ .032266
+    assert order == [10, 12, 11, 13]  # fused score desc, then doc_id
