@@ -31,6 +31,22 @@ def _q6(c: Column) -> Column:
     return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
 
 
+def _topk_ranked(scored: DataFrame, k: int, id_col: str, score_col: str) -> DataFrame:
+    """Distributed global top-k WITH rank column: orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heaps + driver merge — no
+    single-partition window over the full scored relation, which is
+    what a bare global row_number() costs), then the rank window runs
+    on the ≤k surviving rows. Same result as ranking first: the limit
+    and the window share one total order."""
+    w = W.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        scored.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, score_col, "rank")
+    )
+
+
 def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, term) pairs: whitespace tokenization (the corpus convention,
     same as text.vocab_top_terms), empty terms and NULL texts dropped."""
@@ -118,12 +134,7 @@ def bm25_topk(
         )
     )
     scored = contrib.groupBy(id_col).agg(_q6(F.sum("c")).alias("score"))
-    w = W.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
-    )
+    return _topk_ranked(scored, k, id_col, "score")
 
 
 def rrf_fuse(
@@ -150,9 +161,4 @@ def rrf_fuse(
             ),
         )
     )
-    w = W.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rrf_score", "rank")
-    )
+    return _topk_ranked(fused, k, id_col, "rrf_score")
