@@ -90,6 +90,13 @@ DEFAULT_OPS = [
     "pii_redaction",
     "vocab_top_terms",
     "quality_classifier_scores",
+    # round-5 additions (retrieval + merge-rank BPE; bpe_train_merges is
+    # excluded as inherently iterative — K driver-sequential rounds —
+    # and manifest_roundtrip reads tables the generator doesn't produce)
+    "bpe_merge_tokenize",
+    "doc_keywords_tfidf",
+    "bm25_search",
+    "hybrid_search_rrf",
 ]
 
 
