@@ -720,8 +720,12 @@ def bucket_pairs_gemm(
     memory stays ≤ cap² and a degenerate bucket parallelizes across the
     cluster instead of serializing on one executor. The pair set is
     IDENTICAL to the uncapped path (exact within bucket, each pair in
-    exactly one sub-block group); cost is one small (bucket, count)
-    aggregate + re-shuffle of oversized buckets' rows ⌈|b|/cap⌉ times."""
+    exactly one sub-block group). The split is LAZY: the (bucket, count)
+    aggregate finds oversized buckets, normal buckets take the plain
+    one-group-per-bucket path via a broadcast anti-join against the
+    (tiny) oversized-bucket list, and only oversized buckets' rows pay
+    the ⌈|b|/cap⌉-way block-pair fan-out — with no skew the overhead is
+    just the counts aggregate + a broadcast filter."""
     import numpy as np
     import pandas as pd
 
@@ -741,24 +745,46 @@ def bucket_pairs_gemm(
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         return mat
 
-    if max_bucket_size is None:
-
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids = pdf["id"].to_numpy()
-            if len(ids) < 2:
-                return pd.DataFrame(empty)
-            mat = _norm_mat(pdf["v"])
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(empty)
+        mat = _norm_mat(pdf["v"])
+        # memory belt-and-braces: a group that exceeded detection (cap
+        # disabled, or sub-block hash imbalance) GEMMs in row slices, so
+        # task memory is O(B·n) not O(n²); CPU identical, pair set
+        # identical (each (i<j) pair is seen in exactly one row slice)
+        B = 8192
+        if len(ids) <= B:
             sims = mat @ mat.T
             i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
             return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
+        outs = []
+        for lo in range(0, len(ids), B):
+            sims = mat[lo : lo + B] @ mat.T
+            i, j = np.nonzero((sims >= threshold) & (ids[lo : lo + B, None] < ids[None, :]))
+            outs.append(pd.DataFrame({"id_a": ids[lo + i], "id_b": ids[j], "cos": sims[i, j]}))
+        return pd.concat(outs, ignore_index=True)
 
+    if max_bucket_size is None:
         return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
 
-    counts = base.groupBy(*kcols).agg(
-        F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("__nblk")
+    oversized = (
+        base.groupBy(*kcols)
+        .agg(F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("__nblk"))
+        .filter(F.col("__nblk") > 1)
+        .localCheckpoint()  # tiny (oversized buckets only); also decides the plan below
     )
+    if not oversized.head(1):
+        # no skew: the cap costs exactly one (bucket, count) aggregate and
+        # the plan IS the uncapped plan — no anti-join, no second scan
+        return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
+    normal_pairs = base.join(
+        F.broadcast(oversized.select(*kcols)), kcols, "left_anti"
+    ).groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
+
     tagged = (
-        base.join(counts, kcols)
+        base.join(F.broadcast(oversized), kcols)
         .withColumn("__blk", F.pmod(F.xxhash64("id"), F.col("__nblk")).cast("int"))
         .select(
             *kcols, "id", "v", "__blk",
@@ -795,9 +821,10 @@ def bucket_pairs_gemm(
             {"id_a": np.minimum(ia, jb), "id_b": np.maximum(ia, jb), "cos": sims[i, j]}
         )
 
-    return tagged.groupBy(*kcols, "__lo", "__hi").applyInPandas(
+    big_pairs = tagged.groupBy(*kcols, "__lo", "__hi").applyInPandas(
         blocked_kernel, schema="id_a long, id_b long, cos double"
     )
+    return normal_pairs.unionByName(big_pairs)
 
 
 def embedding_near_dups_lsh_fast(
