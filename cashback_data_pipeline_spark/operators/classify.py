@@ -108,10 +108,20 @@ def score_with_weight_table(
     in preference to the sigmoid (libm vs Math.exp differ by ulps)."""
     if n_buckets is None:
         stats = weight_table.agg(
-            F.count(F.lit(1)).alias("n"), F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("bucket").alias("nd"),
+            F.min("bucket").alias("mn"),
+            F.max("bucket").alias("mx"),
         ).first()
         if stats["n"] == 0:
             raise ValueError("empty weight_table; pass n_buckets explicitly")
+        if stats["nd"] != stats["n"]:
+            # a duplicated bucket row would ALSO double-count its weight
+            # in the pooled join, so it is an error regardless of density
+            raise ValueError(
+                f"weight_table has duplicate bucket rows ({stats['n']} rows, "
+                f"{stats['nd']} distinct buckets)"
+            )
         if stats["mn"] != 0 or stats["mx"] != stats["n"] - 1:
             raise ValueError(
                 f"weight_table looks sparse (buckets [{stats['mn']}, {stats['mx']}] for "

@@ -109,6 +109,18 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))).alias("avgdl"),
     ).first()
+    if not stats["n"]:
+        # no scorable documents — empty top-k, not a float(None) crash
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                docs.schema[id_col],
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
     terms = doc_terms(base, id_col, text_col)

@@ -142,19 +142,14 @@ def ivf_assign(
     """Coarse quantization: assign each vector to its nearest centroid
     (broadcast centroids, argmin by cosine distance — deterministic
     tie-break on centroid id). Output adds ``centroid_id``; write
-    partitioned by it and ANN probes read only the probed partitions."""
-    v = df.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("__v"))
-    cent = centroids.select(
-        F.col(centroid_id).alias("__cid"), F.col(centroid_vec).cast("array<double>").alias("__cv")
-    )
-    scored = v.join(F.broadcast(cent), F.lit(True))
-    scored = scored.withColumn("__cos", cosine_sim(F.col("__v"), F.col("__cv")))
-    w = W.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, F.col("__cid").alias(centroid_id))
-    )
+    partitioned by it and ANN probes read only the probed partitions.
+    This IS :func:`ivf_assign_topk` at k=1 (single definition, so the
+    primary assignment and the shadow path's rank-1 member can never
+    drift)."""
+    return ivf_assign_topk(
+        df, centroids, k=1, id_col=id_col, vec_col=vec_col,
+        centroid_id=centroid_id, centroid_vec=centroid_vec,
+    ).drop("member_rank")
 
 
 def ivf_assign_topk(
@@ -800,13 +795,10 @@ def bucket_pairs_gemm(
     def blocked_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         lo, hi = int(pdf["__lo"].iat[0]), int(pdf["__hi"].iat[0])
         if lo == hi:
-            ids = pdf["id"].to_numpy()
-            if len(ids) < 2:
-                return pd.DataFrame(empty)
-            mat = _norm_mat(pdf["v"])
-            sims = mat @ mat.T
-            i, j = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-            return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cos": sims[i, j]})
+            # the shared self-pair kernel: also row-sliced, so a
+            # hash-imbalanced sub-block keeps the same memory bound as
+            # the normal path
+            return kernel(pdf)
         amask = pdf["__blk"].to_numpy() == lo
         aids = pdf["id"].to_numpy()[amask]
         bids = pdf["id"].to_numpy()[~amask]

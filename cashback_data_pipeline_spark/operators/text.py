@@ -705,13 +705,17 @@ def load_merges_txt(path: str) -> tuple[tuple[str, str], ...]:
     comment/header lines skipped) — the file every BPE tokenizer release
     ships. Space inside a symbol is stored as ``Ġ``, the GPT-2 byte-level
     convention that exists precisely because the format is
-    space-delimited. The result feeds :func:`merge_bpe_token_ids`
-    directly; dependency order is validated there at broadcast time."""
+    space-delimited. Only the ``#version`` HEADER is treated as a
+    comment — real GPT-2 merge tables contain merges whose symbols ARE
+    ``#``/``##`` (e.g. code corpora), and a blanket ``#`` skip would
+    silently shift every later rank. The result feeds
+    :func:`merge_bpe_token_ids` directly; dependency order is validated
+    there at broadcast time."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line or line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2:

@@ -1245,19 +1245,28 @@ def manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded keys and appending the rest), compact, then read the PINNED
     current version. Lossless across commit+upsert+compaction ⇒ the
     aggregate matches the plain source-table oracle."""
+    import shutil
     import tempfile
 
     from cashback_data_pipeline_spark.sinks import manifest as M
 
     orders = read_testdata(spark, sf_dir, "orders")
     table = tempfile.mkdtemp(prefix="manifest_rt_")
-    M.write_table(orders.filter(F.col("o_orderkey") % 10 < 6), table)
-    M.upsert_table(spark, orders, table, key="o_orderkey")
-    M.compact_table(spark, table, n_files=4)
-    back = M.read_table(spark, table)
-    return back.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
-    ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+    try:
+        M.write_table(orders.filter(F.col("o_orderkey") % 10 < 6), table)
+        M.upsert_table(spark, orders, table, key="o_orderkey")
+        M.compact_table(spark, table, n_files=4)
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        # materialize the (months-sized) aggregate so the table copy under
+        # /tmp can be deleted before returning — repeated gate/bench runs
+        # must not accumulate orders-table copies
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
 
 
 @query(
@@ -4900,6 +4909,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cashback_data_pipeline_spark.operators import text as text_ops
 
     docs = read_testdata(spark, sf_dir, "documents")
+    # the oracle's position table covers chars 1..2000 per document; a
+    # longer doc would contribute a TRUNCATED pair count on the SQL side
+    # only — fail loudly instead of diverging silently (driver corpus
+    # max length is ~550; this guard is for corpus swaps)
+    max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
+    assert max_len <= 2000, f"bpe_train_merges oracle caps doc length at 2000, corpus has {max_len}"
     return text_ops.bpe_train_merges(docs, 5)
 
 

@@ -70,21 +70,31 @@ def _try_commit(
     meta: dict | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
-    Local-FS ``open(x)`` is the O_EXCL CAS; object stores substitute a
-    conditional put here (Delta LogStore seam). ``meta`` rides in the
-    manifest (e.g. a streaming epoch id for replay detection)."""
+
+    Publication = write the FULL manifest to a hidden temp file, fsync,
+    then ``os.link`` it to the version name: link(2) both fails if the
+    target exists (the CAS) and makes the complete content appear in one
+    atomic metadata op — a reader or racing writer can never observe a
+    half-written manifest, and a crash mid-commit leaves only a temp
+    file (swept by vacuum), never a bricked version. Object stores
+    substitute a conditional put here (Delta LogStore seam). ``meta``
+    rides in the manifest (e.g. a streaming epoch id)."""
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
     if meta:
         doc["meta"] = meta
+    tmp = os.path.join(table, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        with open(_manifest_path(table, version), "x") as fh:
-            json.dump(doc, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
+        os.link(tmp, _manifest_path(table, version))
         return True
     except FileExistsError:
         return False
+    finally:
+        os.unlink(tmp)
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
@@ -192,11 +202,18 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             return cur + 1
 
 
-def vacuum(table: str, keep_last: int = 2) -> list[str]:
+def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str]:
     """Delete data dirs unreferenced by the last ``keep_last`` versions
-    (readers pinned within that horizon stay safe — the Delta
-    retention contract). Returns the removed dirs."""
+    (readers pinned within that horizon stay safe — the Delta retention
+    contract). ``min_age_s`` is the in-flight-writer guard, Delta's
+    retention-window idea: a writer's data dir exists BEFORE its commit
+    references it, so an unreferenced-but-young dir may be a commit in
+    progress and is skipped — only dirs older than the window (i.e. a
+    writer that crashed pre-commit, or superseded versions) are removed.
+    Also sweeps orphaned manifest temp files past the window. Returns
+    the removed dirs."""
     import shutil
+    import time
 
     cur = current_version(table)
     if cur is None:
@@ -209,9 +226,16 @@ def vacuum(table: str, keep_last: int = 2) -> list[str]:
         except FileNotFoundError:
             continue
         referenced |= {f.split(os.sep)[1] for f in m["files"] if f.startswith("data")}
+    now = time.time()
     removed = []
     for d in glob.glob(os.path.join(table, "data", "*")):
-        if os.path.basename(d) not in referenced:
-            shutil.rmtree(d)
-            removed.append(d)
+        if os.path.basename(d) in referenced:
+            continue
+        if now - os.path.getmtime(d) < min_age_s:
+            continue  # possibly an in-flight commit's data — not ours to take
+        shutil.rmtree(d)
+        removed.append(d)
+    for t in glob.glob(os.path.join(table, _MANIFEST_DIR, ".tmp_*")):
+        if now - os.path.getmtime(t) >= min_age_s:
+            os.unlink(t)
     return removed

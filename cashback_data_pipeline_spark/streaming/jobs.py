@@ -305,16 +305,38 @@ def route_batch_to_manifest(batch: DataFrame, epoch_id: int, table: str) -> bool
     ALL-OR-NOTHING across keep and drop (a single version file makes
     both visible together — the partition-overwrite path has a window
     where keep is rewritten and drop is not), and replay detection is
-    explicit: the epoch id rides in the manifest meta, and a replayed
-    epoch is SKIPPED instead of rewritten (its crashed attempt either
-    committed — then the data is already visible — or left only
-    invisible orphan files for vacuum). Returns True if this call
-    committed, False if the epoch was already committed."""
+    explicit: a replayed epoch is SKIPPED instead of rewritten (its
+    crashed attempt either committed — then the data is already visible
+    — or left only invisible orphan files for vacuum). Returns True if
+    this call committed, False if the epoch was already committed.
+
+    The replay check is O(1), not a scan of every manifest: each commit
+    carries the running ``max_epoch`` in its meta, and Spark guarantees
+    a checkpointed stream's epoch ids are monotonically increasing, so
+    ``epoch_id <= max_epoch`` ⟺ already committed. (Only this
+    streaming entry point relies on monotonicity; ad-hoc writers mixing
+    arbitrary epoch ids should use manifest.committed_meta_values.)"""
     from cashback_data_pipeline_spark.sinks import manifest as M
 
-    if epoch_id in M.committed_meta_values(table, "epoch"):
+    cur = M.current_version(table)
+    prev_max = -1
+    v = cur or 0
+    while v >= 1:
+        # normally the latest manifest carries max_epoch (O(1)); walk
+        # past any interleaved non-epoch commit (e.g. a compaction)
+        meta = M.read_manifest(table, v).get("meta", {})
+        if "max_epoch" in meta:
+            prev_max = meta["max_epoch"]
+            break
+        v -= 1
+    if epoch_id <= prev_max:
         return False
-    M.write_table(batch, table, mode="append", meta={"epoch": int(epoch_id)})
+    M.write_table(
+        batch,
+        table,
+        mode="append",
+        meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
+    )
     return True
 
 

@@ -37,7 +37,7 @@ def test_reader_pinned_across_commits_and_compaction(spark, tmp_path):
     M.write_table(_df(spark, 100, 200), t, mode="append")   # v2
     M.compact_table(spark, t, n_files=2)                    # v3
     M.write_table(_df(spark, 0, 5, tag="z"), t)             # v4 overwrite
-    M.vacuum(t, keep_last=4)                                # keeps v1 files
+    M.vacuum(t, keep_last=4, min_age_s=0)                   # keeps v1 files
     assert pinned.count() == 100
     assert sorted(r["k"] for r in pinned.collect()) == list(range(100))
 
@@ -72,7 +72,7 @@ def test_two_interleaved_compactions_serialize(spark, tmp_path):
     assert sorted(r["k"] for r in M.read_table(spark, t).collect()) == list(range(80))
 
     # vacuum drops A's orphaned rewrite dir but nothing referenced
-    removed = M.vacuum(t, keep_last=2)
+    removed = M.vacuum(t, keep_last=2, min_age_s=0)
     assert M.read_table(spark, t).count() == 80
     assert M.read_table(spark, t, version=3).count() == 80  # within horizon
     orphan_dirs = {f.split(os.sep)[1] for f in files_a}
@@ -110,3 +110,32 @@ def test_empty_table_commit_and_read(spark, tmp_path):
 def test_write_table_rejects_unknown_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         M.write_table(_df(spark, 0, 1), str(tmp_path / "t"), mode="merge")
+
+
+def test_vacuum_spares_young_inflight_data(spark, tmp_path):
+    """An unreferenced data dir younger than the retention window may be
+    a commit IN PROGRESS (data lands before its manifest) — vacuum must
+    not delete it, and the pending commit must still succeed."""
+    t = str(tmp_path / "t")
+    M.write_table(_df(spark, 0, 10), t)
+    files = M._write_data_files(_df(spark, 10, 20), t)  # pre-commit state
+    assert M.vacuum(t, keep_last=1) == []  # young: protected
+    cur = M.current_version(t)
+    base = M.read_manifest(t, cur)["files"]
+    assert M._try_commit(t, cur + 1, base + files, cur, _df(spark, 0, 1).schema.json())
+    assert M.read_table(spark, t).count() == 20
+
+
+def test_manifest_readers_never_see_partial_commit(spark, tmp_path):
+    """The version file appears atomically with full content (temp +
+    link), so no .tmp_ residue becomes a version and every published
+    manifest parses."""
+    t = str(tmp_path / "t")
+    for i in range(5):
+        M.write_table(_df(spark, i * 10, i * 10 + 10), t, mode="append")
+    import glob as g
+    import os
+
+    assert not g.glob(os.path.join(t, "_manifests", ".tmp_*"))
+    for v in range(1, 6):
+        assert M.read_manifest(t, v)["version"] == v
