@@ -613,12 +613,13 @@ def semantic_dedup(
     broadcastable to ~1M centroids (≈512 MB at dim 64); beyond that,
     shard the corpus first. Cross-cluster near-dups are missed by
     construction (the SemDeDup trade); raise ``refine_iters`` to tighten
-    cluster quality, and/or ``memberships`` to 2 for SHADOW MEMBERSHIP
-    (each vector also joins its 2nd-nearest cluster's pair pool, so a
+    cluster quality, and/or ``memberships`` > 1 for SHADOW MEMBERSHIP
+    (each vector also joins its next-nearest clusters' pair pools, so a
     near-dup pair straddling a cluster edge shares at least one pool
-    with high probability — measured recall 0.21 → ≥0.5 on the sf0.01
-    corpus at 2× the membership rows, still linear total work; see
-    RECALL.json). The keep decision and ``centroid_id`` output stay
+    with high probability — measured drop-recall on the sf0.01 corpus:
+    0.21 primary-only → 0.45 top-2 → 0.77 top-3 (0.79 for top-2 plus
+    two Lloyd rounds), at k× the membership rows, still linear total
+    work; see RECALL.json). The keep decision and ``centroid_id`` stay
     keyed to the PRIMARY cluster; ``max_prior_cos`` is the max across
     all shared pools.
     """

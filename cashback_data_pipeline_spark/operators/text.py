@@ -511,10 +511,18 @@ def merge_bpe_vocab(
     base: str = MERGE_BPE_BASE,
 ) -> dict[str, int]:
     """symbol → token id for the merge table: base alphabet first, then
-    one id per merge in rank order (the standard BPE vocab layout)."""
+    one id per NEW symbol in rank order (the standard BPE vocab layout).
+
+    Two merges may legitimately produce the SAME symbol string — e.g.
+    ('a','bc') and a later ('ab','c') both yield 'abc', which real
+    Sennrich training (including this repo's own bpe_train_merges) can
+    emit. The symbol keeps its FIRST id (``setdefault``): a plain
+    assignment would re-point the existing key at ``len(vocab)`` without
+    growing the dict, silently giving the next new symbol a duplicate
+    id and corrupting every downstream token stream."""
     vocab = {ch: i for i, ch in enumerate(base)}
     for left, right in merges:
-        vocab[left + right] = len(vocab)
+        vocab.setdefault(left + right, len(vocab))
     return vocab
 
 
@@ -556,6 +564,10 @@ def merge_bpe_token_ids(
             raise ValueError(f"merge ({left!r}, {right!r}) uses a symbol no earlier rank produced")
         known.add(left + right)
     vocab = merge_bpe_vocab(merges, base)
+    if len(set(merges)) != len(merges):
+        # a duplicated (left, right) line would silently take the LATER
+        # rank in the dict — same guard greedy_bpe has for its vocab
+        raise ValueError("duplicate merge pairs in merge table")
     ranks = {pair: r for r, pair in enumerate(merges)}
     sc = df.sparkSession.sparkContext
     b_tab = sc.broadcast((ranks, vocab, set(base)))
@@ -646,10 +658,14 @@ def bpe_train_merges(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    from cashback_data_pipeline_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+
     UNK = "\x00"
     chars = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""), lambda c: c != "")
     seq0 = F.transform(chars, lambda c: F.when(c.rlike("^[a-z ]$"), c).otherwise(F.lit(UNK)))
+    before = persistent_rdd_ids(spark)
     cur = df.select(F.col(id_col).alias("id"), seq0.alias("seq")).localCheckpoint()
+    prev_ids = persistent_rdd_ids(spark) - before
 
     out_schema = T.StructType(
         [
@@ -690,10 +706,18 @@ def bpe_train_merges(
                     out.append(res)
                 yield pd.DataFrame({"id": pdf["id"], "seq": out})
 
+        # checkpoint the new corpus state, then release the previous
+        # round's blocks — without this each round pins a full tokenized
+        # corpus copy (n_merges copies at once by the end)
+        before = persistent_rdd_ids(spark)
         cur = cur.mapInPandas(kernel, out_schema).localCheckpoint()
+        new_ids = persistent_rdd_ids(spark) - before
+        unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         tokens_after = cur.agg(F.sum(F.size("seq"))).first()[0]
         learned.append((rank, bl, br, bc, int(tokens_after)))
 
+    unpersist_rdd_ids(spark, prev_ids)  # stats collected; corpus state done
     return spark.createDataFrame(
         learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
     )

@@ -93,3 +93,20 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-settable on this build — engine still functions
     return spark
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+
+
+def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    """Release the given persisted RDDs (non-blocking). The standard
+    cleanup for ``localCheckpoint`` blocks, which have no DataFrame-level
+    unpersist handle: snapshot :func:`persistent_rdd_ids` before the
+    checkpoint, diff after, release once the data is no longer needed —
+    a long-running loop (foreachBatch, iterative training) that skips
+    this pins one block set per iteration until executor storage churns."""
+    for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        if rid in ids:
+            rdd.unpersist(False)

@@ -461,12 +461,27 @@ def near_dup_ingest_batch(
     calling it twice with the same ``epoch_id`` must leave output, index,
     and routing byte-identical to calling it once)."""
     from cashback_data_pipeline_spark.operators import dedup as D
+    from cashback_data_pipeline_spark.session import persistent_rdd_ids, unpersist_rdd_ids
     from cashback_data_pipeline_spark.sinks.writers import _path_exists
 
     if not batch.head(1):
         return
     spark = batch.sparkSession
     rows_per_band = num_hashes // bands
+
+    # torn-compaction tripwire: compact_near_dup_index swaps each store
+    # through a __old_ sibling; a surviving __old_ dir means a crashed
+    # swap whose store may be missing or partial — screening against it
+    # would silently admit duplicates, so fail the batch (replayed after
+    # manual recovery: rename the __old_ dir back).
+    import glob as _glob
+
+    torn = [p for p in _glob.glob(f"{index_path}/*__old_*")] if "://" not in index_path else []
+    if torn:
+        raise RuntimeError(
+            f"near-dup index has crashed-compaction residue {torn}; "
+            "recover (rename __old_ back) before resuming ingest"
+        )
 
     def band_keys(sig_df: DataFrame) -> DataFrame:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -490,6 +505,10 @@ def near_dup_ingest_batch(
             lambda acc, x: acc + x,
         ) / F.lit(num_hashes)
 
+    # snapshot persisted-RDD ids so every localCheckpoint block this
+    # batch creates (sigs, bks, fresh_ids) is released in the finally —
+    # a long-running stream otherwise pins one block set per micro-batch
+    ckpt_before = persistent_rdd_ids(spark)
     sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint()
     bks = band_keys(sigs).localCheckpoint()
 
@@ -508,10 +527,20 @@ def near_dup_ingest_batch(
         hist_sigs = spark.read.parquet(f"{index_path}/sigs")
         hist_ids = hist_sigs.select("id")
         cand = (
-            bks.join(hist_bands.select(F.col("id").alias("old_id"), "band", "bh"), ["band", "bh"])
-            # replay guard: the crashed first attempt may have indexed this
-            # very batch — a doc must never match itself in history
-            .filter(F.col("old_id") != F.col("id"))
+            bks.join(
+                hist_bands.select(F.col("id").alias("old_id"), "band", "bh", "__epoch"),
+                ["band", "bh"],
+            )
+            # replay guard, EPOCH-AWARE: the crashed first attempt may have
+            # indexed this very batch under THIS epoch — that self-match is
+            # a replay artifact and must be excluded. A self-match from a
+            # DIFFERENT epoch (or the compacted index's consolidated -1) is
+            # a genuine redelivery of an already-ingested doc — it must
+            # still route is_dup so the out sink never accumulates two
+            # fresh rows for one doc.
+            .filter(
+                ~((F.col("old_id") == F.col("id")) & (F.col("__epoch") == F.lit(int(epoch_id))))
+            )
             .select("id", "old_id")
             .distinct()
         )
@@ -560,3 +589,4 @@ def near_dup_ingest_batch(
         _write_epoch_partition(sigs.join(fresh_ids, "id", "leftsemi"), f"{index_path}/sigs", epoch_id)
     finally:
         routed.unpersist()
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ckpt_before)

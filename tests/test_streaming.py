@@ -416,3 +416,51 @@ def test_compact_near_dup_index_preserves_screening(spark, tmp_path):
     )
     out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert out[10]["is_dup"] and out[10]["dup_of"] == 1
+
+
+def test_near_dup_redelivery_under_new_epoch_routes_as_dup(spark, tmp_path):
+    """A doc already ingested and indexed that is REDELIVERED under a
+    different epoch (rebuilt checkpoint / upstream at-least-once past
+    the checkpoint) must route is_dup — the out sink must never hold two
+    fresh rows for one doc — while a same-epoch replay self-match stays
+    excluded (replay artifact)."""
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b = spark.createDataFrame([(42, base)], "doc_id long, text string")
+    near_dup_ingest_batch(b, 3, **kw)
+    # same-epoch replay: unchanged (fresh exactly once)
+    near_dup_ingest_batch(b, 3, **kw)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(out) == 1 and not out[0]["is_dup"]
+    # changed-epoch redelivery: flagged as dup of its prior self
+    near_dup_ingest_batch(b, 9, **kw)
+    rows = {r["__epoch"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert not rows[3]["is_dup"]
+    assert rows[9]["is_dup"] and rows[9]["dup_of"] == 42
+    fresh = [r for r in rows.values() if not r["is_dup"]]
+    assert len(fresh) == 1
+    # index still holds exactly one copy
+    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
+    assert sigs.count() == 1
+
+
+def test_near_dup_ingest_fails_loudly_on_torn_compaction(spark, tmp_path):
+    """A surviving __old_ sibling (crash mid compact_near_dup_index swap)
+    must fail the micro-batch instead of silently screening against a
+    missing or partial store."""
+    import os
+
+    import pytest
+
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b1 = spark.createDataFrame([(1, "alpha beta gamma " * 5)], "doc_id long, text string")
+    near_dup_ingest_batch(b1, 0, **kw)
+    # simulate the crashed swap: bands renamed aside, nothing put back
+    os.rename(str(tmp_path / "index/bands"), str(tmp_path / "index/bands__old_dead"))
+    b2 = spark.createDataFrame([(2, "one two three " * 5)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="crashed-compaction residue"):
+        near_dup_ingest_batch(b2, 1, **kw)

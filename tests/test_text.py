@@ -318,3 +318,30 @@ def test_merges_txt_roundtrip_and_encode(spark, tmp_path):
     a = {r["doc_id"]: list(r["token_ids"]) for r in text_ops.merge_bpe_token_ids(df, merges=learned).collect()}
     b = {r["doc_id"]: list(r["token_ids"]) for r in text_ops.merge_bpe_token_ids(df, merges=loaded).collect()}
     assert a == b
+
+
+def test_merge_bpe_duplicate_product_keeps_stable_ids(spark):
+    """Two merges producing the SAME symbol string (('a','bc') then
+    ('ab','c') -> 'abc') are legitimate Sennrich output: the symbol must
+    keep its first token id and later symbols must still get UNIQUE ids
+    (a plain dict assignment silently aliased two symbols to one id)."""
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    merges = (("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c"), ("c", "a"))
+    vocab = text_ops.merge_bpe_vocab(merges)
+    assert len(set(vocab.values())) == len(vocab)  # ids are unique
+    assert vocab["abc"] == vocab["a" + "bc"]  # same symbol, one id
+    df = spark.createDataFrame([(0, "abcabc ca")], "doc_id long, text string")
+    out = text_ops.merge_bpe_token_ids(df, merges=merges).collect()[0]
+    # every emitted id decodes to exactly one symbol
+    rev = {v: k for k, v in vocab.items()}
+    assert all(t in rev or t == -1 for t in out["token_ids"])
+
+
+def test_merge_bpe_rejects_duplicate_pairs(spark):
+    from cashback_data_pipeline_spark.operators import text as text_ops
+    import pytest
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate merge pairs"):
+        text_ops.merge_bpe_token_ids(df, merges=(("a", "b"), ("a", "b")))
