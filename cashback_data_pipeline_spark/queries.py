@@ -5146,6 +5146,35 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "indexed_bm25_search",
+    sql=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, score, CAST(rnk AS INT) AS rank FROM bm_ranked WHERE rnk <= 10
+    """,
+)
+def indexed_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED term-partitioned inverted index
+    (retrieval.build_inverted_index → search_inverted_index): build the
+    index, search it with partition + row-group pruning, tear the index
+    down. The oracle is the full-scan BM25 SQL — the index is a pure
+    access-path change, so scores and ranks must be identical."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="inv_index_")
+    try:
+        retrieval.build_inverted_index(docs, path)
+        out = retrieval.search_inverted_index(spark, path, _BM25_TERMS, k=10)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "hybrid_search_rrf",
     sql=f"""
     WITH {_BM25_CTES},
@@ -5429,7 +5458,7 @@ _ROUND5_WINDOW = [
     "windowed_event_counts",
     "ann_ivf_topk",
     "ann_topk_cosine",
-    "anti_join_absent_keys",
+    "indexed_bm25_search",
     "asof_last_signup",
     "compound_null_predicate",
     "curate_corpus",

@@ -98,3 +98,36 @@ def test_rrf_fusion_reference(spark):
     order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
     # 10: 1/61+1/62 ≈ .032523 beats 12: 1/63+1/61 ≈ .032266
     assert order == [10, 12, 11, 13]  # fused score desc, then doc_id
+
+
+def test_inverted_index_search_equals_full_scan_bm25(spark, docs, tmp_path):
+    """The persisted index is a pure access-path change: identical
+    scores and ranks to bm25_topk, and the postings scan prunes to the
+    query terms' partitions."""
+    path = str(tmp_path / "idx")
+    retrieval.build_inverted_index(docs, path, n_term_buckets=8)
+    terms = ["hash", "window"]
+    via_index = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.search_inverted_index(spark, path, terms, k=10).collect()
+    }
+    via_scan = {
+        r["doc_id"]: (r["score"], r["rank"]) for r in retrieval.bm25_topk(docs, terms, k=10).collect()
+    }
+    assert via_index == via_scan and via_index
+    # partition pruning: the postings scan carries a term_bucket filter
+    plan = (
+        retrieval.search_inverted_index(spark, path, terms, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [term_bucket" in plan
+
+
+def test_inverted_index_empty_corpus(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    retrieval.build_inverted_index(empty, path)
+    out = retrieval.search_inverted_index(spark, path, ["hash"], k=5)
+    assert out.count() == 0
