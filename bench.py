@@ -114,6 +114,7 @@ HEADLINE = [
     "manifest_roundtrip",
     "doc_keywords_tfidf",
     "bm25_search",
+    "indexed_bm25_search",
     "hybrid_search_rrf",
     # curate_corpus / dedup_clusters are correctness queries only: on this
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
