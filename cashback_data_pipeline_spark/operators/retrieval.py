@@ -195,31 +195,51 @@ def build_inverted_index(
     needs anyway, one shuffle keyed by term."""
     base = docs.filter(F.col(text_col).isNotNull())
     spark = docs.sparkSession
+    # ONE tokenize pass feeds everything: tf → postings, dl = Σtf per
+    # doc, avgdl = Σdl / N (identical to averaging per-doc token counts
+    # over all non-null-text docs, since zero-token docs contribute 0 to
+    # both numerator terms) — a naive formulation re-tokenized the
+    # corpus three times.
     terms = doc_terms(base, id_col, text_col)
-    tf = terms.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(df_, "term")
-        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)))
-    )
-    (
-        postings.repartition("term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings")
-    )
-    stats = base.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))).alias("avgdl"),
-    )
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats.write.mode("overwrite").parquet(f"{path}/_stats")
-    dl.write.mode("overwrite").parquet(f"{path}/doclens")
-    # record the layout so searches hash terms with the same modulus
+    tf = terms.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")).persist()
+    try:
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = (
+            tf.join(df_, "term")
+            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)))
+        )
+        if postings.isEmpty():
+            # partitionBy of zero rows writes no footers (unreadable dir);
+            # an empty non-partitioned write keeps the schema readable
+            postings.write.mode("overwrite").parquet(f"{path}/postings")
+        else:
+            (
+                postings.repartition("term_bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(f"{path}/postings")
+            )
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{path}/doclens")
+        n_docs = base.count()
+        total_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()["t"]
+        stats = spark.createDataFrame(
+            [(n_docs, (float(total_tokens) / n_docs) if n_docs else None)],
+            "n_docs long, avgdl double",
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/_stats")
+    finally:
+        tf.unpersist()
+    # record the layout so searches hash terms with the same modulus and
+    # reconstruct the id column (name AND type) exactly
     import json
 
-    meta = {"n_term_buckets": n_term_buckets, "id_col": id_col}
+    meta = {
+        "n_term_buckets": n_term_buckets,
+        "id_col": id_col,
+        "id_field": docs.schema[id_col].jsonValue(),
+    }
     spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/_meta")
@@ -242,18 +262,24 @@ def search_inverted_index(
     tests, so the index is a pure access-path change."""
     import json
 
+    from pyspark.sql import types as T
+
     meta = json.loads(spark.read.parquet(f"{path}/_meta").first()["meta"])
     id_col = meta["id_col"]
     nb = meta["n_term_buckets"]
-    stats = spark.read.parquet(f"{path}/_stats").first()
-    if not stats["n_docs"]:
-        from pyspark.sql import types as T
 
+    def _empty() -> DataFrame:
+        id_field = T.StructField.fromJson(meta["id_field"])
         return spark.createDataFrame(
-            [], T.StructType([T.StructField(id_col, T.LongType()),
+            [], T.StructType([id_field,
                               T.StructField("score", T.DoubleType()),
                               T.StructField("rank", T.IntegerType())])
         )
+
+    stats = spark.read.parquet(f"{path}/_stats").first()
+    if not stats["n_docs"] or stats["avgdl"] is None or stats["avgdl"] == 0.0:
+        # no docs, or docs with zero tokens anywhere: nothing can match
+        return _empty()
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     qterms = sorted(set(query_terms))
 

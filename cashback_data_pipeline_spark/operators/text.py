@@ -674,50 +674,54 @@ def bpe_train_merges(
         ]
     )
     learned: list[tuple[int, str, str, int, int]] = []
-    for rank in range(n_merges):
-        lefts = F.slice("seq", 1, F.greatest(F.size("seq") - 1, F.lit(0)))
-        rights = F.expr("slice(seq, 2, greatest(size(seq) - 1, 0))")
-        pairs = (
-            cur.select(F.explode(F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p"))
-            .select("p.l", "p.r")
-            .filter((F.col("l") != UNK) & (F.col("r") != UNK))
-            .groupBy("l", "r")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc()).first()
-        if best is None:
-            break
-        bl, br, bc = best["l"], best["r"], int(best["c"])
-        merged_sym = bl + br
+    try:
+        for rank in range(n_merges):
+            lefts = F.slice("seq", 1, F.greatest(F.size("seq") - 1, F.lit(0)))
+            rights = F.expr("slice(seq, 2, greatest(size(seq) - 1, 0))")
+            pairs = (
+                cur.select(F.explode(F.zip_with(lefts, rights, lambda a, b: F.struct(a.alias("l"), b.alias("r")))).alias("p"))
+                .select("p.l", "p.r")
+                .filter((F.col("l") != UNK) & (F.col("r") != UNK))
+                .groupBy("l", "r")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = pairs.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc()).first()
+            if best is None:
+                break
+            bl, br, bc = best["l"], best["r"], int(best["c"])
+            merged_sym = bl + br
 
-        def kernel(batches, _bl=bl, _br=br, _m=merged_sym):
-            for pdf in batches:
-                out = []
-                for s in pdf["seq"]:
-                    s = list(s)
-                    res, i = [], 0
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == _bl and s[i + 1] == _br:
-                            res.append(_m)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
-                yield pd.DataFrame({"id": pdf["id"], "seq": out})
+            def kernel(batches, _bl=bl, _br=br, _m=merged_sym):
+                for pdf in batches:
+                    out = []
+                    for s in pdf["seq"]:
+                        s = list(s)
+                        res, i = [], 0
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == _bl and s[i + 1] == _br:
+                                res.append(_m)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        out.append(res)
+                    yield pd.DataFrame({"id": pdf["id"], "seq": out})
 
-        # checkpoint the new corpus state, then release the previous
-        # round's blocks — without this each round pins a full tokenized
-        # corpus copy (n_merges copies at once by the end)
-        before = persistent_rdd_ids(spark)
-        cur = cur.mapInPandas(kernel, out_schema).localCheckpoint()
-        new_ids = persistent_rdd_ids(spark) - before
+            # checkpoint the new corpus state, then release the previous
+            # round's blocks — without this each round pins a full tokenized
+            # corpus copy (n_merges copies at once by the end)
+            before = persistent_rdd_ids(spark)
+            cur = cur.mapInPandas(kernel, out_schema).localCheckpoint()
+            new_ids = persistent_rdd_ids(spark) - before
+            released, prev_ids = prev_ids, new_ids  # finally always covers the newest
+            unpersist_rdd_ids(spark, released)
+            tokens_after = cur.agg(F.sum(F.size("seq"))).first()[0]
+            learned.append((rank, bl, br, bc, int(tokens_after)))
+
+    finally:
+        # release on BOTH paths: a task failure mid-round must not leave
+        # corpus checkpoints pinned for the session's lifetime
         unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = new_ids
-        tokens_after = cur.agg(F.sum(F.size("seq"))).first()[0]
-        learned.append((rank, bl, br, bc, int(tokens_after)))
-
-    unpersist_rdd_ids(spark, prev_ids)  # stats collected; corpus state done
     return spark.createDataFrame(
         learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
     )

@@ -461,7 +461,6 @@ def near_dup_ingest_batch(
     calling it twice with the same ``epoch_id`` must leave output, index,
     and routing byte-identical to calling it once)."""
     from cashback_data_pipeline_spark.operators import dedup as D
-    from cashback_data_pipeline_spark.session import persistent_rdd_ids, unpersist_rdd_ids
     from cashback_data_pipeline_spark.sinks.writers import _path_exists
 
     if not batch.head(1):
@@ -473,10 +472,19 @@ def near_dup_ingest_batch(
     # through a __old_ sibling; a surviving __old_ dir means a crashed
     # swap whose store may be missing or partial — screening against it
     # would silently admit duplicates, so fail the batch (replayed after
-    # manual recovery: rename the __old_ dir back).
-    import glob as _glob
+    # manual recovery: rename the __old_ dir back). Both local and
+    # Hadoop-FS paths are checked — _swap_paths supports both, so the
+    # tripwire must too.
+    if "://" not in index_path:
+        import glob as _glob
 
-    torn = [p for p in _glob.glob(f"{index_path}/*__old_*")] if "://" not in index_path else []
+        torn = _glob.glob(f"{index_path}/*__old_*")
+    else:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/*__old_*")
+        statuses = hpath.getFileSystem(hconf).globStatus(hpath)
+        torn = [str(s.getPath()) for s in statuses] if statuses is not None else []
     if torn:
         raise RuntimeError(
             f"near-dup index has crashed-compaction residue {torn}; "
@@ -505,12 +513,16 @@ def near_dup_ingest_batch(
             lambda acc, x: acc + x,
         ) / F.lit(num_hashes)
 
-    # snapshot persisted-RDD ids so every localCheckpoint block this
-    # batch creates (sigs, bks, fresh_ids) is released in the finally —
-    # a long-running stream otherwise pins one block set per micro-batch
-    ckpt_before = persistent_rdd_ids(spark)
-    sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).localCheckpoint()
-    bks = band_keys(sigs).localCheckpoint()
+    # persist (NOT localCheckpoint) the per-batch relations: persist
+    # gives DataFrame-scoped unpersist handles, so the finally releases
+    # exactly this batch's blocks — a global persistent-RDD diff could
+    # race a concurrent query on the same session and unpersist ITS
+    # checkpoint blocks (unrecoverable: truncated lineage). Lineage here
+    # is one micro-batch deep, so truncation isn't needed.
+    keep: list[DataFrame] = []
+    sigs = D.minhash_signatures(batch, id_col, text_col, num_hashes, n).persist()
+    bks = band_keys(sigs).persist()
+    keep += [sigs, bks]
 
     # Explicit existence check (NOT try/except): a transient FS error or a
     # corrupt index must FAIL the micro-batch (checkpoint replays it) rather
@@ -528,18 +540,21 @@ def near_dup_ingest_batch(
         hist_ids = hist_sigs.select("id")
         cand = (
             bks.join(
-                hist_bands.select(F.col("id").alias("old_id"), "band", "bh", "__epoch"),
+                hist_bands.select(F.col("id").alias("old_id"), "band", "bh", "src_epoch"),
                 ["band", "bh"],
             )
-            # replay guard, EPOCH-AWARE: the crashed first attempt may have
-            # indexed this very batch under THIS epoch — that self-match is
-            # a replay artifact and must be excluded. A self-match from a
-            # DIFFERENT epoch (or the compacted index's consolidated -1) is
-            # a genuine redelivery of an already-ingested doc — it must
-            # still route is_dup so the out sink never accumulates two
-            # fresh rows for one doc.
+            # replay guard, EPOCH-AWARE via src_epoch (the ORIGIN epoch,
+            # carried as a data column so index compaction preserves it —
+            # the __epoch partition column is only the commit vehicle and
+            # compaction consolidates it to -1): the crashed first attempt
+            # may have indexed this very batch under THIS epoch — that
+            # self-match is a replay artifact and must be excluded, even
+            # if a compaction ran between crash and replay. A self-match
+            # whose src_epoch differs is a genuine redelivery of an
+            # already-ingested doc — it must still route is_dup so the
+            # out sink never accumulates two fresh rows for one doc.
             .filter(
-                ~((F.col("old_id") == F.col("id")) & (F.col("__epoch") == F.lit(int(epoch_id))))
+                ~((F.col("old_id") == F.col("id")) & (F.col("src_epoch") == F.lit(int(epoch_id))))
             )
             .select("id", "old_id")
             .distinct()
@@ -584,9 +599,16 @@ def near_dup_ingest_batch(
             # belt-and-braces idempotence: never re-insert an already-indexed
             # id, even if a replay arrived under a different epoch
             fresh_ids = fresh_ids.join(hist_ids, "id", "left_anti")
-        fresh_ids = fresh_ids.localCheckpoint()
-        _write_epoch_partition(bks.join(fresh_ids, "id", "leftsemi"), f"{index_path}/bands", epoch_id)
-        _write_epoch_partition(sigs.join(fresh_ids, "id", "leftsemi"), f"{index_path}/sigs", epoch_id)
+        fresh_ids.persist()
+        keep.append(fresh_ids)
+        src = F.lit(int(epoch_id)).alias("src_epoch")
+        _write_epoch_partition(
+            bks.join(fresh_ids, "id", "leftsemi").select("*", src), f"{index_path}/bands", epoch_id
+        )
+        _write_epoch_partition(
+            sigs.join(fresh_ids, "id", "leftsemi").select("*", src), f"{index_path}/sigs", epoch_id
+        )
     finally:
         routed.unpersist()
-        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - ckpt_before)
+        for df_ in keep:
+            df_.unpersist()

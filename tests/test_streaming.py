@@ -271,7 +271,7 @@ def test_near_dup_ingest_stream_screens_against_history(spark, tmp_path):
     # (__epoch is the commit-partition column, not payload)
     sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
     assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 12}
-    assert set(sigs.columns) == {"id", "sig", "__epoch"}
+    assert set(sigs.columns) == {"id", "sig", "src_epoch", "__epoch"}
 
 
 def _near_dup_state(spark, tmp_path):
