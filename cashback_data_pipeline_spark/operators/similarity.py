@@ -765,16 +765,22 @@ def bucket_pairs_gemm(
     if max_bucket_size is None:
         return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
 
-    oversized = (
+    oversized_agg = (
         base.groupBy(*kcols)
         .agg(F.ceil(F.count(F.lit(1)) / max_bucket_size).cast("int").alias("__nblk"))
         .filter(F.col("__nblk") > 1)
-        .localCheckpoint()  # tiny (oversized buckets only); also decides the plan below
     )
-    if not oversized.head(1):
+    # collect the (tiny: oversized buckets only) list to the driver and
+    # rebuild it as a local relation: it is broadcast into both joins
+    # below anyway, and a localCheckpoint here would pin RDD blocks with
+    # no DataFrame-level unpersist handle for the session's lifetime on
+    # every skewed invocation
+    oversized_rows = oversized_agg.collect()
+    if not oversized_rows:
         # no skew: the cap costs exactly one (bucket, count) aggregate and
         # the plan IS the uncapped plan — no anti-join, no second scan
         return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
+    oversized = base.sparkSession.createDataFrame(oversized_rows, oversized_agg.schema)
     normal_pairs = base.join(
         F.broadcast(oversized.select(*kcols)), kcols, "left_anti"
     ).groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")

@@ -658,14 +658,17 @@ def bpe_train_merges(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    from cashback_data_pipeline_spark.session import persistent_rdd_ids, unpersist_rdd_ids
+    from cashback_data_pipeline_spark.session import checkpointed_rdd_id, unpersist_rdd_ids
 
     UNK = "\x00"
     chars = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), ""), lambda c: c != "")
     seq0 = F.transform(chars, lambda c: F.when(c.rlike("^[a-z ]$"), c).otherwise(F.lit(UNK)))
-    before = persistent_rdd_ids(spark)
     cur = df.select(F.col(id_col).alias("id"), seq0.alias("seq")).localCheckpoint()
-    prev_ids = persistent_rdd_ids(spark) - before
+    # precise per-round unpersist handle: track ONLY the RDD backing
+    # `cur` (its LogicalRDD id) — a global persistent-RDD-set diff here
+    # would race a concurrent job on a shared session and could release
+    # ITS checkpoint blocks (truncated lineage: unrecoverable)
+    prev_ids = {i for i in [checkpointed_rdd_id(cur)] if i is not None}
 
     out_schema = T.StructType(
         [
@@ -710,9 +713,8 @@ def bpe_train_merges(
             # checkpoint the new corpus state, then release the previous
             # round's blocks — without this each round pins a full tokenized
             # corpus copy (n_merges copies at once by the end)
-            before = persistent_rdd_ids(spark)
             cur = cur.mapInPandas(kernel, out_schema).localCheckpoint()
-            new_ids = persistent_rdd_ids(spark) - before
+            new_ids = {i for i in [checkpointed_rdd_id(cur)] if i is not None}
             released, prev_ids = prev_ids, new_ids  # finally always covers the newest
             unpersist_rdd_ids(spark, released)
             tokens_after = cur.agg(F.sum(F.size("seq"))).first()[0]

@@ -4914,7 +4914,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only — fail loudly instead of diverging silently (driver corpus
     # max length is ~550; this guard is for corpus swaps)
     max_len = docs.agg(F.max(F.length("text"))).first()[0] or 0
-    assert max_len <= 2000, f"bpe_train_merges oracle caps doc length at 2000, corpus has {max_len}"
+    if max_len > 2000:
+        # a real exception, not assert: `python -O` strips asserts, and this
+        # guard exists precisely to prevent a silent Spark-vs-oracle divergence
+        raise ValueError(
+            f"bpe_train_merges oracle caps doc length at 2000, corpus has {max_len}"
+        )
     return text_ops.bpe_train_merges(docs, 5)
 
 

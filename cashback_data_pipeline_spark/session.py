@@ -103,10 +103,30 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
 def unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
     """Release the given persisted RDDs (non-blocking). The standard
     cleanup for ``localCheckpoint`` blocks, which have no DataFrame-level
-    unpersist handle: snapshot :func:`persistent_rdd_ids` before the
-    checkpoint, diff after, release once the data is no longer needed —
-    a long-running loop (foreachBatch, iterative training) that skips
-    this pins one block set per iteration until executor storage churns."""
+    unpersist handle: a long-running loop (foreachBatch, iterative
+    training) that skips this pins one block set per iteration until
+    executor storage churns. Prefer :func:`checkpointed_rdd_id` to find
+    the exact id to release — a before/after diff of
+    :func:`persistent_rdd_ids` can capture a CONCURRENT job's blocks
+    landing in the diff window and unpersist its truncated-lineage
+    checkpoint (unrecoverable for that job)."""
     for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
         if rid in ids:
             rdd.unpersist(False)
+
+
+def checkpointed_rdd_id(df) -> int | None:
+    """The id of the persisted RDD backing a ``localCheckpoint``-ed
+    DataFrame — a precise unpersist handle for the one relation we own,
+    immune to concurrent persists on a shared session. A checkpointed
+    DataFrame's analyzed plan is a ``LogicalRDD`` wrapping exactly the
+    block-backed RDD; returns None for a DataFrame that is not
+    checkpoint-backed (defensive: callers then skip the release rather
+    than guessing)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            return int(plan.rdd().id())
+    except Exception:
+        pass
+    return None

@@ -321,6 +321,7 @@ def scd2_upsert(
     key: str,
     ts_col: str,
     compare_cols: list[str] | None = None,
+    same_ts_corrections: bool = False,
 ) -> tuple[int, int]:
     """Slowly-changing-dimension type 2 upsert without a transactional
     format: the target keeps FULL VERSION HISTORY — each row carries
@@ -346,6 +347,17 @@ def scd2_upsert(
     (step 2 filters it), giving the same idempotence contract as
     ``append_if_absent``. Swap discipline is rename-based like
     ``merge_upsert``; true atomicity needs Delta/Iceberg.
+
+    ``same_ts_corrections=True`` additionally accepts an EQUAL-timestamp
+    row whose ``compare_cols`` differ as a correction: the current
+    version is REPLACED in place (same ``__valid_from``, old row
+    discarded, nothing closed — closing would mint a zero-width history
+    row), so a same-instant fix is applicable without faking a newer
+    timestamp. Off by default: the strict ordering contract treats
+    equal-ts as late, and a replayed at-least-once batch with equal ts
+    but drifted values should NOT silently rewrite current under that
+    contract. Re-running the same correction batch is still a no-op
+    (values then compare unchanged).
 
     Scale: one shuffle to dedupe incoming, one join against ONLY the
     current slice (``__is_current`` filter prunes history at the scan —
@@ -398,6 +410,13 @@ def scd2_upsert(
     # data to current. Late rows are a no-op, like no-op updates.
     is_newer = F.col(ts_col) > F.col("__cur_from")
     effective = joined.filter(is_new_key | (~unchanged & is_newer)).select(*latest.columns).cache()
+    corrections = (
+        joined.filter(~unchanged & ~is_new_key & (F.col(ts_col) == F.col("__cur_from")))
+        .select(*latest.columns)
+        .cache()
+        if same_ts_corrections
+        else None
+    )
     try:
         change_keys = effective.select(key).distinct()
         n_inserted = effective.count()
@@ -420,6 +439,21 @@ def scd2_upsert(
             F.lit(None).cast("timestamp").alias("__valid_to"),
             F.lit(True).alias("__is_current"),
         )
+        if corrections is not None:
+            # in-place replacement: the corrected key's current row is
+            # dropped (not closed — no zero-width history row) and the
+            # correction becomes current at the SAME __valid_from
+            corr_keys = corrections.select(key).distinct()
+            n_inserted += corrections.count()
+            survivors = survivors.join(corr_keys, on=key, how="left_anti")
+            new_versions = new_versions.unionByName(
+                corrections.select(
+                    "*",
+                    F.col(ts_col).alias("__valid_from"),
+                    F.lit(None).cast("timestamp").alias("__valid_to"),
+                    F.lit(True).alias("__is_current"),
+                )
+            )
         merged = history.unionByName(closed).unionByName(survivors).unionByName(new_versions)
 
         tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
@@ -427,6 +461,8 @@ def scd2_upsert(
         _swap_paths(spark, tmp, target_path)
     finally:
         effective.unpersist()
+        if corrections is not None:
+            corrections.unpersist()
     return (n_closed, n_inserted)
 
 
