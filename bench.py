@@ -15,12 +15,23 @@ box intermittently freezes a JVM for 10-20 s, and a stall window can
 swallow every repeat of a query): each query's min-of-N is compared to
 the committed per-query reference table ``REFTIMES.json`` (regenerated
 via ``SPARK_GRAFT_UPDATE_REFTIMES=1 python bench.py`` on a quiet box).
-A query whose min exceeds max(3× ref, ref + 2 s) is re-sampled up to 3
-extra times; if it STILL exceeds the bound it is recorded in
-``stalled`` and every raw sample is published in ``samples``, so a
-stall-tainted artifact identifies exactly which entries to distrust
-and what the evidence was — instead of silently reading as a 2× perf
-regression.
+A query whose min exceeds max(1.5× ref, ref + 0.5 s) is re-sampled up
+to 3 extra times (VERDICT r5 item 1: six queries whose BOTH initial
+samples landed in one correlated slow window read as 2.6-4.6×
+regressions on unchanged code — the old 3×-ref trigger never fired for
+them); if the min still exceeds the harder max(3× ref, ref + 2 s)
+stall bound after escalation it is recorded in ``stalled`` and every
+raw sample is published in ``samples``, so a stall-tainted artifact
+identifies exactly which entries to distrust and what the evidence was
+— instead of silently reading as a 2× perf regression.
+
+The estimator stays MIN-of-samples (not median): noise on this box is
+strictly one-sided — a JVM stall, cleaner churn, or /tmp I/O can only
+ADD time, never make code run faster than it is — so the minimum is
+the maximum-likelihood estimate of true cost, and it is what every
+committed REFTIMES/BASELINE number already is. A median would carry a
+stall window into the artifact whenever 2 of 3 samples caught one
+(exactly the correlated-slow-window case above).
 """
 
 from __future__ import annotations
@@ -67,7 +78,6 @@ HEADLINE = [
     "dedup_exact_groups",
     "text_quality_scores",
     "text_lang_id",
-    "doc_fingerprints",
     "simhash_near_dups",
     "minhash_trigram_near_dups",
     "containment_near_dups",
@@ -92,9 +102,7 @@ HEADLINE = [
     "event_funnel",
     # LLM-corpus curation paths
     "doc_chunks",
-    "doc_packing",
     "doc_packing_sharded",
-    "corpus_split",
     "repetition_scores",
     "unigram_surprisal_scores",
     "boilerplate_scrub",
@@ -120,7 +128,11 @@ HEADLINE = [
     # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
     # is inherently quadratic, which benchmarks the data pathology rather
     # than the engine (see SCALE.md); the trigram/simhash entries above are
-    # the representative near-dup bench paths.
+    # the representative near-dup bench paths. doc_fingerprints /
+    # doc_packing / corpus_split were superseded by dedup_exact_groups /
+    # doc_packing_sharded / grouped_corpus_split and left the bench list
+    # (still registered and driver-oracled) so every ENTRY that runs fits
+    # un-truncated in the driver's 2000-char stdout window.
 ]
 
 
@@ -144,6 +156,38 @@ def reference_pipeline_bench(spark, sf: float, base: str) -> float:
     elapsed = time.time() - t0
     assert result.rows_transformed == n_rew
     return round(elapsed, 3)
+
+
+def inverted_index_bench(spark, sf_dir: str, base: str) -> tuple[list[float], list[float]]:
+    """Split metric for the persisted inverted index (VERDICT r5 item 3):
+    the oracled ``indexed_bm25_search`` query times build+search+teardown
+    in one number so the oracle can prove access-path purity, which hides
+    the latency the index exists to deliver. ``index_build`` is the
+    once-per-corpus construction; ``index_search`` is the served BM25
+    top-k over the already-built index — the per-query number a 100 TB
+    user actually pays."""
+    import shutil
+
+    from cashback_data_pipeline_spark.operators import retrieval
+    from cashback_data_pipeline_spark.queries import _BM25_TERMS, read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    builds: list[float] = []
+    searches: list[float] = []
+    path = f"{base}/inv_index"
+    for _ in range(2):
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.time()
+        retrieval.build_inverted_index(docs, path)
+        builds.append(round(time.time() - t0, 3))
+    for _ in range(2):
+        t0 = time.time()
+        retrieval.search_inverted_index(spark, path, _BM25_TERMS, k=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        searches.append(round(time.time() - t0, 3))
+    shutil.rmtree(path, ignore_errors=True)
+    return builds, searches
 
 
 def main() -> None:
@@ -194,6 +238,15 @@ def main() -> None:
             return None
         return max(3.0 * ref, ref + 2.0)
 
+    def noise_bound(name: str) -> float | None:
+        # escalation trigger, tighter than the stall bound: a min 1.5×
+        # over its committed quiet-box time is worth buying more samples
+        # for even though it would not be flagged as a stall
+        ref = reftimes.get(name)
+        if ref is None:
+            return None
+        return max(1.5 * ref, ref + 0.5)
+
     # Min-of-2 per query: this box shows large run-to-run variance
     # (same query 0.6 s vs 22 s back-to-back — async ContextCleaner work
     # and /tmp shuffle-file I/O land unpredictably inside the next
@@ -217,26 +270,40 @@ def main() -> None:
         runs: list[float] = []
         for _ in range(2):
             sample()
-        # no-reference heuristic: when the two runs disagree badly or
-        # both are slow for a query this engine normally runs at scan
-        # speed, buy one more sample.
+        # disagreement heuristic: two samples >1.5× apart means at least
+        # one caught noise — buy a third (skip sub-0.3 s queries, where
+        # 1.5× is scheduler jitter, not signal)
+        if min(runs) > 0.3 and max(runs) > 1.5 * min(runs):
+            sample()
+        # no-reference heuristic: when the runs disagree badly or all are
+        # slow for a query this engine normally runs at scan speed, buy
+        # one more sample.
         if min(runs) > 2.0 and (max(runs) > 2 * min(runs) or min(runs) > 4.0):
             sample()
-        # reference-table escalation: a stall window can swallow EVERY
-        # early repeat; keep sampling (up to 3 more) while the best
-        # observation still exceeds the committed bound.
-        bound = stall_bound(name)
-        if bound is not None:
+        # reference-table escalation: a CORRELATED slow window can
+        # swallow every early repeat (VERDICT r5: six queries elevated in
+        # both samples on unchanged code); keep sampling (up to 3 more)
+        # while the best observation still exceeds the noise bound.
+        nbound = noise_bound(name)
+        if nbound is not None:
             extra = 0
-            while min(runs) > bound and extra < 3:
+            while min(runs) > nbound and extra < 3:
                 sample()
                 extra += 1
-            if min(runs) > bound:
-                stalled.append(name)
+        bound = stall_bound(name)
+        if bound is not None and min(runs) > bound:
+            stalled.append(name)
         timings[name] = min(runs)
         samples[name] = runs
 
     import tempfile
+
+    builds, searches = inverted_index_bench(
+        spark, sf_dir, tempfile.mkdtemp(prefix="inv_index_bench_")
+    )
+    timings["index_build"], samples["index_build"] = min(builds), builds
+    timings["index_search"], samples["index_search"] = min(searches), searches
+    release_session_state()
 
     pipeline_runs = [
         reference_pipeline_bench(
@@ -282,22 +349,34 @@ def main() -> None:
             sort_keys=True,
         )
 
+    # the driver's stdout window keeps the LAST 2000 chars; the line plus
+    # its newline must fit ENTIRELY inside it or the driver records
+    # parsed=null / a truncated query map (VERDICT r4 item 3, r5 item 9).
+    # Optional fields are shed before any query min is: every query that
+    # ran must appear in parsed.queries (full samples live in
+    # BENCH_LOCAL.json either way).
     doc = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
         "queries": {k: round(v, 2) for k, v in timings.items()},
-        "stalled": stalled,
-        "ref_total": ref_total,
-        "full": "BENCH_LOCAL.json",
     }
+    if stalled:
+        doc["stalled"] = stalled
+    if ref_total is not None:
+        doc["ref_total"] = ref_total
+    budget = 1990
     line = json.dumps(doc, separators=(",", ":"))
-    budget = 1900
+    if len(line) > budget and "ref_total" in doc:
+        doc.pop("ref_total")
+        line = json.dumps(doc, separators=(",", ":"))
     if len(line) > budget:
-        by_cost = sorted(timings, key=timings.get, reverse=True)
+        # last resort, should be unreachable at the current surface size:
+        # drop the cheapest entries (least information lost) and flag it
+        by_cost = sorted(timings, key=timings.get)
         while len(line) > budget and by_cost:
-            doc["queries"].pop(by_cost.pop(), None)
+            doc["queries"].pop(by_cost.pop(0), None)
             doc["queries_truncated"] = True
             line = json.dumps(doc, separators=(",", ":"))
     print(line)
