@@ -158,7 +158,9 @@ def reference_pipeline_bench(spark, sf: float, base: str) -> float:
     return round(elapsed, 3)
 
 
-def inverted_index_bench(spark, sf_dir: str, base: str) -> tuple[list[float], list[float]]:
+def inverted_index_bench(
+    spark, sf_dir: str, base: str
+) -> tuple[list[float], list[float], list[float]]:
     """Split metric for the persisted inverted index (VERDICT r5 item 3):
     the oracled ``indexed_bm25_search`` query times build+search+teardown
     in one number so the oracle can prove access-path purity, which hides
@@ -171,9 +173,12 @@ def inverted_index_bench(spark, sf_dir: str, base: str) -> tuple[list[float], li
     from cashback_data_pipeline_spark.operators import retrieval
     from cashback_data_pipeline_spark.queries import _BM25_TERMS, read_testdata
 
+    from pyspark.sql import functions as F
+
     docs = read_testdata(spark, sf_dir, "documents")
     builds: list[float] = []
     searches: list[float] = []
+    deltas: list[float] = []
     path = f"{base}/inv_index"
     for _ in range(2):
         shutil.rmtree(path, ignore_errors=True)
@@ -187,7 +192,21 @@ def inverted_index_bench(spark, sf_dir: str, base: str) -> tuple[list[float], li
         ).mode("overwrite").save()
         searches.append(round(time.time() - t0, 3))
     shutil.rmtree(path, ignore_errors=True)
-    return builds, searches
+    # index_delta: merging a 20% crawl batch into the manifest-committed
+    # index (appended postings + stats refresh, one atomic commit) — the
+    # recurring maintenance cost that replaces a full rebuild
+    mt = f"{base}/inv_index_m"
+    for _ in range(2):
+        shutil.rmtree(mt, ignore_errors=True)
+        retrieval.build_inverted_index_manifest(
+            docs.filter(F.pmod("doc_id", F.lit(5)) != 0), mt
+        )
+        delta = docs.filter(F.pmod("doc_id", F.lit(5)) == 0)
+        t0 = time.time()
+        retrieval.upsert_inverted_index(delta, mt)
+        deltas.append(round(time.time() - t0, 3))
+    shutil.rmtree(mt, ignore_errors=True)
+    return builds, searches, deltas
 
 
 def main() -> None:
@@ -298,11 +317,12 @@ def main() -> None:
 
     import tempfile
 
-    builds, searches = inverted_index_bench(
+    builds, searches, deltas = inverted_index_bench(
         spark, sf_dir, tempfile.mkdtemp(prefix="inv_index_bench_")
     )
     timings["index_build"], samples["index_build"] = min(builds), builds
     timings["index_search"], samples["index_search"] = min(searches), searches
+    timings["index_delta"], samples["index_delta"] = min(deltas), deltas
     release_session_state()
 
     pipeline_runs = [

@@ -110,6 +110,67 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
+def new_commit_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def write_store_files(
+    df: DataFrame, table: str, commit_id: str, store: str, partition_by: str | None = None
+) -> list[str]:
+    """Multi-STORE commits: several logical relations (e.g. an index's
+    postings / doclens / stats) versioned together under ONE manifest, so
+    a commit is atomic ACROSS stores — a reader can never observe new
+    postings with old stats. Each store's files land under
+    ``data/<commit>/<store>/``; store membership is recoverable from the
+    path (see :func:`store_files`), and ``partition_by`` lays the store
+    out hive-partitioned so readers can prune FILES from the manifest's
+    metadata alone, no directory listing. Returns table-relative paths —
+    invisible until a manifest references them, like every data write."""
+    data_dir = os.path.join(table, "data", commit_id, store)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(data_dir)
+    return [
+        os.path.relpath(p, table)
+        for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    ]
+
+
+def store_files(manifest_doc: dict, store: str) -> list[str]:
+    """The manifest's files belonging to one store (``data/<commit>/
+    <store>/...``), as table-relative paths."""
+    needle = f"/{store}/"
+    return [f for f in manifest_doc["files"] if needle in "/" + f.replace(os.sep, "/") + "/"]
+
+
+def read_store(
+    spark: SparkSession,
+    table: str,
+    store: str,
+    version: int | None = None,
+    file_filter=None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read one store of a multi-store manifest table at a PINNED
+    version. ``file_filter(relpath) -> bool`` prunes files from manifest
+    metadata alone (e.g. by hive partition segment in the path) — the
+    manifest IS the file index, so pruning costs zero I/O. ``schema``
+    makes an all-files-pruned (or empty-store) read return an empty
+    DataFrame instead of failing schema inference."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    files = store_files(read_manifest(table, v), store)
+    if file_filter is not None:
+        files = [f for f in files if file_filter(f)]
+    if not files:
+        if schema is None:
+            raise FileNotFoundError(f"store {store!r} has no files at v{v} and no schema given")
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+
 def write_table(df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the

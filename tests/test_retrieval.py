@@ -131,3 +131,101 @@ def test_inverted_index_empty_corpus(spark, tmp_path):
     retrieval.build_inverted_index(empty, path)
     out = retrieval.search_inverted_index(spark, path, ["hash"], k=5)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental manifest-committed index (VERDICT r5 item 2)
+# ---------------------------------------------------------------------------
+
+def _search_m(spark, table, terms, version=None):
+    return {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.search_inverted_index_manifest(
+            spark, table, terms, k=10, version=version
+        ).collect()
+    }
+
+
+def test_incremental_index_upsert_matches_full_scan(spark, docs, tmp_path):
+    """Base build + delta upsert must score identically to full-scan
+    BM25 over base+delta (df/avgdl/stats refreshed, postings appended)."""
+    table = str(tmp_path / "idx_m")
+    base = docs.filter(F.col("doc_id") < 3)
+    delta = docs.filter(F.col("doc_id") >= 3)
+    v1 = retrieval.build_inverted_index_manifest(base, table, n_term_buckets=8)
+    assert v1 == 1
+    v2 = retrieval.upsert_inverted_index(delta, table, delta_id="crawl-1")
+    assert v2 == 2
+    terms = ["hash", "window"]
+    assert _search_m(spark, table, terms) == {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(docs, terms, k=10).collect()
+    }
+    # time travel: the pre-delta version still answers from base only
+    assert _search_m(spark, table, terms, version=v1) == {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(base, terms, k=10).collect()
+    }
+
+
+def test_incremental_index_replay_is_noop(spark, docs, tmp_path):
+    """The same delta twice = no-op: via delta_id (metadata check) AND
+    via the id anti-join when no delta_id is given."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "idx_m")
+    base = docs.filter(F.col("doc_id") < 3)
+    delta = docs.filter(F.col("doc_id") >= 3)
+    retrieval.build_inverted_index_manifest(base, table, n_term_buckets=8)
+    retrieval.upsert_inverted_index(delta, table, delta_id="crawl-1")
+    before = _search_m(spark, table, ["hash", "window"])
+
+    assert retrieval.upsert_inverted_index(delta, table, delta_id="crawl-1") is None
+    assert retrieval.upsert_inverted_index(delta, table) is None  # id anti-join path
+    assert M.current_version(table) == 2  # zero version churn
+    assert _search_m(spark, table, ["hash", "window"]) == before
+
+
+def test_incremental_index_partial_redelivery(spark, docs, tmp_path):
+    """A delta mixing redelivered and new ids adds only the new docs."""
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 3), table, n_term_buckets=8
+    )
+    mixed = docs.filter((F.col("doc_id") == 2) | (F.col("doc_id") == 3))
+    assert retrieval.upsert_inverted_index(mixed, table) == 2
+    want = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(docs.filter(F.col("doc_id") <= 3), ["hash"], k=10).collect()
+    }
+    assert _search_m(spark, table, ["hash"]) == want
+
+
+def test_incremental_index_reader_pinned_across_upsert(spark, docs, tmp_path):
+    """A search resolved at version N is unaffected by a concurrent
+    upsert committing N+1 (manifest reader-pinning contract)."""
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 3), table, n_term_buckets=8
+    )
+    pinned = retrieval.search_inverted_index_manifest(spark, table, ["hash"], k=10, version=1)
+    retrieval.upsert_inverted_index(docs.filter(F.col("doc_id") >= 3), table)
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in pinned.collect()}
+    want = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(docs.filter(F.col("doc_id") < 3), ["hash"], k=10).collect()
+    }
+    assert got == want
+
+
+def test_incremental_index_empty_and_null_deltas(spark, docs, tmp_path):
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 3), table, n_term_buckets=8
+    )
+    null_only = spark.createDataFrame([(99, None)], "doc_id long, text string")
+    assert retrieval.upsert_inverted_index(null_only, table) is None
+    # empty-text doc registers (dl=0) and later redelivery is a no-op
+    empty_text = spark.createDataFrame([(98, "")], "doc_id long, text string")
+    assert retrieval.upsert_inverted_index(empty_text, table) == 2
+    assert retrieval.upsert_inverted_index(empty_text, table) is None
