@@ -384,15 +384,18 @@ def near_dup_ingest_stream(
        ``dup_of`` = the matched historical id (lowest id tie-break);
        fresh docs append their bands + signatures to the index.
 
-    Exactly-once under replay: (a) the routed output and both index
-    stores commit per epoch via dynamic ``__epoch`` partition overwrite
+    Exactly-once under replay: (a) the routed output commits per epoch
+    via dynamic ``__epoch`` partition overwrite
     (:func:`_write_epoch_partition`) — a replayed micro-batch rewrites
-    its own partitions instead of appending a second copy; (b) the
-    candidate join excludes ``old_id == id`` so a replay that already
-    appended the batch's own docs to the index (crash after the index
-    write) does not self-match every doc as a dup; (c) the index append
-    additionally anti-joins on id against the loaded history, so even a
-    changed-epoch replay cannot double-insert a doc's bands/sigs.
+    its own partition instead of appending a second copy; (b) the index
+    append is ONE atomic manifest commit covering bands AND sigs,
+    carrying the running ``max_epoch`` — a replayed epoch is detected
+    (``epoch_id <= max_epoch``) and skipped, O(1); (c) the candidate
+    join excludes same-epoch ``old_id == id`` so a replay that already
+    committed the batch's own docs to the index does not self-match
+    every doc as a dup; (d) the index append additionally anti-joins on
+    id against the loaded history, so even a changed-epoch replay
+    cannot double-insert a doc's bands/sigs.
 
     Batch order is the dedup order (micro-batch boundaries decide who is
     "first"); within a batch, lower ids win against the in-batch index
@@ -415,33 +418,86 @@ def near_dup_ingest_stream(
     return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)
 
 
-def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 8) -> None:
-    """Periodic maintenance for the streaming near-dup index: thousands
-    of micro-batches leave thousands of tiny ``__epoch`` partitions in
-    bands/sigs, and the per-batch history read pays partition discovery
-    + file-open overhead proportional to epoch count. Rewrite each store
-    into ``n_files`` files under a single epoch (-1, reserved: real
-    epochs are non-negative) using the same rename-swap discipline as
-    the batch sinks. Run it BETWEEN streaming runs (the stream itself
-    reads the index at micro-batch start, so an in-flight batch may
-    race the swap on a real cluster — pause, compact, resume)."""
-    import uuid
+def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int | None:
+    """One-time upgrade of a pre-manifest near-dup index (epoch-partition
+    layout: ``<index>/bands`` + ``<index>/sigs`` parquet dirs) to the
+    manifest table the ingest path now requires. Handles BOTH prior
+    on-disk generations: files written before ``src_epoch`` existed get
+    it backfilled as -1 (a value no live epoch can carry, so a backfilled
+    row can never be mistaken for a replay self-match — ADVICE r5,
+    jobs.py:570), and mixed directories (old files without the column
+    next to newer files with it) read under ``mergeSchema`` so neither
+    generation's rows are dropped. ``max_epoch`` seeds from the highest
+    ``__epoch`` partition observed. Returns the committed version (1),
+    or None when there is no legacy index to migrate."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks.writers import _path_exists
 
-    from cashback_data_pipeline_spark.sinks.writers import _path_exists, _swap_paths
+    if not (
+        _path_exists(spark, f"{index_path}/bands") and _path_exists(spark, f"{index_path}/sigs")
+    ):
+        return None
+    cid = M.new_commit_id()
+    files: list[str] = []
+    max_epoch = -1
+    for store in ("bands", "sigs"):
+        df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/{store}")
+        max_epoch = max(
+            max_epoch,
+            int(df.agg(F.coalesce(F.max("__epoch"), F.lit(-1))).first()[0]),
+        )
+        if "src_epoch" in df.columns:
+            df = df.withColumn(
+                "src_epoch", F.coalesce(F.col("src_epoch").cast("int"), F.lit(-1))
+            )
+        else:
+            df = df.withColumn("src_epoch", F.lit(-1))
+        files += M.write_store_files(df.drop("__epoch"), index_path, cid, store)
+        schema_json = df.drop("__epoch").schema.json()
+    if not M._try_commit(
+        index_path, 1, files, None, schema_json, meta={"max_epoch": max_epoch, "migrated": True}
+    ):
+        return M.current_version(index_path)  # a racing migrator won — use its commit
+    import shutil
 
     for store in ("bands", "sigs"):
-        path = f"{index_path}/{store}"
-        if not _path_exists(spark, path):
-            continue
-        snapshot = spark.read.parquet(path).drop("__epoch")
-        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-        (
-            snapshot.coalesce(n_files)
-            .withColumn("__epoch", F.lit(-1))
-            .write.partitionBy("__epoch")
-            .parquet(tmp)
-        )
-        _swap_paths(spark, tmp, path)
+        # the legacy dirs are fully captured by v1; removing them makes
+        # the migration single-shot (their presence is the trigger)
+        shutil.rmtree(f"{index_path}/{store}", ignore_errors=True)
+    return 1
+
+
+def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 8) -> int | None:
+    """Periodic maintenance for the streaming near-dup index: thousands
+    of micro-batches leave thousands of tiny per-epoch files in
+    bands/sigs, and the per-batch history read pays file-open overhead
+    proportional to epoch count. Rewrites both stores into ``n_files``
+    files as ONE new manifest version (VERDICT r5 item 5): readers and
+    in-flight micro-batches stay pinned to the version they resolved —
+    compaction can run CONCURRENTLY with ingest (the old swap-based
+    compactor required pause/compact/resume and a torn-swap tripwire
+    with manual recovery; a crash mid-compaction now just leaves
+    unreferenced files for vacuum and NO new version, nothing to
+    recover). On CAS loss (an ingest epoch committed meanwhile) the
+    compaction retries against the new current version. Returns the
+    committed version, or None for a missing/empty index."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    if M.current_version(index_path) is None:
+        if _migrate_legacy_near_dup_index(spark, index_path) is None:
+            return None
+    while True:
+        cur = M.current_version(index_path)
+        m = M.read_manifest(index_path, cur)
+        cid = M.new_commit_id()
+        files: list[str] = []
+        for store in ("bands", "sigs"):
+            snapshot = M.read_store(spark, index_path, store, version=cur)
+            files += M.write_store_files(snapshot.coalesce(n_files), index_path, cid, store)
+            schema_json = snapshot.schema.json()
+        meta = {"max_epoch": m.get("meta", {}).get("max_epoch", -1), "compaction": True}
+        if M._try_commit(index_path, cur + 1, files, cur, schema_json, meta=meta):
+            return cur + 1
 
 
 def near_dup_ingest_batch(
@@ -459,37 +515,27 @@ def near_dup_ingest_batch(
     """One micro-batch of :func:`near_dup_ingest_stream` (module-level so
     crash-replay tests drive the exact code path foreachBatch runs —
     calling it twice with the same ``epoch_id`` must leave output, index,
-    and routing byte-identical to calling it once)."""
+    and routing byte-identical to calling it once).
+
+    The index is a MANIFEST table with two stores (bands, sigs;
+    sinks/manifest.py): the history read resolves one pinned version (a
+    concurrent compaction or another writer's commit cannot tear it),
+    and this batch's index append is ONE atomic commit covering both
+    stores — the old epoch-partition layout had a crash window between
+    the bands and sigs writes and needed a torn-compaction tripwire with
+    manual recovery; both are gone. A pre-manifest index on disk is
+    auto-migrated (src_epoch backfilled as -1 for pre-upgrade rows — see
+    :func:`_migrate_legacy_near_dup_index`)."""
     from cashback_data_pipeline_spark.operators import dedup as D
-    from cashback_data_pipeline_spark.sinks.writers import _path_exists
+    from cashback_data_pipeline_spark.sinks import manifest as M
 
     if not batch.head(1):
         return
     spark = batch.sparkSession
     rows_per_band = num_hashes // bands
 
-    # torn-compaction tripwire: compact_near_dup_index swaps each store
-    # through a __old_ sibling; a surviving __old_ dir means a crashed
-    # swap whose store may be missing or partial — screening against it
-    # would silently admit duplicates, so fail the batch (replayed after
-    # manual recovery: rename the __old_ dir back). Both local and
-    # Hadoop-FS paths are checked — _swap_paths supports both, so the
-    # tripwire must too.
-    if "://" not in index_path:
-        import glob as _glob
-
-        torn = _glob.glob(f"{index_path}/*__old_*")
-    else:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/*__old_*")
-        statuses = hpath.getFileSystem(hconf).globStatus(hpath)
-        torn = [str(s.getPath()) for s in statuses] if statuses is not None else []
-    if torn:
-        raise RuntimeError(
-            f"near-dup index has crashed-compaction residue {torn}; "
-            "recover (rename __old_ back) before resuming ingest"
-        )
+    if M.current_version(index_path) is None:
+        _migrate_legacy_near_dup_index(spark, index_path)
 
     def band_keys(sig_df: DataFrame) -> DataFrame:
         band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -524,19 +570,22 @@ def near_dup_ingest_batch(
     bks = band_keys(sigs).persist()
     keep += [sigs, bks]
 
-    # Explicit existence check (NOT try/except): a transient FS error or a
-    # corrupt index must FAIL the micro-batch (checkpoint replays it) rather
-    # than silently skip history screening and admit duplicates. A missing
-    # sigs store with bands present is the recoverable crash-between-appends
-    # state: no screening possible (matching needs sigs), replay rewrites it.
-    have_index = _path_exists(spark, f"{index_path}/bands") and _path_exists(
-        spark, f"{index_path}/sigs"
+    # Resolve the index ONCE: `cur` pins the exact file set every read
+    # below sees (screening and the append's anti-join use one coherent
+    # snapshot even if a concurrent compaction commits mid-batch). A
+    # read failure FAILS the micro-batch (checkpoint replays it) rather
+    # than silently skipping history screening and admitting duplicates.
+    cur = M.current_version(index_path)
+    prev_max_epoch = (
+        M.read_manifest(index_path, cur).get("meta", {}).get("max_epoch", -1)
+        if cur is not None
+        else -1
     )
     hist_ids = None
     matches = None
-    if have_index:
-        hist_bands = spark.read.parquet(f"{index_path}/bands")
-        hist_sigs = spark.read.parquet(f"{index_path}/sigs")
+    if cur is not None:
+        hist_bands = M.read_store(spark, index_path, "bands", version=cur)
+        hist_sigs = M.read_store(spark, index_path, "sigs", version=cur)
         hist_ids = hist_sigs.select("id")
         cand = (
             bks.join(
@@ -594,6 +643,12 @@ def near_dup_ingest_batch(
     routed.persist()
     try:
         _write_epoch_partition(routed, out_path, epoch_id)
+        if epoch_id <= prev_max_epoch:
+            # replay of an epoch whose index append already committed
+            # (crash after the commit, before/during the output write —
+            # which the dynamic-overwrite above just idempotently
+            # rewrote): appending again would be a duplicate version
+            return
         fresh_ids = routed.filter(~F.col("is_dup")).select(F.col(id_col).alias("id"))
         if hist_ids is not None:
             # belt-and-braces idempotence: never re-insert an already-indexed
@@ -601,13 +656,35 @@ def near_dup_ingest_batch(
             fresh_ids = fresh_ids.join(hist_ids, "id", "left_anti")
         fresh_ids.persist()
         keep.append(fresh_ids)
+        if not fresh_ids.head(1):
+            return  # all-dup batch: nothing to index, no version churn
         src = F.lit(int(epoch_id)).alias("src_epoch")
-        _write_epoch_partition(
-            bks.join(fresh_ids, "id", "leftsemi").select("*", src), f"{index_path}/bands", epoch_id
-        )
-        _write_epoch_partition(
-            sigs.join(fresh_ids, "id", "leftsemi").select("*", src), f"{index_path}/sigs", epoch_id
-        )
+        new_bands = bks.join(fresh_ids, "id", "leftsemi").select("*", src)
+        new_sigs = sigs.join(fresh_ids, "id", "leftsemi").select("*", src)
+        # ONE atomic commit appends both stores; the CAS loop re-reads
+        # the current version on loss (e.g. a concurrent compaction) —
+        # data files land once, only the commit retries
+        cid = M.new_commit_id()
+        files = M.write_store_files(new_bands, index_path, cid, "bands")
+        files += M.write_store_files(new_sigs, index_path, cid, "sigs")
+        while True:
+            cur2 = M.current_version(index_path)
+            if cur2 is not None:
+                m2 = M.read_manifest(index_path, cur2)
+                old_files = m2["files"]
+                seen_max = m2.get("meta", {}).get("max_epoch", prev_max_epoch)
+            else:
+                old_files, seen_max = [], prev_max_epoch
+            meta = {"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), int(seen_max))}
+            if M._try_commit(
+                index_path,
+                (cur2 or 0) + 1,
+                old_files + files,
+                cur2,
+                new_bands.schema.json(),
+                meta=meta,
+            ):
+                break
     finally:
         routed.unpersist()
         for df_ in keep:

@@ -268,20 +268,26 @@ def test_near_dup_ingest_stream_screens_against_history(spark, tmp_path):
     assert out[13]["is_dup"] and out[13]["dup_of"] == 12          # in-batch dup
 
     # index holds only fresh docs' bands+sigs, and never text
-    # (__epoch is the commit-partition column, not payload)
-    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
+    # (src_epoch is origin provenance; the manifest version is the
+    # commit vehicle)
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    sigs = M.read_store(spark, str(tmp_path / "index"), "sigs")
     assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 12}
-    assert set(sigs.columns) == {"id", "sig", "src_epoch", "__epoch"}
+    assert set(sigs.columns) == {"id", "sig", "src_epoch"}
 
 
 def _near_dup_state(spark, tmp_path):
     """Snapshot (routing, index ids, row counts) for replay comparison."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
     out = spark.read.parquet(str(tmp_path / "out"))
     routing = sorted(
         (r["doc_id"], r["is_dup"], r["dup_of"]) for r in out.collect()
     )
-    sig_ids = sorted(r["id"] for r in spark.read.parquet(str(tmp_path / "index/sigs")).collect())
-    band_rows = spark.read.parquet(str(tmp_path / "index/bands")).count()
+    table = str(tmp_path / "index")
+    sig_ids = sorted(r["id"] for r in M.read_store(spark, table, "sigs").collect())
+    band_rows = M.read_store(spark, table, "bands").count()
     return routing, sig_ids, band_rows
 
 
@@ -389,8 +395,9 @@ def test_route_stream_to_manifest_exactly_once_and_atomic(spark, tmp_path):
 
 
 def test_compact_near_dup_index_preserves_screening(spark, tmp_path):
-    """Compacting the epoch-partitioned index into one consolidated
-    epoch must leave screening decisions unchanged."""
+    """Compacting the manifest index into few files as a new version
+    must leave screening decisions (and src_epoch provenance) unchanged."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
     from cashback_data_pipeline_spark.streaming.jobs import (
         compact_near_dup_index,
         near_dup_ingest_batch,
@@ -406,10 +413,16 @@ def test_compact_near_dup_index_preserves_screening(spark, tmp_path):
         spark.createDataFrame([(3, "unrelated words entirely here now " * 4)], "doc_id long, text string"),
         1, **kw,
     )
-    compact_near_dup_index(spark, kw["index_path"], n_files=1)
-    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
+    table = kw["index_path"]
+    v_before = M.current_version(table)
+    v = compact_near_dup_index(spark, table, n_files=1)
+    assert v == v_before + 1
+    sigs = M.read_store(spark, table, "sigs")
     assert {r["id"] for r in sigs.collect()} == {1, 2, 3}
-    assert {r["__epoch"] for r in sigs.collect()} == {-1}
+    assert {r["src_epoch"] for r in sigs.collect()} == {0, 1}  # provenance survives
+    assert len(M.store_files(M.read_manifest(table, v), "sigs")) == 1
+    # compaction carries max_epoch forward — replay detection intact
+    assert M.read_manifest(table, v)["meta"]["max_epoch"] == 1
     # post-compaction batch still screens against the full history
     near_dup_ingest_batch(
         spark.createDataFrame([(10, base)], "doc_id long, text string"), 2, **kw
@@ -442,25 +455,101 @@ def test_near_dup_redelivery_under_new_epoch_routes_as_dup(spark, tmp_path):
     fresh = [r for r in rows.values() if not r["is_dup"]]
     assert len(fresh) == 1
     # index still holds exactly one copy
-    sigs = spark.read.parquet(str(tmp_path / "index/sigs"))
-    assert sigs.count() == 1
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    assert M.read_store(spark, str(tmp_path / "index"), "sigs").count() == 1
 
 
-def test_near_dup_ingest_fails_loudly_on_torn_compaction(spark, tmp_path):
-    """A surviving __old_ sibling (crash mid compact_near_dup_index swap)
-    must fail the micro-batch instead of silently screening against a
-    missing or partial store."""
-    import os
-
+def test_crash_during_compaction_leaves_index_usable(spark, tmp_path, monkeypatch):
+    """A compaction that crashes BEFORE publishing its manifest version
+    (the only crash window left — data files are invisible until the
+    commit) must leave readers pinned to the old version and ingest
+    proceeding with screening unchanged. No tripwire, no manual
+    recovery: the VERDICT r5 item-5 contract."""
     import pytest
 
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        compact_near_dup_index,
+        near_dup_ingest_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    near_dup_ingest_batch(b1, 0, **kw)
+    table = kw["index_path"]
+    v = M.current_version(table)
+
+    real = M._try_commit
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest publication")
+
+    monkeypatch.setattr(M, "_try_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_near_dup_index(spark, table, n_files=1)
+    monkeypatch.setattr(M, "_try_commit", real)
+
+    # no new version — readers resolve exactly the pre-crash state
+    assert M.current_version(table) == v
+    assert {r["id"] for r in M.read_store(spark, table, "sigs").collect()} == {1}
+    # ingest proceeds immediately, screening unchanged (doc 10 = dup of 1)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"), 1, **kw
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[10]["is_dup"] and out[10]["dup_of"] == 1
+    # the orphaned rewrite is vacuum fodder, never visible
+    removed = M.vacuum(table, keep_last=10, min_age_s=0.0)
+    assert removed  # the crashed compaction's data dir was swept
+
+
+def test_legacy_near_dup_index_migrates_with_src_epoch_backfill(spark, tmp_path):
+    """An index written by the pre-manifest code (epoch-partition dirs;
+    possibly even pre-src_epoch files) must auto-migrate on first touch:
+    src_epoch backfilled as -1 (never collides with a live epoch, so a
+    backfilled row still screens redeliveries as dups — ADVICE r5), one
+    manifest version, legacy dirs retired."""
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.operators import dedup as D
+    from cashback_data_pipeline_spark.sinks import manifest as M
     from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
 
-    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
-    b1 = spark.createDataFrame([(1, "alpha beta gamma " * 5)], "doc_id long, text string")
-    near_dup_ingest_batch(b1, 0, **kw)
-    # simulate the crashed swap: bands renamed aside, nothing put back
-    os.rename(str(tmp_path / "index/bands"), str(tmp_path / "index/bands__old_dead"))
-    b2 = spark.createDataFrame([(2, "one two three " * 5)], "doc_id long, text string")
-    with pytest.raises(RuntimeError, match="crashed-compaction residue"):
-        near_dup_ingest_batch(b2, 1, **kw)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    # fabricate the legacy layout: bands/sigs WITHOUT src_epoch, under
+    # __epoch partitions — exactly what the pre-upgrade code persisted
+    legacy = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    sigs = D.minhash_signatures(legacy, "doc_id", "text", 64, 3)
+    band_idx = F.sequence(F.lit(0), F.lit(15))
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"), F.hash(F.slice("sig", bi * 4 + 1, 4)).alias("bh")
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    index = tmp_path / "index"
+    for name, df in (("bands", bands), ("sigs", sigs)):
+        df.withColumn("__epoch", F.lit(0)).write.partitionBy("__epoch").parquet(
+            str(index / name)
+        )
+
+    # first post-upgrade batch: migrates, then screens the redelivery
+    kw = dict(index_path=str(index), out_path=str(tmp_path / "out"), threshold=0.7)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(10, base)], "doc_id long, text string"), 5, **kw
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[10]["is_dup"] and out[10]["dup_of"] == 1  # history survived migration
+
+    migrated = M.read_store(spark, str(index), "sigs")
+    by_id = {r["id"]: r["src_epoch"] for r in migrated.collect()}
+    assert by_id[1] == -1  # pre-upgrade row backfilled
+    assert M.read_manifest(str(index), 1)["meta"]["migrated"] is True
+    assert not (index / "bands").exists()  # legacy dirs retired (single-shot)
