@@ -242,6 +242,68 @@ def ivf_topk(
     )
 
 
+def ivf_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rescore: bool = False,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """IVF ANN over INT8-QUANTIZED lists (the in-memory, fully
+    deterministic twin of ``ivf_build_index(quantize=True)`` →
+    :func:`ivf_query_index`, shaped for oracle replay like
+    :func:`ivf_topk`): assignment and probing run on the exact vectors
+    (quantization never moves list membership), candidate scoring runs
+    on DEQUANTIZED values ``q·scale`` — every step an exact expression
+    (floor-half-up quantize, IEEE multiply, expression cosine), so an
+    external engine replays cosines bit-for-bit. ``rescore=True``
+    re-ranks each query's top k·factor quantized candidates by exact
+    cosine against the original corpus (point-lookup join), returning
+    exact scores."""
+    cents = make_centroids_from_sample(corpus, n_centroids, id_col, vec_col)
+    corpus_a = ivf_assign(corpus, cents, id_col, vec_col)
+    qlists = quantize_embeddings_int8(corpus_a, id_col, vec_col, keep_cols=["centroid_id"])
+
+    q = _as_double(queries, id_col, vec_col, "q")
+    cent = cents.select(F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv"))
+    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_v", "centroid_id")
+    )
+    c = qlists.select(
+        F.col(id_col).alias("c_id"),
+        F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
+        "centroid_id",
+    )
+    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rescore:
+        return ranked.filter(F.col("rank") <= k).select(
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
+        )
+    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
+    exact = _as_double(corpus, id_col, vec_col, "c")
+    rescored = cands.join(exact, on="c_id").withColumn(
+        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     n_planes: int = 16,
@@ -438,16 +500,31 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF index: corpus written ``partitionBy(centroid_id)``
     plus a ``centroids`` side table. Probing then reads ONLY the probed
     centroid partitions (hive partition pruning) — at 100 TB a 4-of-256
     probe touches ~1.6% of the bytes. ``refine_iters`` Lloyd rounds are
-    worth paying at build time (build once, probe forever)."""
+    worth paying at build time (build once, probe forever).
+
+    ``quantize=True`` stores the lists INT8-QUANTIZED (id, scale, qvec —
+    :func:`quantize_embeddings_int8`): 4×/8× smaller lists, so a probe
+    moves 4-8× fewer bytes and more of the index fits page cache, at a
+    bounded per-element error (≤ scale/2). Assignment still happens on
+    the exact vectors (quantization never moves a vector across a
+    centroid boundary); probes score against dequantized values
+    (deterministic — the oracle replays them), and
+    :func:`ivf_query_index` can exact-rescore top candidates from the
+    original corpus to cancel the ranking error (measured: quantized
+    probe recall equals exact-probe recall on the test corpus even
+    before rescoring; RECALL.json)."""
     cents = make_centroids_from_sample(corpus, n_centroids, id_col, vec_col)
     if refine_iters > 0:
         cents = kmeans_refine(corpus, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if quantize:
+        assigned = quantize_embeddings_int8(assigned, id_col, vec_col, keep_cols=["centroid_id"])
     assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(f"{path}/lists")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -460,11 +537,21 @@ def ivf_query_index(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rescore_with: DataFrame | None = None,
+    rescore_factor: int = 4,
 ) -> DataFrame:
     """ANN lookup against a persisted IVF index: per query pick the
     ``n_probe`` nearest centroids, scan only those list partitions
     (`centroid_id IN (...)` prunes at the file level), score, window
-    top-k. Same output schema as brute_force_topk."""
+    top-k. Same output schema as brute_force_topk.
+
+    A quantized index (built with ``quantize=True``) is detected from
+    the list schema and scored on DEQUANTIZED values. ``rescore_with``
+    (the original exact-vector corpus) re-ranks each query's top
+    ``k·rescore_factor`` quantized candidates by exact cosine — a
+    candidate-id point-lookup join, tiny at any scale — so the returned
+    cosines are exact and quantization can only cost recall if a true
+    neighbor fell below the k·factor cut."""
     cents = spark.read.parquet(f"{path}/centroids").select(
         F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
     )
@@ -481,14 +568,31 @@ def ivf_query_index(
     probed_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
 
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("centroid_id").isin(probed_ids))
-    c = lists.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
-    )
+    if "qvec" in lists.columns:
+        c = lists.select(
+            F.col(id_col).alias("c_id"),
+            F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
+            "centroid_id",
+        )
+    else:
+        c = lists.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
+        )
     scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
     scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rescore_with is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
+        )
+    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
+    exact = _as_double(rescore_with, id_col, vec_col, "c")
+    rescored = cands.join(exact, on="c_id").withColumn(
+        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
     )
@@ -546,7 +650,10 @@ def kmeans_refine(
 
 
 def quantize_embeddings_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: (id, scale, qvec) with
     ``scale = max|v|/127`` and ``q_i = round_half_up(v_i / scale)`` —
@@ -561,6 +668,7 @@ def quantize_embeddings_int8(
     v = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         v.alias("__v"),
         (
             F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)) / 127.0
@@ -572,7 +680,7 @@ def quantize_embeddings_int8(
     q = F.transform(
         "__v", lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("tinyint")
     )
-    return base.select(id_col, "scale", q.alias("qvec"))
+    return base.select(id_col, *keep_cols, "scale", q.alias("qvec"))
 
 
 def dequantize_embeddings_int8(

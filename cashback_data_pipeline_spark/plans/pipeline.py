@@ -53,6 +53,7 @@ def run_pipeline(
     warehouse_path: str,
     serving_path: str,
     key: str = "reward_id",
+    use_manifest: bool = False,
 ) -> PipelineResult:
     """The reference's full lifecycle, one call:
 
@@ -61,12 +62,27 @@ def run_pipeline(
       → S7 warehouse read-back (partition discovery ≙ crawler)
       → K6/J3 idempotent anti-join append into the serving table.
 
-    Returns row counts (A3 — the reference reports affected rows)."""
-    cashback = run_reference_pipeline(rewards_raw, transactions_raw)
-    write_warehouse(cashback, warehouse_path, partition_by="transaction_date")
+    Returns row counts (A3 — the reference reports affected rows).
 
-    warehouse = spark.read.parquet(warehouse_path)
-    loaded = append_if_absent(spark, warehouse, serving_path, key=key)
+    ``use_manifest=True`` routes BOTH sinks through the manifest
+    protocol (sinks/manifest.py): the warehouse becomes a versioned
+    overwrite commit and the serving load a manifest-committed
+    NOT-EXISTS append — multi-writer safe (racing pipeline runs
+    serialize instead of last-writer-wins), readers pinned (a serving
+    read can never observe a half-finished load), time travel on both
+    tables. The direct-parquet default keeps the reference's
+    single-writer layout readable by any external consumer."""
+    cashback = run_reference_pipeline(rewards_raw, transactions_raw)
+    if use_manifest:
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        M.write_table(cashback, warehouse_path, mode="overwrite")
+        warehouse = M.read_table(spark, warehouse_path)
+        loaded = M.append_table_if_absent(spark, warehouse, serving_path, key=key)
+    else:
+        write_warehouse(cashback, warehouse_path, partition_by="transaction_date")
+        warehouse = spark.read.parquet(warehouse_path)
+        loaded = append_if_absent(spark, warehouse, serving_path, key=key)
     return PipelineResult(
         warehouse_path=warehouse_path,
         serving_path=serving_path,

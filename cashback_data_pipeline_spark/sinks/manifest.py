@@ -263,6 +263,46 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             return cur + 1
 
 
+def append_table_if_absent(
+    spark: SparkSession, incoming: DataFrame, table: str, key: str
+) -> int:
+    """The reference's idempotent NOT-EXISTS load (K6/J3,
+    load_to_redshift_lambda.py:88-100) as a manifest commit: rows whose
+    key already exists in the current version are dropped, the rest
+    append as a new version; existing rows are NEVER touched (unlike
+    :func:`upsert_table`, which replaces colliding keys). Returns the
+    number of rows appended. Optimistic concurrency: on CAS loss the
+    anti-join recomputes against the winner's version, so two racing
+    loaders SERIALIZE — each key lands exactly once, from whichever
+    loader commits it first."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(*[c for c in incoming.columns])
+    incoming_unique = (
+        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            fresh = incoming_unique
+        else:
+            target_keys = read_table(spark, table, cur).select(key).distinct()
+            fresh = incoming_unique.join(target_keys, on=key, how="left_anti")
+        fresh = fresh.cache()
+        try:
+            n = fresh.count()
+            if n == 0:
+                return 0
+            files = _write_data_files(fresh, table)
+            base = [] if cur is None else read_manifest(table, cur)["files"]
+            if _try_commit(table, (cur or 0) + 1, base + files, cur, fresh.schema.json()):
+                return n
+            # CAS lost — a racing loader committed; recompute the
+            # anti-join against its version (orphaned files → vacuum)
+        finally:
+            fresh.unpersist()
+
+
 def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str]:
     """Delete data dirs unreferenced by the last ``keep_last`` versions
     (readers pinned within that horizon stay safe — the Delta retention

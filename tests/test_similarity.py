@@ -420,3 +420,40 @@ def test_semantic_dedup_shadow_membership_catches_boundary_pair(spark):
     # shadow can only LOWER keep (monotone): nothing kept in primary-only
     # mode may flip to kept-in-shadow
     assert all(primary[i]["keep"] or not shadow[i]["keep"] for i, _ in rows)
+
+
+def test_ivf_quantized_index_probe_and_rescore(spark, emb, tmp_path):
+    """Quantized persisted lists (VERDICT r5 item 6): the probe scores
+    dequantized values with bounded error vs the exact probe; the
+    exact-rescore path returns exact cosines; and the in-memory twin
+    (ivf_topk_quantized) matches the persisted path exactly."""
+    path = str(tmp_path / "ivf_q")
+    similarity.ivf_build_index(emb, path, n_centroids=16, quantize=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    quant = similarity.ivf_query_index(spark, path, queries, n_probe=4, k=5)
+    inline = similarity.ivf_topk_quantized(queries, emb, n_centroids=16, n_probe=4, k=5)
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in quant.collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in inline.collect()}
+    assert a == b  # persisted == in-memory (same deterministic pipeline)
+
+    # quantized cosines track the exact probe within the int8 error bound
+    exact = similarity.ivf_topk(queries, emb, n_centroids=16, n_probe=4, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact.collect()}
+    qz = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in quant.collect()}
+    common = set(ex) & set(qz)
+    assert common  # probes overlap heavily
+    assert all(abs(ex[p] - qz[p]) < 0.05 for p in common)
+
+    # rescore: exact cosines, and with a wide-enough candidate cut the
+    # result equals the exact probe outright
+    rescored = similarity.ivf_query_index(
+        spark, path, queries, n_probe=4, k=5, rescore_with=emb, rescore_factor=100
+    )
+    r = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9)) for r in rescored.collect()}
+    e = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos"], 9)) for r in exact.collect()}
+    assert r == e
+
+    # storage really is int8: tinyint element type in the persisted lists
+    lists = spark.read.parquet(f"{path}/lists")
+    assert dict(lists.dtypes)["qvec"] == "array<tinyint>"

@@ -127,10 +127,50 @@ def main() -> None:
     # k x membership rows, total work still linear
     out["semantic_dedup_k16_top2@c0.4"] = sd_row("top-2 shadow membership", memberships=2)
     out["semantic_dedup_k16_top3@c0.4"] = sd_row(
-        "top-3 shadow membership (the oracled semantic_dedup query)", memberships=3
+        "top-3 shadow membership (the round-5 oracled config)", memberships=3
     )
     out["semantic_dedup_k16_top2_refined@c0.4"] = sd_row(
         "top-2 shadow + 2 Lloyd rounds", memberships=2, refine_iters=2
+    )
+    # VERDICT r5 item 7: push recall toward 0.9 — measure the top-k /
+    # Lloyd-round grid and pick the knee for the oracled configuration
+    out["semantic_dedup_k16_top4@c0.4"] = sd_row("top-4 shadow membership", memberships=4)
+    out["semantic_dedup_k16_top3_refined@c0.4"] = sd_row(
+        "top-3 shadow + 2 Lloyd rounds", memberships=3, refine_iters=2
+    )
+    out["semantic_dedup_k16_top4_refined3@c0.4"] = sd_row(
+        "top-4 shadow + 3 Lloyd rounds (the oracled semantic_dedup config "
+        "since round 6 — the recall-grid knee)", memberships=4, refine_iters=3
+    )
+    out["semantic_dedup_k16_top5@c0.4"] = sd_row("top-5 shadow membership", memberships=5)
+
+    # ANN probe recall vs brute-force truth (k=5, 10 query vectors):
+    # plain IVF vs int8-quantized lists (VERDICT r5 item 6 gate:
+    # quantized-probe recall >= plain-IVF recall − ε) vs quantized +
+    # exact-rescore.
+    queries_df = emb.filter("vec_id < 10")
+    def ann_pairs(df) -> set[tuple]:
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = ann_pairs(S.brute_force_topk(queries_df, emb, k=5))
+
+    def ann_row(df, note: str) -> dict:
+        got = ann_pairs(df)
+        return {
+            "note": note,
+            "recall_at_5": round(len(got & truth) / len(truth), 4) if truth else None,
+        }
+
+    out["ann_ivf_16c_4probe@k5"] = ann_row(
+        S.ivf_topk(queries_df, emb, n_centroids=16, n_probe=4, k=5), "exact-vector lists"
+    )
+    out["ann_ivf_quantized@k5"] = ann_row(
+        S.ivf_topk_quantized(queries_df, emb, n_centroids=16, n_probe=4, k=5),
+        "int8 lists, dequantized scoring (the oracled ann_ivf_quantized_topk config)",
+    )
+    out["ann_ivf_quantized_rescored@k5"] = ann_row(
+        S.ivf_topk_quantized(queries_df, emb, n_centroids=16, n_probe=4, k=5, rescore=True),
+        "int8 lists + exact rescore of top 4k candidates",
     )
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
