@@ -598,6 +598,221 @@ def ivf_query_index(
     )
 
 
+def ivf_build_index_manifest(
+    corpus: DataFrame,
+    table: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+    quantize: bool = False,
+) -> int:
+    """Version 1 of the MANIFEST-COMMITTED incremental IVF index: the
+    ANN twin of the incremental inverted index (retrieval.py) — a 100 TB
+    embedding corpus grows continuously, and re-clustering the world per
+    crawl batch is not a plan. Two stores under one manifest version:
+
+    - ``lists`` — the assigned (and optionally int8-quantized) vectors,
+      hive-partitioned by ``__list`` (a copy of ``centroid_id``: the
+      partition segment gives zero-I/O file pruning from manifest
+      metadata, the data column survives for the probe join);
+    - ``centroids`` — the coarse quantizer, FROZEN at build time: deltas
+      assign against it (the standard IVF maintenance contract — FAISS
+      ``add`` semantics), so historical list membership never moves and
+      delta commits touch only their own files.
+
+    Readers pin a version; :func:`upsert_ivf_index` merges a vector
+    delta as one atomic commit with replay protection. Drift governance
+    (re-train + full rebuild when the frozen quantizer degrades) is a
+    new ``ivf_build_index_manifest`` call on a fresh table — the
+    manifest makes the cutover a reader-side pointer swap."""
+    return _commit_ivf_delta(
+        corpus,
+        table,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iters=refine_iters,
+        quantize=quantize,
+    )
+
+
+def upsert_ivf_index(delta: DataFrame, table: str, delta_id: str | None = None) -> int | None:
+    """Merge new vectors into the manifest IVF index as ONE atomic
+    commit: assign against the FROZEN centroids, append list files.
+    Idempotent twice over (``delta_id`` commit-meta check, O(#versions);
+    plus an id anti-join against the stored lists, so redelivered
+    vectors never duplicate). Returns the committed version, or None for
+    a no-op replay."""
+    return _commit_ivf_delta(delta, table, delta_id=delta_id)
+
+
+def _commit_ivf_delta(
+    vectors: DataFrame,
+    table: str,
+    n_centroids: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
+    refine_iters: int = 0,
+    quantize: bool = False,
+    delta_id: str | None = None,
+) -> int | None:
+    import json
+
+    from pyspark.sql import types as T
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    spark = vectors.sparkSession
+    while True:
+        cur = M.current_version(table)
+        if cur is None:
+            if n_centroids is None:
+                raise FileNotFoundError(
+                    f"no committed IVF index in {table}; ivf_build_index_manifest first"
+                )
+            cents = make_centroids_from_sample(vectors, n_centroids, id_col, vec_col)
+            if refine_iters > 0:
+                cents = kmeans_refine(vectors, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col)
+            layout = {
+                "kind": "ivf_index",
+                "n_centroids": n_centroids,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "quantize": quantize,
+                "id_field": vectors.schema[id_col].jsonValue(),
+            }
+            prev = None
+            old_files: list[str] = []
+            fresh = vectors
+        else:
+            prev = M.read_manifest(table, cur)
+            layout = prev["meta"]["layout"]
+            if delta_id is not None and delta_id in prev["meta"].get("delta_ids", []):
+                return None
+            id_col, vec_col, quantize = layout["id_col"], layout["vec_col"], layout["quantize"]
+            cents = M.read_store(spark, table, "centroids", version=cur)
+            keep = set(M.store_files(prev, "lists")) | set(M.store_files(prev, "centroids"))
+            old_files = [f for f in prev["files"] if f in keep]
+            known = M.read_store(
+                spark,
+                table,
+                "lists",
+                version=cur,
+                # empty-store fallback (a v1 built from an empty corpus):
+                # the manifest schema is the listed-vector schema
+                schema=T.StructType.fromJson(json.loads(prev["schema"])),
+            ).select(F.col(id_col))
+            fresh = vectors.join(known, id_col, "left_anti")
+            if not fresh.head(1):
+                return None  # full redelivery — no version churn
+
+        assigned = ivf_assign(fresh, cents, id_col, vec_col)
+        if quantize:
+            assigned = quantize_embeddings_int8(assigned, id_col, vec_col, keep_cols=["centroid_id"])
+        listed = assigned.withColumn("__list", F.col("centroid_id"))
+
+        cid = M.new_commit_id()
+        files = M.write_store_files(
+            listed.repartition("__list"), table, cid, "lists", partition_by="__list"
+        )
+        if cur is None:
+            files += M.write_store_files(cents, table, cid, "centroids")
+        delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
+        if delta_id is not None:
+            delta_ids.append(delta_id)
+        meta = {"layout": layout, "delta_ids": delta_ids}
+        if M._try_commit(
+            table,
+            (cur or 0) + 1,
+            old_files + files,
+            cur,
+            json.dumps(listed.schema.jsonValue()),
+            meta=meta,
+        ):
+            return (cur or 0) + 1
+        # CAS lost — recompute against the winner (orphans → vacuum)
+
+
+def ivf_query_index_manifest(
+    spark,
+    table: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    rescore_with: DataFrame | None = None,
+    rescore_factor: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """ANN lookup against the manifest IVF index at a PINNED version:
+    probes pick ``n_probe`` centroids per query, then ONLY list files
+    whose ``__list=`` path segment matches a probed centroid are opened
+    — pruning from manifest metadata, no directory listing, and a
+    concurrent upsert can never tear the read. Quantized lists are
+    scored dequantized; ``rescore_with`` re-ranks top k·factor
+    candidates by exact cosine (see :func:`ivf_query_index`)."""
+    import re
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    v = M.current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed IVF index in {table}")
+    layout = M.read_manifest(table, v)["meta"]["layout"]
+    id_col, vec_col = layout["id_col"], layout["vec_col"]
+
+    cents = M.read_store(spark, table, "centroids", version=v).select(
+        F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
+    )
+    q = _as_double(queries, id_col, vec_col, "q")
+    qc = q.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_v", "centroid_id")
+    )
+    want = {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+
+    def list_filter(relpath: str) -> bool:
+        mt = re.search(r"__list=(\d+)", relpath)
+        return mt is not None and int(mt.group(1)) in want
+
+    lists = M.read_store(spark, table, "lists", version=v, file_filter=list_filter)
+    if "qvec" in lists.columns:
+        c = lists.select(
+            F.col(id_col).alias("c_id"),
+            F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
+            "centroid_id",
+        )
+    else:
+        c = lists.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).cast("array<double>").alias("c_v"),
+            "centroid_id",
+        )
+    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
+    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rescore_with is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
+        )
+    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
+    exact = _as_double(rescore_with, id_col, vec_col, "c")
+    rescored = cands.join(exact, on="c_id").withColumn(
+        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,

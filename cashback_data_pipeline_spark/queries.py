@@ -1009,6 +1009,82 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivf_delta_topk",
+    sql="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS cv
+      FROM (SELECT * FROM e WHERE vec_id % 5 != 0 ORDER BY vec_id LIMIT 16)
+    ), assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e, cent c) a
+      WHERE rn = 1
+    ), dq AS (
+      SELECT vec_id,
+             list_transform(list_transform(v, x -> floor(x / s + 0.5)), q -> q * s) AS dv
+      FROM (SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS s
+            FROM e) z
+    ), probes AS (
+      SELECT q_id, q_v, centroid_id FROM (
+        SELECT q.vec_id AS q_id, q.v AS q_v, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.centroid_id) AS rn
+        FROM e q, cent c WHERE q.vec_id < 10) p
+      WHERE rn <= 4
+    ), scored AS (
+      SELECT p.q_id, a.vec_id AS c_id, list_cosine_similarity(p.q_v, d.dv) AS cos
+      FROM probes p
+      JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id != p.q_id
+      JOIN dq d ON d.vec_id = a.vec_id
+    )
+    SELECT q_id AS query_id, c_id AS neighbor_id,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cos,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+          FROM scored) s
+    WHERE rnk <= 5
+    """,
+)
+def ann_ivf_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN index maintenance under the manifest protocol
+    (similarity.ivf_build_index_manifest → upsert_ivf_index →
+    ivf_query_index_manifest): build a quantized IVF index from 80% of
+    the vectors (centroids FROZEN at build — the FAISS ``add``
+    contract), merge the remaining 20% as one atomic delta commit, probe
+    the upserted index. The oracle seeds centroids from the BASE slice
+    only, then assigns and scores ALL vectors against them through the
+    int8 quantize/dequantize round trip — hash-equality proves the delta
+    append reconstructs exactly the state a from-scratch
+    frozen-quantizer build over base+delta would have. Replay/no-op,
+    pinning, and rescoring are pytest-covered."""
+    import shutil
+    import tempfile
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod("vec_id", F.lit(5)) != 0)
+    delta = emb.filter(F.pmod("vec_id", F.lit(5)) == 0)
+    table = tempfile.mkdtemp(prefix="ivf_delta_")
+    try:
+        similarity.ivf_build_index_manifest(base, table, n_centroids=16, quantize=True)
+        similarity.upsert_ivf_index(delta, table, delta_id="delta-1")
+        queries_df = emb.filter(F.col("vec_id") < 10)
+        out = similarity.ivf_query_index_manifest(spark, table, queries_df, n_probe=4, k=5)
+        rows = out.select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
+            "rank",
+        ).collect()
+        return spark.createDataFrame(rows, "query_id long, neighbor_id long, cos double, rank int")
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Function-surface + lifecycle queries (SURVEY §2.7-2.9, §2.2)
 # ---------------------------------------------------------------------------

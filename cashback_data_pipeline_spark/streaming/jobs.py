@@ -352,6 +352,61 @@ def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str):
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
 
+def index_ingest_stream(
+    docs: DataFrame,
+    table: str,
+    checkpoint: str,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus → INCREMENTAL SEARCH INDEX: every micro-batch
+    merges into the manifest-committed inverted index
+    (retrieval.upsert_inverted_index) as one atomic delta commit, so the
+    index is continuously queryable at full BM25 parity while the crawl
+    streams in — the streaming composition of VERDICT r5 item 2.
+
+    Exactly-once by construction: the epoch id rides as the commit's
+    ``delta_id`` (a replayed micro-batch is an O(#versions) metadata
+    no-op), and the doclens id anti-join independently drops redelivered
+    docs even across a rebuilt checkpoint. Readers are never torn — a
+    search pins the version current when it starts. Returns the
+    DataStreamWriter (caller sets trigger and starts)."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        index_ingest_batch(
+            batch, epoch_id, table, n_term_buckets=n_term_buckets,
+            id_col=id_col, text_col=text_col,
+        )
+
+    return docs.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+
+
+def index_ingest_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    table: str,
+    n_term_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of :func:`index_ingest_stream` (module-level so
+    crash-replay tests drive the exact foreachBatch code path)."""
+    from cashback_data_pipeline_spark.operators import retrieval
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    if not batch.head(1):
+        return
+    did = f"epoch-{int(epoch_id)}"
+    if M.current_version(table) is None:
+        retrieval.build_inverted_index_manifest(
+            batch, table, n_term_buckets=n_term_buckets,
+            id_col=id_col, text_col=text_col, delta_id=did,
+        )
+    else:
+        retrieval.upsert_inverted_index(batch, table, delta_id=did)
+
+
 def near_dup_ingest_stream(
     docs: DataFrame,
     index_path: str,

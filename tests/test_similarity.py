@@ -457,3 +457,56 @@ def test_ivf_quantized_index_probe_and_rescore(spark, emb, tmp_path):
     # storage really is int8: tinyint element type in the persisted lists
     lists = spark.read.parquet(f"{path}/lists")
     assert dict(lists.dtypes)["qvec"] == "array<tinyint>"
+
+
+def test_ivf_manifest_index_delta_replay_and_pinning(spark, emb, tmp_path):
+    """Incremental IVF under the manifest: delta upsert == from-scratch
+    frozen-quantizer build; replays are no-ops (both mechanisms); a
+    pinned reader is unaffected by a concurrent upsert; rescore returns
+    exact cosines."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "ivf_m")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    assert similarity.ivf_build_index_manifest(base, table, n_centroids=16) == 1
+    assert similarity.upsert_ivf_index(delta, table, delta_id="d1") == 2
+
+    got = similarity.ivf_query_index_manifest(spark, table, queries, n_probe=4, k=5)
+    # reference: one-shot persisted build over base+delta with centroids
+    # seeded from base (same frozen-quantizer state)
+    cents = similarity.make_centroids_from_sample(base, 16)
+    ref_assigned = similarity.ivf_assign(emb, cents)
+    refp = str(tmp_path / "ivf_ref")
+    ref_assigned.write.partitionBy("centroid_id").parquet(f"{refp}/lists")
+    cents.write.parquet(f"{refp}/centroids")
+    want = similarity.ivf_query_index(spark, refp, queries, n_probe=4, k=5)
+    g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+    assert g == w and g
+
+    # replay no-ops: delta_id check and id anti-join
+    assert similarity.upsert_ivf_index(delta, table, delta_id="d1") is None
+    assert similarity.upsert_ivf_index(delta, table) is None
+    assert M.current_version(table) == 2
+
+    # pinned reader across a concurrent upsert
+    pinned = similarity.ivf_query_index_manifest(spark, table, queries, n_probe=4, k=5, version=1)
+    before = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in pinned.collect()}
+    new_vecs = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding").limit(20)
+    assert similarity.upsert_ivf_index(new_vecs, table) == 3
+    after = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in pinned.collect()}
+    assert before == after  # version-1 read unaffected by the v3 commit
+
+    # quantized variant + exact rescore
+    qt = str(tmp_path / "ivf_mq")
+    similarity.ivf_build_index_manifest(base, qt, n_centroids=16, quantize=True)
+    similarity.upsert_ivf_index(delta, qt)
+    res = similarity.ivf_query_index_manifest(
+        spark, qt, queries, n_probe=4, k=5, rescore_with=emb, rescore_factor=100
+    )
+    r = {(x["query_id"], x["rank"]): (x["neighbor_id"], round(x["cos"], 9)) for x in res.collect()}
+    e = {(x["query_id"], x["rank"]): (x["neighbor_id"], round(x["cos"], 9)) for x in want.collect()}
+    assert r == e

@@ -553,3 +553,65 @@ def test_legacy_near_dup_index_migrates_with_src_epoch_backfill(spark, tmp_path)
     assert by_id[1] == -1  # pre-upgrade row backfilled
     assert M.read_manifest(str(index), 1)["meta"]["migrated"] is True
     assert not (index / "bands").exists()  # legacy dirs retired (single-shot)
+
+
+def test_index_ingest_stream_continuous_search_parity(spark, tmp_path):
+    """Streaming corpus → incremental inverted index: after the stream
+    drains, a search over the manifest index must hash-match full-scan
+    BM25 over everything ingested; replaying a micro-batch (both the
+    epoch delta_id and the id anti-join) changes nothing."""
+    from cashback_data_pipeline_spark.operators import retrieval
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        index_ingest_batch,
+        index_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(0, "spark join hash join merge"), (1, "hash table scan and filter")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "window agg over stream data"), (3, "join join join hash hash window")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+
+    table = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        index_ingest_stream(stream, table, str(tmp_path / "ckpt"), n_term_buckets=8)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    docs = b1.unionByName(b2)
+    terms = ["hash", "window"]
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.search_inverted_index_manifest(spark, table, terms, k=10).collect()
+    }
+    want = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(docs, terms, k=10).collect()
+    }
+    assert got == want and got
+
+    # crash-replay: re-running committed epochs must be a no-op
+    v = M.current_version(table)
+    index_ingest_batch(b1, 0, table, n_term_buckets=8)
+    index_ingest_batch(b2, 1, table, n_term_buckets=8)
+    assert M.current_version(table) == v
+    got2 = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.search_inverted_index_manifest(spark, table, terms, k=10).collect()
+    }
+    assert got2 == want
