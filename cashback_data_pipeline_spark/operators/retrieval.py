@@ -387,6 +387,92 @@ def _commit_index_delta(
                 unpersist_rdd_ids(spark, {rid})
 
 
+def compact_inverted_index(spark, table: str) -> int:
+    """Maintenance for the incremental index: a streaming ingest
+    (streaming.index_ingest_stream) commits one delta per epoch, so each
+    term bucket accumulates one small postings file per epoch and the
+    k-bucket search read pays file-open overhead per epoch. Rewrites
+    postings and termstats re-sorted by term within each bucket
+    (restoring ONE sorted run per bucket — delta appends preserve only
+    per-file sorted runs, so row-group min/max pruning weakens as deltas
+    pile up) and coalesces doclens, all as ONE new manifest version:
+    searches in flight stay pinned, a concurrent delta commit just
+    retries the CAS, and ``delta_ids`` carry forward so a replayed crawl
+    batch is STILL a no-op after compaction. A crash mid-compaction
+    publishes nothing (orphans → vacuum)."""
+    from pyspark.sql import types as T
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    while True:
+        cur = M.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed index in {table}")
+        prev = M.read_manifest(table, cur)
+        layout = prev["meta"]["layout"]
+        nb = layout["n_term_buckets"]
+        id_field = T.StructField.fromJson(layout["id_field"])
+        id_col = layout["id_col"]
+
+        cid = M.new_commit_id()
+        files: list[str] = []
+        postings = M.read_store(
+            spark,
+            table,
+            "postings",
+            version=cur,
+            schema=T.StructType(
+                [T.StructField("term", T.StringType()), id_field, T.StructField("tf", T.LongType())]
+            ),
+        )
+        files += M.write_store_files(
+            postings.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
+            .repartition("term_bucket")
+            .sortWithinPartitions("term"),
+            table,
+            cid,
+            "postings",
+            partition_by="term_bucket",
+        )
+        ts = M.read_store(
+            spark,
+            table,
+            "termstats",
+            version=cur,
+            schema=T.StructType(
+                [T.StructField("term", T.StringType()), T.StructField("df", T.LongType())]
+            ),
+        )
+        files += M.write_store_files(
+            ts.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
+            .repartition("term_bucket")
+            .sortWithinPartitions("term"),
+            table,
+            cid,
+            "termstats",
+            partition_by="term_bucket",
+        )
+        dl = M.read_store(
+            spark,
+            table,
+            "doclens",
+            version=cur,
+            schema=T.StructType([id_field, T.StructField("dl", T.LongType())]),
+        )
+        files += M.write_store_files(dl.coalesce(4), table, cid, "doclens")
+        files += M.write_store_files(
+            M.read_store(spark, table, "stats", version=cur), table, cid, "stats"
+        )
+
+        meta = {
+            "layout": layout,
+            "delta_ids": prev["meta"].get("delta_ids", []),
+            "compaction": True,
+        }
+        if M._try_commit(table, cur + 1, files, cur, prev["schema"], meta=meta):
+            return cur + 1
+
+
 def search_inverted_index_manifest(
     spark,
     table: str,

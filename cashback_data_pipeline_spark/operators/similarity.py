@@ -734,6 +734,49 @@ def _commit_ivf_delta(
         # CAS lost — recompute against the winner (orphans → vacuum)
 
 
+def compact_ivf_index(spark, table: str) -> int:
+    """Maintenance for the incremental IVF index: each
+    :func:`upsert_ivf_index` commit adds one small file per touched
+    list, so a long-running vector ingest accumulates per-epoch file
+    fragments and probes pay file-open overhead per delta. Rewrites the
+    lists store to one file per ``__list`` partition as ONE new manifest
+    version (centroid files carry forward untouched — the quantizer is
+    frozen); pinned readers unaffected, ``delta_ids`` carried forward so
+    replays stay no-ops, CAS retries on a racing delta commit."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    while True:
+        cur = M.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed IVF index in {table}")
+        prev = M.read_manifest(table, cur)
+        layout = prev["meta"]["layout"]
+        cid = M.new_commit_id()
+        lists = M.read_store(
+            spark,
+            table,
+            "lists",
+            version=cur,
+            schema=T.StructType.fromJson(json.loads(prev["schema"])),
+        )
+        listed = lists.withColumn("__list", F.col("centroid_id"))
+        files = M.write_store_files(
+            listed.repartition("__list"), table, cid, "lists", partition_by="__list"
+        )
+        files += M.store_files(prev, "centroids")  # immutable, reused as-is
+        meta = {
+            "layout": layout,
+            "delta_ids": prev["meta"].get("delta_ids", []),
+            "compaction": True,
+        }
+        if M._try_commit(table, cur + 1, files, cur, prev["schema"], meta=meta):
+            return cur + 1
+
+
 def ivf_query_index_manifest(
     spark,
     table: str,

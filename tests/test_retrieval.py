@@ -229,3 +229,40 @@ def test_incremental_index_empty_and_null_deltas(spark, docs, tmp_path):
     empty_text = spark.createDataFrame([(98, "")], "doc_id long, text string")
     assert retrieval.upsert_inverted_index(empty_text, table) == 2
     assert retrieval.upsert_inverted_index(empty_text, table) is None
+
+
+def test_compact_inverted_index_preserves_search_and_replay(spark, docs, tmp_path):
+    """After several per-epoch delta commits, compaction must collapse
+    each bucket to one sorted file as a new version, leave search
+    hash-identical, keep delta replays no-ops, and not disturb pinned
+    readers."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 2), table, n_term_buckets=8, delta_id="e0"
+    )
+    retrieval.upsert_inverted_index(docs.filter(F.col("doc_id") == 2), table, delta_id="e1")
+    retrieval.upsert_inverted_index(docs.filter(F.col("doc_id") >= 3), table, delta_id="e2")
+    before = _search_m(spark, table, ["hash", "window"])
+    v0 = M.current_version(table)
+    n_files_before = len(M.store_files(M.read_manifest(table, v0), "postings"))
+
+    v = retrieval.compact_inverted_index(spark, table)
+    assert v == v0 + 1
+    m = M.read_manifest(table, v)
+    n_files_after = len(M.store_files(m, "postings"))
+    assert n_files_after < n_files_before  # per-epoch fragments collapsed
+    # one file per populated bucket
+    import re
+
+    buckets = [re.search(r"term_bucket=(\d+)", f).group(1) for f in M.store_files(m, "postings")]
+    assert len(buckets) == len(set(buckets))
+
+    assert _search_m(spark, table, ["hash", "window"]) == before
+    # delta replays remain no-ops after compaction (delta_ids carried)
+    assert retrieval.upsert_inverted_index(
+        docs.filter(F.col("doc_id") == 2), table, delta_id="e1"
+    ) is None
+    # pinned reader on the pre-compaction version still answers
+    assert _search_m(spark, table, ["hash", "window"], version=v0) == before

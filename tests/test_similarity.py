@@ -510,3 +510,37 @@ def test_ivf_manifest_index_delta_replay_and_pinning(spark, emb, tmp_path):
     r = {(x["query_id"], x["rank"]): (x["neighbor_id"], round(x["cos"], 9)) for x in res.collect()}
     e = {(x["query_id"], x["rank"]): (x["neighbor_id"], round(x["cos"], 9)) for x in want.collect()}
     assert r == e
+
+
+def test_compact_ivf_index_preserves_probes_and_replay(spark, emb, tmp_path):
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "ivf_mc")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    similarity.ivf_build_index_manifest(base, table, n_centroids=16, quantize=True)
+    for i, residue in enumerate((0,)):
+        similarity.upsert_ivf_index(
+            emb.filter(F.col("vec_id") % 5 == residue), table, delta_id=f"d{i}"
+        )
+    queries = emb.filter(F.col("vec_id") < 10)
+    before = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_query_index_manifest(spark, table, queries, n_probe=4, k=5).collect()
+    }
+    v0 = M.current_version(table)
+    n_before = len(M.store_files(M.read_manifest(table, v0), "lists"))
+
+    v = similarity.compact_ivf_index(spark, table)
+    assert v == v0 + 1
+    m = M.read_manifest(table, v)
+    assert len(M.store_files(m, "lists")) < n_before
+    after = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_query_index_manifest(spark, table, queries, n_probe=4, k=5).collect()
+    }
+    assert after == before
+    # replays stay no-ops; centroids carried forward untouched
+    assert similarity.upsert_ivf_index(
+        emb.filter(F.col("vec_id") % 5 == 0), table, delta_id="d0"
+    ) is None
+    assert M.store_files(m, "centroids") == M.store_files(M.read_manifest(table, 1), "centroids")
