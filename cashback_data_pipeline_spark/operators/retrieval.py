@@ -308,6 +308,17 @@ def _commit_index_delta(
         id_field = T.StructField.fromJson(layout["id_field"])
 
         base = docs.filter(F.col(text_col).isNotNull())
+        # in-batch id dedup (deterministic lowest-text winner): an
+        # at-least-once upstream can deliver one doc twice IN THE SAME
+        # delta, which would double-count its tf/dl and register two
+        # doclens rows for one id — the cross-batch anti-join below only
+        # guards against ids already committed
+        wdup = W.partitionBy(id_col).orderBy(F.col(text_col).asc())
+        base = (
+            base.withColumn("__rn", F.row_number().over(wdup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if cur is not None:
             known = M.read_store(
                 spark,

@@ -707,6 +707,15 @@ def _commit_ivf_delta(
             if not fresh.head(1):
                 return None  # full redelivery — no version churn
 
+        # in-batch id dedup (deterministic winner by vector hash): a
+        # redelivered vector arriving twice IN ONE delta would insert two
+        # list entries — the anti-join above only screens committed ids
+        wdup = W.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)).asc())
+        fresh = (
+            fresh.withColumn("__rn", F.row_number().over(wdup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         assigned = ivf_assign(fresh, cents, id_col, vec_col)
         if quantize:
             assigned = quantize_embeddings_int8(assigned, id_col, vec_col, keep_cols=["centroid_id"])

@@ -266,3 +266,25 @@ def test_compact_inverted_index_preserves_search_and_replay(spark, docs, tmp_pat
     ) is None
     # pinned reader on the pre-compaction version still answers
     assert _search_m(spark, table, ["hash", "window"], version=v0) == before
+
+
+def test_incremental_index_in_batch_duplicate_ids(spark, docs, tmp_path):
+    """An at-least-once upstream can deliver one doc twice IN THE SAME
+    delta: tf/dl must not double-count and doclens must register one row
+    per id."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 3), table, n_term_buckets=8
+    )
+    dup_delta = docs.filter(F.col("doc_id") == 3).unionByName(
+        docs.filter(F.col("doc_id") == 3)
+    )
+    retrieval.upsert_inverted_index(dup_delta, table)
+    assert _search_m(spark, table, ["hash", "window"]) == {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in retrieval.bm25_topk(docs.filter(F.col("doc_id") <= 3), ["hash", "window"], k=10).collect()
+    }
+    dl = M.read_store(spark, table, "doclens")
+    assert dl.filter(F.col("doc_id") == 3).count() == 1

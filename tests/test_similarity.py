@@ -544,3 +544,16 @@ def test_compact_ivf_index_preserves_probes_and_replay(spark, emb, tmp_path):
         emb.filter(F.col("vec_id") % 5 == 0), table, delta_id="d0"
     ) is None
     assert M.store_files(m, "centroids") == M.store_files(M.read_manifest(table, 1), "centroids")
+
+
+def test_ivf_upsert_in_batch_duplicate_ids(spark, emb, tmp_path):
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "ivf_md")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    similarity.ivf_build_index_manifest(base, table, n_centroids=16)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    similarity.upsert_ivf_index(delta.unionByName(delta), table)  # doubled delivery
+    lists = M.read_store(spark, table, "lists", version=M.current_version(table))
+    n = lists.count()
+    assert n == emb.count()  # one list entry per vector, no duplicates
