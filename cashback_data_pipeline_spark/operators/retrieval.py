@@ -355,7 +355,16 @@ def _commit_index_delta(
                 "n_docs long, total_tokens long",
             )
 
+            # TWO commit dirs on purpose: postings/doclens files live as
+            # long as the version chain references them, but each commit
+            # SUPERSEDES the previous termstats/stats — and vacuum works
+            # at data-dir granularity, so dead vocabulary-sized termstats
+            # sharing a dir with live postings would be unreclaimable
+            # forever (one leak per delta). Separate dirs make each
+            # superseded termstats/stats dir fully unreferenced and
+            # vacuumable once the retention horizon passes.
             cid = M.new_commit_id()
+            cid_superseded = M.new_commit_id()
             postings = tf.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
             files = M.write_store_files(
                 postings.repartition("term_bucket").sortWithinPartitions("term"),
@@ -370,11 +379,11 @@ def _commit_index_delta(
                 .repartition("term_bucket")
                 .sortWithinPartitions("term"),
                 table,
-                cid,
+                cid_superseded,
                 "termstats",
                 partition_by="term_bucket",
             )
-            files += M.write_store_files(stats, table, cid, "stats")
+            files += M.write_store_files(stats, table, cid_superseded, "stats")
 
             delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
             if delta_id is not None:
@@ -426,6 +435,7 @@ def compact_inverted_index(spark, table: str) -> int:
         id_col = layout["id_col"]
 
         cid = M.new_commit_id()
+        cid_superseded = M.new_commit_id()  # termstats/stats: vacuumable when superseded
         files: list[str] = []
         postings = M.read_store(
             spark,
@@ -459,7 +469,7 @@ def compact_inverted_index(spark, table: str) -> int:
             .repartition("term_bucket")
             .sortWithinPartitions("term"),
             table,
-            cid,
+            cid_superseded,
             "termstats",
             partition_by="term_bucket",
         )
@@ -472,7 +482,7 @@ def compact_inverted_index(spark, table: str) -> int:
         )
         files += M.write_store_files(dl.coalesce(4), table, cid, "doclens")
         files += M.write_store_files(
-            M.read_store(spark, table, "stats", version=cur), table, cid, "stats"
+            M.read_store(spark, table, "stats", version=cur), table, cid_superseded, "stats"
         )
 
         meta = {

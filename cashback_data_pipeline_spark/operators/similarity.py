@@ -199,6 +199,79 @@ def make_centroids_from_sample(
     )
 
 
+def _probe_centroids(
+    queries: DataFrame, centroids: DataFrame, n_probe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(q_id, q_v, centroid_id): each query's ``n_probe`` nearest
+    centroids by cosine (centroid-id tiebreak) — the shared probe leg of
+    every IVF query path, so the four variants can never drift."""
+    q = _as_double(queries, id_col, vec_col, "q")
+    cent = centroids.select(
+        F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
+    )
+    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
+    return (
+        qc.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", "q_v", "centroid_id")
+    )
+
+
+def _lists_as_candidates(lists: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(c_id, c_v, centroid_id) from a list relation, dequantizing
+    ``q·scale`` when the lists are int8-quantized (schema-detected)."""
+    if "qvec" in lists.columns:
+        return lists.select(
+            F.col(id_col).alias("c_id"),
+            F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
+            "centroid_id",
+        )
+    return lists.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).cast("array<double>").alias("c_v"),
+        "centroid_id",
+    )
+
+
+def _score_probed_lists(
+    cands: DataFrame,
+    probes: DataFrame,
+    k: int,
+    rescore_with: DataFrame | None,
+    rescore_factor: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared score→rank→(optional exact-rescore) tail: cosine each
+    probed candidate against its queries, window top-k; with
+    ``rescore_with`` take the top k·factor by (possibly quantized) score
+    and re-rank them by exact cosine from the original corpus — a
+    candidate-id point-lookup join, so returned cosines are exact."""
+    scored = cands.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rescore_with is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
+        )
+    cands_top = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
+    exact = _as_double(rescore_with, id_col, vec_col, "c")
+    rescored = cands_top.join(exact, on="c_id").withColumn(
+        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -219,27 +292,9 @@ def ivf_topk(
     if refine_iters > 0:
         cents = kmeans_refine(corpus, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col)
     corpus_a = ivf_assign(corpus, cents, id_col, vec_col)
-
-    # query → its n_probe nearest centroids
-    q = _as_double(queries, id_col, vec_col, "q")
-    cent = cents.select(F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv"))
-    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn("qc_cos", cosine_sim(F.col("q_v"), F.col("cv")))
-    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
-    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= n_probe).select(
-        "q_id", "q_v", "centroid_id"
-    )
-
-    c = corpus_a.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
-    )
-    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
-    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
-    )
+    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col)
+    cands = _lists_as_candidates(corpus_a, id_col, vec_col)
+    return _score_probed_lists(cands, probes, k, None, 0, id_col, vec_col)
 
 
 def ivf_topk_quantized(
@@ -267,40 +322,10 @@ def ivf_topk_quantized(
     cents = make_centroids_from_sample(corpus, n_centroids, id_col, vec_col)
     corpus_a = ivf_assign(corpus, cents, id_col, vec_col)
     qlists = quantize_embeddings_int8(corpus_a, id_col, vec_col, keep_cols=["centroid_id"])
-
-    q = _as_double(queries, id_col, vec_col, "q")
-    cent = cents.select(F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv"))
-    qc = q.join(F.broadcast(cent), F.lit(True)).withColumn(
-        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("q_id", "q_v", "centroid_id")
-    )
-    c = qlists.select(
-        F.col(id_col).alias("c_id"),
-        F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
-        "centroid_id",
-    )
-    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
-    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if not rescore:
-        return ranked.filter(F.col("rank") <= k).select(
-            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
-        )
-    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
-    exact = _as_double(corpus, id_col, vec_col, "c")
-    rescored = cands.join(exact, on="c_id").withColumn(
-        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
+    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col)
+    cands = _lists_as_candidates(qlists, id_col, vec_col)
+    return _score_probed_lists(
+        cands, probes, k, corpus if rescore else None, rescore_factor, id_col, vec_col
     )
 
 
@@ -552,50 +577,13 @@ def ivf_query_index(
     candidate-id point-lookup join, tiny at any scale — so the returned
     cosines are exact and quantization can only cost recall if a true
     neighbor fell below the k·factor cut."""
-    cents = spark.read.parquet(f"{path}/centroids").select(
-        F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
-    )
-    q = _as_double(queries, id_col, vec_col, "q")
-    qc = q.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("q_id", "q_v", "centroid_id")
-    )
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col)
     probed_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
 
     lists = spark.read.parquet(f"{path}/lists").filter(F.col("centroid_id").isin(probed_ids))
-    if "qvec" in lists.columns:
-        c = lists.select(
-            F.col(id_col).alias("c_id"),
-            F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
-            "centroid_id",
-        )
-    else:
-        c = lists.select(
-            F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_v"), "centroid_id"
-        )
-    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
-    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if rescore_with is None:
-        return ranked.filter(F.col("rank") <= k).select(
-            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
-        )
-    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
-    exact = _as_double(rescore_with, id_col, vec_col, "c")
-    rescored = cands.join(exact, on="c_id").withColumn(
-        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
-    )
+    cands = _lists_as_candidates(lists, id_col, vec_col)
+    return _score_probed_lists(cands, probes, k, rescore_with, rescore_factor, id_col, vec_col)
 
 
 def ivf_build_index_manifest(
@@ -672,6 +660,16 @@ def _commit_ivf_delta(
                     f"no committed IVF index in {table}; ivf_build_index_manifest first"
                 )
             cents = make_centroids_from_sample(vectors, n_centroids, id_col, vec_col)
+            if not cents.head(1):
+                # the quantizer is FROZEN at build: an empty centroid set
+                # would silently drop every future delta's vectors
+                # (ivf_assign against nothing) while still committing
+                # versions — refuse instead
+                raise ValueError(
+                    "cannot build an IVF manifest index from an empty corpus: "
+                    "the frozen coarse quantizer would have no centroids and "
+                    "every future upsert_ivf_index delta would be dropped"
+                )
             if refine_iters > 0:
                 cents = kmeans_refine(vectors, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col)
             layout = {
@@ -726,7 +724,11 @@ def _commit_ivf_delta(
             listed.repartition("__list"), table, cid, "lists", partition_by="__list"
         )
         if cur is None:
-            files += M.write_store_files(cents, table, cid, "centroids")
+            # own commit dir: a later compaction supersedes v1's lists
+            # but keeps the frozen centroids forever — sharing a dir
+            # would make v1's dead list files unreclaimable by the
+            # dir-granularity vacuum
+            files += M.write_store_files(cents, table, M.new_commit_id(), "centroids")
         delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
         if delta_id is not None:
             delta_ids.append(delta_id)
@@ -803,66 +805,60 @@ def ivf_query_index_manifest(
     concurrent upsert can never tear the read. Quantized lists are
     scored dequantized; ``rescore_with`` re-ranks top k·factor
     candidates by exact cosine (see :func:`ivf_query_index`)."""
+    import json
     import re
+
+    from pyspark.sql import types as T
 
     from cashback_data_pipeline_spark.sinks import manifest as M
 
     v = M.current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed IVF index in {table}")
-    layout = M.read_manifest(table, v)["meta"]["layout"]
+    m = M.read_manifest(table, v)
+    layout = m["meta"]["layout"]
     id_col, vec_col = layout["id_col"], layout["vec_col"]
 
-    cents = M.read_store(spark, table, "centroids", version=v).select(
-        F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("cv")
-    )
-    q = _as_double(queries, id_col, vec_col, "q")
-    qc = q.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "qc_cos", cosine_sim(F.col("q_v"), F.col("cv"))
-    )
-    wq = W.partitionBy("q_id").orderBy(F.col("qc_cos").desc(), F.col("centroid_id").asc())
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= n_probe)
-        .select("q_id", "q_v", "centroid_id")
-    )
+    def _empty() -> DataFrame:
+        id_field = T.StructField.fromJson(layout["id_field"])
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_field.dataType),
+                    T.StructField("neighbor_id", id_field.dataType),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+
+    cents = M.read_store(spark, table, "centroids", version=v)
+    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col)
     want = {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+    if not want:
+        # empty query set (or an index with zero centroids): nothing to
+        # probe — empty result, not a FileNotFoundError from an
+        # all-pruned store read
+        return _empty()
 
     def list_filter(relpath: str) -> bool:
         mt = re.search(r"__list=(\d+)", relpath)
         return mt is not None and int(mt.group(1)) in want
 
-    lists = M.read_store(spark, table, "lists", version=v, file_filter=list_filter)
-    if "qvec" in lists.columns:
-        c = lists.select(
-            F.col(id_col).alias("c_id"),
-            F.transform("qvec", lambda qq: qq.cast("double") * F.col("scale")).alias("c_v"),
-            "centroid_id",
-        )
-    else:
-        c = lists.select(
-            F.col(id_col).alias("c_id"),
-            F.col(vec_col).cast("array<double>").alias("c_v"),
-            "centroid_id",
-        )
-    scored = c.join(F.broadcast(probes), on="centroid_id").filter(F.col("q_id") != F.col("c_id"))
-    scored = scored.withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
-    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    if rescore_with is None:
-        return ranked.filter(F.col("rank") <= k).select(
-            F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank"
-        )
-    cands = ranked.filter(F.col("rank") <= k * rescore_factor).select("q_id", "q_v", "c_id")
-    exact = _as_double(rescore_with, id_col, vec_col, "c")
-    rescored = cands.join(exact, on="c_id").withColumn(
-        "cos", cosine_sim(F.col("q_v"), F.col("c_v"))
+    lists = M.read_store(
+        spark,
+        table,
+        "lists",
+        version=v,
+        file_filter=list_filter,
+        # every probed centroid may have zero assigned vectors (refined
+        # centroids can empty a list): an all-pruned read falls back to
+        # the manifest schema and yields an empty result
+        schema=T.StructType.fromJson(json.loads(m["schema"])),
     )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias("query_id"), F.col("c_id").alias("neighbor_id"), "cos", "rank")
-    )
+    cands = _lists_as_candidates(lists, id_col, vec_col)
+    return _score_probed_lists(cands, probes, k, rescore_with, rescore_factor, id_col, vec_col)
 
 
 def kmeans_refine(

@@ -44,16 +44,46 @@ from pyspark.sql import types as T
 _MANIFEST_DIR = "_manifests"
 
 
+def _require_local(table: str) -> None:
+    """The commit CAS is ``os.link`` and discovery is ``os.listdir`` —
+    LOCAL-FILESYSTEM primitives. A remote URI would have Spark write
+    data files to the object store while the manifest machinery silently
+    operated on a bogus local ``s3:/...`` directory (empty file lists,
+    phantom versions) — fail loudly at the seam instead. Supporting an
+    object store means swapping this layer's create/list for a
+    conditional put — exactly Delta's LogStore contract (module
+    docstring); everything above it is storage-agnostic."""
+    if "://" in table:
+        raise ValueError(
+            f"manifest tables require a local filesystem path, got {table!r}; "
+            "object-store support needs a conditional-put LogStore seam in "
+            "sinks/manifest.py (see module docstring)"
+        )
+
+
 def _manifest_path(table: str, version: int) -> str:
     return os.path.join(table, _MANIFEST_DIR, f"v{version:020d}.json")
 
 
 def current_version(table: str) -> int | None:
-    """Highest committed version, or None for a not-yet-created table."""
-    names = glob.glob(os.path.join(table, _MANIFEST_DIR, "v*.json"))
-    if not names:
+    """Highest committed version, or None for a not-yet-created table.
+
+    Uses ``os.listdir`` rather than glob DELIBERATELY: glob swallows
+    OSError/PermissionError (an NFS hiccup would read as "table does not
+    exist"), and for screening-critical readers like the streaming
+    near-dup ingest a transient FS error MUST fail the micro-batch
+    (checkpoint replays it) rather than silently report an absent index
+    and admit every duplicate. Only a true FileNotFoundError means
+    not-yet-created."""
+    _require_local(table)
+    try:
+        names = os.listdir(os.path.join(table, _MANIFEST_DIR))
+    except FileNotFoundError:
         return None
-    return max(int(os.path.basename(n)[1:-5]) for n in names)
+    versions = [
+        int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
 
 
 def read_manifest(table: str, version: int) -> dict:
@@ -79,6 +109,7 @@ def _try_commit(
     file (swept by vacuum), never a bricked version. Object stores
     substitute a conditional put here (Delta LogStore seam). ``meta``
     rides in the manifest (e.g. a streaming epoch id)."""
+    _require_local(table)
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
     if meta:
@@ -101,6 +132,7 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     """Write one commit's immutable data dir; return table-relative file
     paths. Files exist but are INVISIBLE until a manifest references
     them — a crash here leaves only unreferenced files for vacuum."""
+    _require_local(table)
     commit_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table, "data", commit_id)
     df.write.parquet(data_dir)
@@ -126,6 +158,7 @@ def write_store_files(
     out hive-partitioned so readers can prune FILES from the manifest's
     metadata alone, no directory listing. Returns table-relative paths —
     invisible until a manifest references them, like every data write."""
+    _require_local(table)
     data_dir = os.path.join(table, "data", commit_id, store)
     writer = df.write
     if partition_by:

@@ -443,14 +443,15 @@ def near_dup_ingest_stream(
     via dynamic ``__epoch`` partition overwrite
     (:func:`_write_epoch_partition`) — a replayed micro-batch rewrites
     its own partition instead of appending a second copy; (b) the index
-    append is ONE atomic manifest commit covering bands AND sigs,
-    carrying the running ``max_epoch`` — a replayed epoch is detected
-    (``epoch_id <= max_epoch``) and skipped, O(1); (c) the candidate
-    join excludes same-epoch ``old_id == id`` so a replay that already
-    committed the batch's own docs to the index does not self-match
-    every doc as a dup; (d) the index append additionally anti-joins on
-    id against the loaded history, so even a changed-epoch replay
-    cannot double-insert a doc's bands/sigs.
+    append is ONE atomic manifest commit covering bands AND sigs; (c)
+    the candidate join excludes same-epoch ``old_id == id`` so a replay
+    that already committed the batch's own docs to the index does not
+    self-match every doc as a dup; (d) the index append anti-joins on id
+    against the loaded history, so any replay — same epoch, changed
+    epoch, or a REBUILT CHECKPOINT restarting epoch ids at 0 — cannot
+    double-insert a doc's bands/sigs, and genuinely new docs arriving
+    under a recycled epoch id still index normally (an epoch-number
+    replay gate would silently skip them; deliberately not used).
 
     Batch order is the dedup order (micro-batch boundaries decide who is
     "first"); within a batch, lower ids win against the in-batch index
@@ -495,6 +496,7 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
     cid = M.new_commit_id()
     files: list[str] = []
     max_epoch = -1
+    schemas: dict[str, str] = {}
     for store in ("bands", "sigs"):
         df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/{store}")
         max_epoch = max(
@@ -508,9 +510,11 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
         else:
             df = df.withColumn("src_epoch", F.lit(-1))
         files += M.write_store_files(df.drop("__epoch"), index_path, cid, store)
-        schema_json = df.drop("__epoch").schema.json()
+        schemas[store] = df.drop("__epoch").schema.json()
+    # the manifest `schema` field means the BANDS store for this table —
+    # every commit site (ingest append, compaction, migration) agrees
     if not M._try_commit(
-        index_path, 1, files, None, schema_json, meta={"max_epoch": max_epoch, "migrated": True}
+        index_path, 1, files, None, schemas["bands"], meta={"max_epoch": max_epoch, "migrated": True}
     ):
         return M.current_version(index_path)  # a racing migrator won — use its commit
     import shutil
@@ -546,12 +550,14 @@ def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 
         m = M.read_manifest(index_path, cur)
         cid = M.new_commit_id()
         files: list[str] = []
+        schemas: dict[str, str] = {}
         for store in ("bands", "sigs"):
             snapshot = M.read_store(spark, index_path, store, version=cur)
             files += M.write_store_files(snapshot.coalesce(n_files), index_path, cid, store)
-            schema_json = snapshot.schema.json()
+            schemas[store] = snapshot.schema.json()
         meta = {"max_epoch": m.get("meta", {}).get("max_epoch", -1), "compaction": True}
-        if M._try_commit(index_path, cur + 1, files, cur, schema_json, meta=meta):
+        # manifest `schema` = the bands store, same as every other commit site
+        if M._try_commit(index_path, cur + 1, files, cur, schemas["bands"], meta=meta):
             return cur + 1
 
 
@@ -698,12 +704,14 @@ def near_dup_ingest_batch(
     routed.persist()
     try:
         _write_epoch_partition(routed, out_path, epoch_id)
-        if epoch_id <= prev_max_epoch:
-            # replay of an epoch whose index append already committed
-            # (crash after the commit, before/during the output write —
-            # which the dynamic-overwrite above just idempotently
-            # rewrote): appending again would be a duplicate version
-            return
+        # NO epoch-number replay gate here: a rebuilt checkpoint restarts
+        # epoch ids at 0 while the index's max_epoch stays high, and an
+        # `epoch_id <= max_epoch` skip would then silently stop indexing
+        # every NEW document (routed but never screened against later) —
+        # the review-pass failure scenario. Exactly-once for the index
+        # rests on the id anti-join below (a crashed attempt that already
+        # committed leaves fresh_ids empty → no second commit) plus the
+        # src_epoch self-match exclusion in the screening join.
         fresh_ids = routed.filter(~F.col("is_dup")).select(F.col(id_col).alias("id"))
         if hist_ids is not None:
             # belt-and-braces idempotence: never re-insert an already-indexed

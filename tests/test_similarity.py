@@ -557,3 +557,22 @@ def test_ivf_upsert_in_batch_duplicate_ids(spark, emb, tmp_path):
     lists = M.read_store(spark, table, "lists", version=M.current_version(table))
     n = lists.count()
     assert n == emb.count()  # one list entry per vector, no duplicates
+
+
+def test_ivf_manifest_empty_queries_and_empty_corpus_guard(spark, emb, tmp_path):
+    """Review-pass findings: an empty query set must return an empty
+    result (not FileNotFoundError from an all-pruned lists read), and
+    building from an empty corpus must refuse (the frozen quantizer
+    would silently drop every future delta)."""
+    import pytest
+
+    table = str(tmp_path / "ivf_g")
+    similarity.ivf_build_index_manifest(emb.filter(F.col("vec_id") < 50), table, n_centroids=8)
+    no_queries = emb.filter(F.col("vec_id") < 0)
+    out = similarity.ivf_query_index_manifest(spark, table, no_queries, n_probe=4, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_build_index_manifest(empty, str(tmp_path / "ivf_e"))

@@ -615,3 +615,54 @@ def test_index_ingest_stream_continuous_search_parity(spark, tmp_path):
         for r in retrieval.search_inverted_index_manifest(spark, table, terms, k=10).collect()
     }
     assert got2 == want
+
+
+def test_near_dup_rebuilt_checkpoint_still_indexes_new_docs(spark, tmp_path):
+    """Review-pass finding: a rebuilt checkpoint restarts epoch ids at 0
+    while the index's max_epoch stays high — an epoch-number replay gate
+    would then silently skip the index append for every NEW doc (routed
+    but never screened against later). New docs under recycled epoch ids
+    must index; genuinely replayed docs must not duplicate."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    other = "one two three four five six seven eight nine ten " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"), 0, **kw
+    )
+    near_dup_ingest_batch(
+        spark.createDataFrame([(2, other)], "doc_id long, text string"), 7, **kw
+    )
+    # checkpoint rebuilt: NEW doc arrives under already-used epoch 0
+    third = "red orange yellow green blue indigo violet umber black white " * 3
+    near_dup_ingest_batch(
+        spark.createDataFrame([(3, third)], "doc_id long, text string"), 0, **kw
+    )
+    sigs = M.read_store(spark, str(tmp_path / "index"), "sigs")
+    assert {r["id"] for r in sigs.collect()} == {1, 2, 3}  # doc 3 WAS indexed
+    # and it now screens later redeliveries
+    near_dup_ingest_batch(
+        spark.createDataFrame([(30, third)], "doc_id long, text string"), 8, **kw
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out[30]["is_dup"] and out[30]["dup_of"] == 3
+    # a true same-epoch replay still cannot double-insert (anti-join):
+    # the index holds exactly docs 1, 2, 3 (doc 30 was a dup, never indexed)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(3, third)], "doc_id long, text string"), 0, **kw
+    )
+    sigs2 = M.read_store(spark, str(tmp_path / "index"), "sigs")
+    assert sorted(r["id"] for r in sigs2.collect()) == [1, 2, 3]
+
+
+def test_manifest_rejects_remote_paths(spark):
+    import pytest
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        M.current_version("s3://bucket/idx")
+    with pytest.raises(ValueError, match="LogStore"):
+        M.write_table(spark.range(3), "hdfs://nn/table")
