@@ -288,3 +288,30 @@ def test_incremental_index_in_batch_duplicate_ids(spark, docs, tmp_path):
     }
     dl = M.read_store(spark, table, "doclens")
     assert dl.filter(F.col("doc_id") == 3).count() == 1
+
+
+def test_incremental_index_superseded_stats_are_vacuumable(spark, docs, tmp_path):
+    """Review-pass finding: superseded termstats/stats used to share a
+    data dir with live postings, making them unreclaimable forever. With
+    their own commit dirs, vacuum sweeps them once the retention horizon
+    passes — and the current version still searches."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = str(tmp_path / "idx_m")
+    retrieval.build_inverted_index_manifest(
+        docs.filter(F.col("doc_id") < 2), table, n_term_buckets=8
+    )
+    retrieval.upsert_inverted_index(docs.filter(F.col("doc_id") == 2), table)
+    retrieval.upsert_inverted_index(docs.filter(F.col("doc_id") >= 3), table)
+    before = _search_m(spark, table, ["hash", "window"])
+
+    removed = M.vacuum(table, keep_last=1, min_age_s=0.0)
+    assert removed  # v1/v2's superseded termstats+stats dirs reclaimed
+    assert _search_m(spark, table, ["hash", "window"]) == before
+    # live postings/doclens dirs were NOT touched (still referenced)
+    cur = M.current_version(table)
+    m = M.read_manifest(table, cur)
+    import os
+
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(table, f))
