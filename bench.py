@@ -155,10 +155,13 @@ def reference_pipeline_bench(spark, sf: float, base: str) -> float:
     result = run_pipeline(spark, rewards, transactions, f"{base}/warehouse", f"{base}/serving")
     elapsed = time.time() - t0
     assert result.rows_transformed == n_rew
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # outside the timed window
     return round(elapsed, 3)
 
 
-def make_index_samplers(spark, sf_dir: str, base: str):
+def make_index_samplers(spark, sf_dir: str, base: str):  # -> 3 samplers + cleanup
     """One-sample closures for the split inverted-index metrics (VERDICT
     r5 item 3): the oracled ``indexed_bm25_search`` query times
     build+search+teardown in one number so the oracle can prove
@@ -209,7 +212,13 @@ def make_index_samplers(spark, sf_dir: str, base: str):
         retrieval.upsert_inverted_index(delta, mt)
         return round(time.time() - t0, 3)
 
-    return sample_build, sample_search, sample_delta
+    def cleanup() -> None:
+        # repeated bench runs (re-pinning REFTIMES) must not accumulate
+        # index-sized garbage in /tmp — the file's own comments note /tmp
+        # I/O perturbs later timings
+        shutil.rmtree(base, ignore_errors=True)
+
+    return sample_build, sample_search, sample_delta, cleanup
 
 
 def main() -> None:
@@ -332,12 +341,13 @@ def main() -> None:
 
     import tempfile
 
-    sample_build, sample_search, sample_delta = make_index_samplers(
+    sample_build, sample_search, sample_delta, index_cleanup = make_index_samplers(
         spark, sf_dir, tempfile.mkdtemp(prefix="inv_index_bench_")
     )
     measure("index_build", sample_build)
     measure("index_search", sample_search)
     measure("index_delta", sample_delta)
+    index_cleanup()
     measure(
         "reference_pipeline",
         lambda: reference_pipeline_bench(

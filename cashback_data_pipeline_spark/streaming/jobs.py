@@ -298,7 +298,9 @@ def route_stream_to_sinks(scored: DataFrame, keep_path: str, drop_path: str, che
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
 
-def route_batch_to_manifest(batch: DataFrame, epoch_id: int, table: str) -> bool:
+def route_batch_to_manifest(
+    batch: DataFrame, epoch_id: int, table: str, key: str | None = None
+) -> bool:
     """One routed micro-batch → ONE manifest commit carrying both routes
     (``route`` stays as a column; readers filter). Strictly stronger
     guarantees than the epoch-partition sinks: the commit is ATOMIC and
@@ -308,15 +310,27 @@ def route_batch_to_manifest(batch: DataFrame, epoch_id: int, table: str) -> bool
     explicit: a replayed epoch is SKIPPED instead of rewritten (its
     crashed attempt either committed — then the data is already visible
     — or left only invisible orphan files for vacuum). Returns True if
-    this call committed, False if the epoch was already committed.
+    this call committed, False if the batch was already committed.
 
-    The replay check is O(1), not a scan of every manifest: each commit
-    carries the running ``max_epoch`` in its meta, and Spark guarantees
-    a checkpointed stream's epoch ids are monotonically increasing, so
-    ``epoch_id <= max_epoch`` ⟺ already committed. (Only this
-    streaming entry point relies on monotonicity; ad-hoc writers mixing
-    arbitrary epoch ids should use manifest.committed_meta_values.)"""
+    Two replay-detection modes:
+
+    - ``key=None`` (default): the O(1) epoch gate — each commit carries
+      the running ``max_epoch`` in its meta, and a checkpointed stream's
+      epoch ids are monotonically increasing, so ``epoch_id <=
+      max_epoch`` ⟺ already committed. VALID ONLY WHILE THE CHECKPOINT
+      LIVES: a rebuilt checkpoint restarts epoch ids at 0 and this gate
+      would silently drop every new batch. Use it when the checkpoint
+      directory is durable, or start a fresh table per checkpoint
+      incarnation.
+    - ``key=<id column>``: CONTENT-BASED — rows whose key already exists
+      in the current version are dropped, the rest append (the
+      manifest-committed NOT-EXISTS load). Survives rebuilt checkpoints
+      and arbitrary epoch-id reuse; costs the anti-join instead of a
+      metadata check."""
     from cashback_data_pipeline_spark.sinks import manifest as M
+
+    if key is not None:
+        return M.append_table_if_absent(batch.sparkSession, batch, table, key=key) > 0
 
     cur = M.current_version(table)
     prev_max = -1
@@ -340,14 +354,16 @@ def route_batch_to_manifest(batch: DataFrame, epoch_id: int, table: str) -> bool
     return True
 
 
-def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str):
+def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str, key: str | None = None):
     """foreachBatch → manifest-committed routed table (exactly-once with
-    atomic cross-route visibility; see :func:`route_batch_to_manifest`).
-    Readers: ``manifest.read_table(spark, table)`` then filter
-    ``route``. Returns the DataStreamWriter (caller starts it)."""
+    atomic cross-route visibility; see :func:`route_batch_to_manifest`,
+    including the two replay-detection modes — pass ``key`` for
+    rebuilt-checkpoint-safe content-based dedup). Readers:
+    ``manifest.read_table(spark, table)`` then filter ``route``. Returns
+    the DataStreamWriter (caller starts it)."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        route_batch_to_manifest(batch, epoch_id, table)
+        route_batch_to_manifest(batch, epoch_id, table, key=key)
 
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
@@ -366,11 +382,17 @@ def index_ingest_stream(
     index is continuously queryable at full BM25 parity while the crawl
     streams in — the streaming composition of VERDICT r5 item 2.
 
-    Exactly-once by construction: the epoch id rides as the commit's
-    ``delta_id`` (a replayed micro-batch is an O(#versions) metadata
-    no-op), and the doclens id anti-join independently drops redelivered
-    docs even across a rebuilt checkpoint. Readers are never torn — a
-    search pins the version current when it starts. Returns the
+    Exactly-once by CONTENT, not by epoch number: the doclens id
+    anti-join drops redelivered docs, which holds across crash-replays
+    AND a rebuilt checkpoint. The epoch id is deliberately NOT used as
+    the commit's ``delta_id`` — a rebuilt checkpoint restarts epoch ids
+    at 0, so ``delta_id="epoch-0"`` would match the metadata of the
+    ORIGINAL epoch 0 and silently drop every new document delivered
+    under the recycled id before the anti-join could run (the
+    review-pass failure the near-dup path fixed the same way; a
+    delta_id is the right tool for caller-owned batch identities like
+    crawl ids, which never recycle). Readers are never torn — a search
+    pins the version current when it starts. Returns the
     DataStreamWriter (caller sets trigger and starts)."""
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -391,20 +413,21 @@ def index_ingest_batch(
     text_col: str = "text",
 ) -> None:
     """One micro-batch of :func:`index_ingest_stream` (module-level so
-    crash-replay tests drive the exact foreachBatch code path)."""
+    crash-replay tests drive the exact foreachBatch code path).
+    ``epoch_id`` is accepted for the foreachBatch signature but is NOT a
+    dedup key (see the stream docstring)."""
     from cashback_data_pipeline_spark.operators import retrieval
     from cashback_data_pipeline_spark.sinks import manifest as M
 
     if not batch.head(1):
         return
-    did = f"epoch-{int(epoch_id)}"
     if M.current_version(table) is None:
         retrieval.build_inverted_index_manifest(
             batch, table, n_term_buckets=n_term_buckets,
-            id_col=id_col, text_col=text_col, delta_id=did,
+            id_col=id_col, text_col=text_col,
         )
     else:
-        retrieval.upsert_inverted_index(batch, table, delta_id=did)
+        retrieval.upsert_inverted_index(batch, table)
 
 
 def near_dup_ingest_stream(
@@ -418,6 +441,7 @@ def near_dup_ingest_stream(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ):
     """Streaming NEAR-dup corpus ingestion: each micro-batch is screened
     against a persisted MinHash index of everything previously ingested —
@@ -453,6 +477,17 @@ def near_dup_ingest_stream(
     under a recycled epoch id still index normally (an epoch-number
     replay gate would silently skip them; deliberately not used).
 
+    THE OUT SINK'S CONTRACT: ``__epoch`` dynamic overwrite is
+    exactly-once only while the checkpoint lives — after a REBUILT
+    checkpoint, a new batch under a recycled epoch id would overwrite
+    the original epoch's routed rows (review-pass finding). Pass a
+    fresh ``run_id`` per checkpoint incarnation and each run's output
+    lands under its own ``__run=<id>`` partition: recycled epoch ids
+    can no longer clobber a previous run, replays within a run stay
+    idempotent, and readers see ``__run`` as one more provenance
+    partition column. The INDEX needs no such namespace — its dedup is
+    content-based (id anti-join).
+
     Batch order is the dedup order (micro-batch boundaries decide who is
     "first"); within a batch, lower ids win against the in-batch index
     the same way. Returns the DataStreamWriter (caller sets trigger)."""
@@ -469,6 +504,7 @@ def near_dup_ingest_stream(
             n=n,
             id_col=id_col,
             text_col=text_col,
+            run_id=run_id,
         )
 
     return docs.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint)
@@ -483,8 +519,7 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
     row can never be mistaken for a replay self-match — ADVICE r5,
     jobs.py:570), and mixed directories (old files without the column
     next to newer files with it) read under ``mergeSchema`` so neither
-    generation's rows are dropped. ``max_epoch`` seeds from the highest
-    ``__epoch`` partition observed. Returns the committed version (1),
+    generation's rows are dropped. Returns the committed version (1),
     or None when there is no legacy index to migrate."""
     from cashback_data_pipeline_spark.sinks import manifest as M
     from cashback_data_pipeline_spark.sinks.writers import _path_exists
@@ -495,14 +530,9 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
         return None
     cid = M.new_commit_id()
     files: list[str] = []
-    max_epoch = -1
     schemas: dict[str, str] = {}
     for store in ("bands", "sigs"):
         df = spark.read.option("mergeSchema", "true").parquet(f"{index_path}/{store}")
-        max_epoch = max(
-            max_epoch,
-            int(df.agg(F.coalesce(F.max("__epoch"), F.lit(-1))).first()[0]),
-        )
         if "src_epoch" in df.columns:
             df = df.withColumn(
                 "src_epoch", F.coalesce(F.col("src_epoch").cast("int"), F.lit(-1))
@@ -514,7 +544,7 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
     # the manifest `schema` field means the BANDS store for this table —
     # every commit site (ingest append, compaction, migration) agrees
     if not M._try_commit(
-        index_path, 1, files, None, schemas["bands"], meta={"max_epoch": max_epoch, "migrated": True}
+        index_path, 1, files, None, schemas["bands"], meta={"migrated": True}
     ):
         return M.current_version(index_path)  # a racing migrator won — use its commit
     import shutil
@@ -555,7 +585,7 @@ def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 
             snapshot = M.read_store(spark, index_path, store, version=cur)
             files += M.write_store_files(snapshot.coalesce(n_files), index_path, cid, store)
             schemas[store] = snapshot.schema.json()
-        meta = {"max_epoch": m.get("meta", {}).get("max_epoch", -1), "compaction": True}
+        meta = {"compaction": True}
         # manifest `schema` = the bands store, same as every other commit site
         if M._try_commit(index_path, cur + 1, files, cur, schemas["bands"], meta=meta):
             return cur + 1
@@ -572,6 +602,7 @@ def near_dup_ingest_batch(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ) -> None:
     """One micro-batch of :func:`near_dup_ingest_stream` (module-level so
     crash-replay tests drive the exact code path foreachBatch runs —
@@ -637,11 +668,6 @@ def near_dup_ingest_batch(
     # read failure FAILS the micro-batch (checkpoint replays it) rather
     # than silently skipping history screening and admitting duplicates.
     cur = M.current_version(index_path)
-    prev_max_epoch = (
-        M.read_manifest(index_path, cur).get("meta", {}).get("max_epoch", -1)
-        if cur is not None
-        else -1
-    )
     hist_ids = None
     matches = None
     if cur is not None:
@@ -703,7 +729,11 @@ def near_dup_ingest_batch(
     )
     routed.persist()
     try:
-        _write_epoch_partition(routed, out_path, epoch_id)
+        # per-run namespace (see the stream docstring): a rebuilt
+        # checkpoint's recycled epoch ids land in their own __run
+        # partition instead of overwriting a previous run's rows
+        out_dir = out_path if run_id is None else f"{out_path}/__run={run_id}"
+        _write_epoch_partition(routed, out_dir, epoch_id)
         # NO epoch-number replay gate here: a rebuilt checkpoint restarts
         # epoch ids at 0 while the index's max_epoch stays high, and an
         # `epoch_id <= max_epoch` skip would then silently stop indexing
@@ -732,13 +762,11 @@ def near_dup_ingest_batch(
         files += M.write_store_files(new_sigs, index_path, cid, "sigs")
         while True:
             cur2 = M.current_version(index_path)
-            if cur2 is not None:
-                m2 = M.read_manifest(index_path, cur2)
-                old_files = m2["files"]
-                seen_max = m2.get("meta", {}).get("max_epoch", prev_max_epoch)
-            else:
-                old_files, seen_max = [], prev_max_epoch
-            meta = {"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), int(seen_max))}
+            old_files = M.read_manifest(index_path, cur2)["files"] if cur2 is not None else []
+            # meta epoch is PROVENANCE only (which micro-batch committed
+            # this version) — never a dedup decision: idempotence rests
+            # on the id anti-join, which survives rebuilt checkpoints
+            meta = {"epoch": int(epoch_id)}
             if M._try_commit(
                 index_path,
                 (cur2 or 0) + 1,

@@ -518,10 +518,7 @@ def test_compact_ivf_index_preserves_probes_and_replay(spark, emb, tmp_path):
     table = str(tmp_path / "ivf_mc")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     similarity.ivf_build_index_manifest(base, table, n_centroids=16, quantize=True)
-    for i, residue in enumerate((0,)):
-        similarity.upsert_ivf_index(
-            emb.filter(F.col("vec_id") % 5 == residue), table, delta_id=f"d{i}"
-        )
+    similarity.upsert_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), table, delta_id="d0")
     queries = emb.filter(F.col("vec_id") < 10)
     before = {
         (r["query_id"], r["rank"]): r["neighbor_id"]

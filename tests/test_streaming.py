@@ -421,8 +421,7 @@ def test_compact_near_dup_index_preserves_screening(spark, tmp_path):
     assert {r["id"] for r in sigs.collect()} == {1, 2, 3}
     assert {r["src_epoch"] for r in sigs.collect()} == {0, 1}  # provenance survives
     assert len(M.store_files(M.read_manifest(table, v), "sigs")) == 1
-    # compaction carries max_epoch forward — replay detection intact
-    assert M.read_manifest(table, v)["meta"]["max_epoch"] == 1
+    assert M.read_manifest(table, v)["meta"]["compaction"] is True
     # post-compaction batch still screens against the full history
     near_dup_ingest_batch(
         spark.createDataFrame([(10, base)], "doc_id long, text string"), 2, **kw
@@ -666,3 +665,75 @@ def test_manifest_rejects_remote_paths(spark):
         M.current_version("s3://bucket/idx")
     with pytest.raises(ValueError, match="LogStore"):
         M.write_table(spark.range(3), "hdfs://nn/table")
+
+
+def test_index_ingest_rebuilt_checkpoint_indexes_new_docs(spark, tmp_path):
+    """Review-pass finding: using the epoch id as the index delta_id
+    collides after a rebuilt checkpoint (delta 'epoch-0' already in
+    meta), silently dropping every new doc delivered under a recycled
+    epoch id. Dedup is now content-based (doclens anti-join) only."""
+    from cashback_data_pipeline_spark.operators import retrieval
+    from cashback_data_pipeline_spark.streaming.jobs import index_ingest_batch
+
+    table = str(tmp_path / "idx")
+    b1 = spark.createDataFrame([(1, "spark join hash")], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, "hash table scan")], "doc_id long, text string")
+    index_ingest_batch(b1, 0, table, n_term_buckets=8)
+    index_ingest_batch(b2, 1, table, n_term_buckets=8)
+    # rebuilt checkpoint: NEW doc arrives under recycled epoch 0
+    b3 = spark.createDataFrame([(3, "eta theta iota")], "doc_id long, text string")
+    index_ingest_batch(b3, 0, table, n_term_buckets=8)
+    hits = retrieval.search_inverted_index_manifest(spark, table, ["eta"], k=10)
+    assert {r["doc_id"] for r in hits.collect()} == {3}  # doc 3 IS searchable
+    # and a genuine replay of that batch is still a no-op (anti-join)
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    v = M.current_version(table)
+    index_ingest_batch(b3, 0, table, n_term_buckets=8)
+    assert M.current_version(table) == v
+
+
+def test_near_dup_run_id_preserves_prior_runs_output(spark, tmp_path):
+    """Review-pass finding: dynamic __epoch overwrite destroys the
+    original epoch's routed rows when a rebuilt checkpoint recycles
+    epoch ids — a per-run namespace keeps every run's output."""
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    other = "one two three four five six seven eight nine ten " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"), 0, run_id="runA", **kw
+    )
+    # rebuilt checkpoint -> new incarnation, recycled epoch 0, new doc
+    near_dup_ingest_batch(
+        spark.createDataFrame([(2, other)], "doc_id long, text string"), 0, run_id="runB", **kw
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # runA's epoch-0 row SURVIVED runB's epoch 0
+    assert {r["__run"] for r in out.collect()} == {"runA", "runB"}
+    # replay WITHIN a run still overwrites its own partition (no dup)
+    near_dup_ingest_batch(
+        spark.createDataFrame([(2, other)], "doc_id long, text string"), 0, run_id="runB", **kw
+    )
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 2
+
+
+def test_route_batch_to_manifest_key_mode_survives_recycled_epochs(spark, tmp_path):
+    """key= mode: content-based dedup admits new rows under recycled
+    epoch ids (rebuilt checkpoint) and drops redelivered keys."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import route_batch_to_manifest
+
+    table = str(tmp_path / "routed")
+    b1 = spark.createDataFrame([(1, "keep"), (2, "drop")], "doc_id long, route string")
+    assert route_batch_to_manifest(b1, 0, table, key="doc_id") is True
+    # rebuilt checkpoint: NEW rows under recycled epoch 0 must commit
+    b2 = spark.createDataFrame([(3, "keep")], "doc_id long, route string")
+    assert route_batch_to_manifest(b2, 0, table, key="doc_id") is True
+    # redelivered keys are dropped regardless of epoch
+    assert route_batch_to_manifest(b1, 99, table, key="doc_id") is False
+    out = M.read_table(spark, table)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    assert out.count() == 3
