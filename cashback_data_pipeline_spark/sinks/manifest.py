@@ -184,13 +184,19 @@ def read_store(
     version: int | None = None,
     file_filter=None,
     schema: T.StructType | None = None,
+    apply_schema: bool = False,
 ) -> DataFrame:
     """Read one store of a multi-store manifest table at a PINNED
     version. ``file_filter(relpath) -> bool`` prunes files from manifest
     metadata alone (e.g. by hive partition segment in the path) — the
     manifest IS the file index, so pruning costs zero I/O. ``schema``
     makes an all-files-pruned (or empty-store) read return an empty
-    DataFrame instead of failing schema inference."""
+    DataFrame instead of failing schema inference; with
+    ``apply_schema=True`` it is also ENFORCED on the read — essential
+    when a store's files span schema generations (an evolved column is
+    NULL in pre-evolution files for every row, deterministically,
+    instead of present-or-absent depending on which file Spark sampled
+    for inference)."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -201,7 +207,12 @@ def read_store(
         if schema is None:
             raise FileNotFoundError(f"store {store!r} has no files at v{v} and no schema given")
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(table, f) for f in files])
+    reader = spark.read
+    if apply_schema:
+        if schema is None:
+            raise ValueError("apply_schema=True requires schema")
+        reader = reader.schema(schema)
+    return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
 def write_table(df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None) -> int:

@@ -263,9 +263,66 @@ def _write_epoch_partition(df: DataFrame, path: str, epoch_id: int) -> None:
 def read_epoch_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an epoch-partitioned streaming sink (anything written by
     :func:`_write_epoch_partition`) as a plain table: partition pruning
-    over ``__epoch`` still applies upstream, the provenance column just
-    doesn't leak into the user schema."""
-    return spark.read.parquet(path).drop("__epoch")
+    over ``__epoch`` (and ``__run``, for run-namespaced sinks) still
+    applies upstream, the provenance columns just don't leak into the
+    user schema."""
+    return spark.read.parquet(path).drop("__epoch", "__run")
+
+
+def _validate_run_id(run_id: str) -> None:
+    """``run_id`` becomes a hive partition VALUE in the output path —
+    path/partition metacharacters would corrupt the layout (``a/b``
+    nests bogus directories, ``a=b`` parses as an extra partition) or
+    let two ids collide/escape the namespace."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", run_id or ""):
+        raise ValueError(
+            f"run_id {run_id!r} must be non-empty and contain only "
+            "[A-Za-z0-9._-] (it becomes a hive partition value)"
+        )
+
+
+def _guard_run_layout(spark: SparkSession, out_path: str, run_id: str | None) -> None:
+    """An out sink is EITHER flat (``__epoch=*`` at the top) or
+    run-namespaced (``__run=*/__epoch=*``) — mixing depths makes Spark's
+    partition discovery fail for every reader ('Conflicting directory
+    structures'). Switching modes on an existing sink is exactly the
+    upgrade a rebuilt checkpoint invites, so fail it loudly with the
+    migration path instead of bricking the table."""
+    from cashback_data_pipeline_spark.sinks.writers import _path_exists
+
+    if not _path_exists(spark, out_path):
+        return
+    if "://" not in out_path:
+        import glob as _glob
+
+        has_flat = bool(_glob.glob(f"{out_path}/__epoch=*"))
+        has_run = bool(_glob.glob(f"{out_path}/__run=*"))
+    else:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+        def _glob_any(pattern: str) -> bool:
+            hpath = jvm.org.apache.hadoop.fs.Path(pattern)
+            st = hpath.getFileSystem(hconf).globStatus(hpath)
+            return st is not None and len(st) > 0
+
+        has_flat = _glob_any(f"{out_path}/__epoch=*")
+        has_run = _glob_any(f"{out_path}/__run=*")
+    if run_id is not None and has_flat:
+        raise ValueError(
+            f"out sink {out_path} holds a flat __epoch layout; writing run_id="
+            f"{run_id!r} would mix partition depths and break every reader. "
+            "Use a fresh out_path for the run-namespaced sink (or move the "
+            "existing data under __run=<old-id>/ first)."
+        )
+    if run_id is None and has_run:
+        raise ValueError(
+            f"out sink {out_path} is run-namespaced (__run=*); pass run_id= "
+            "so this incarnation gets its own namespace instead of mixing "
+            "partition depths."
+        )
 
 
 def route_batch_to_sinks(batch: DataFrame, epoch_id: int, keep_path: str, drop_path: str) -> None:
@@ -539,6 +596,9 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
             )
         else:
             df = df.withColumn("src_epoch", F.lit(-1))
+        # pre-upgrade rows belong to the default ("") run namespace
+        if "src_run" not in df.columns:
+            df = df.withColumn("src_run", F.lit(""))
         files += M.write_store_files(df.drop("__epoch"), index_path, cid, store)
         schemas[store] = df.drop("__epoch").schema.json()
     # the manifest `schema` field means the BANDS store for this table —
@@ -624,6 +684,9 @@ def near_dup_ingest_batch(
     if not batch.head(1):
         return
     spark = batch.sparkSession
+    if run_id is not None:
+        _validate_run_id(run_id)
+    _guard_run_layout(spark, out_path, run_id)
     rows_per_band = num_hashes // bands
 
     if M.current_version(index_path) is None:
@@ -668,29 +731,62 @@ def near_dup_ingest_batch(
     # read failure FAILS the micro-batch (checkpoint replays it) rather
     # than silently skipping history screening and admitting duplicates.
     cur = M.current_version(index_path)
+    cur_run = run_id or ""
+    # history reads ENFORCE the expected schema (current relations +
+    # provenance columns): a store whose files span schema generations
+    # (pre-src_run commits next to newer ones) must read the evolved
+    # column as per-file NULLs deterministically, not
+    # present-or-absent depending on which file Spark sampled
+    bands_hist_schema = T.StructType(
+        list(bks.schema.fields)
+        + [T.StructField("src_epoch", T.IntegerType()), T.StructField("src_run", T.StringType())]
+    )
+    sigs_hist_schema = T.StructType(
+        list(sigs.schema.fields)
+        + [T.StructField("src_epoch", T.IntegerType()), T.StructField("src_run", T.StringType())]
+    )
     hist_ids = None
     matches = None
     if cur is not None:
-        hist_bands = M.read_store(spark, index_path, "bands", version=cur)
-        hist_sigs = M.read_store(spark, index_path, "sigs", version=cur)
+        hist_bands = M.read_store(
+            spark, index_path, "bands", version=cur, schema=bands_hist_schema, apply_schema=True
+        )
+        hist_sigs = M.read_store(
+            spark, index_path, "sigs", version=cur, schema=sigs_hist_schema, apply_schema=True
+        )
         hist_ids = hist_sigs.select("id")
         cand = (
             bks.join(
-                hist_bands.select(F.col("id").alias("old_id"), "band", "bh", "src_epoch"),
+                hist_bands.select(
+                    F.col("id").alias("old_id"),
+                    "band",
+                    "bh",
+                    "src_epoch",
+                    # pre-src_run rows belong to the default ("") namespace
+                    F.coalesce("src_run", F.lit("")).alias("src_run"),
+                ),
                 ["band", "bh"],
             )
-            # replay guard, EPOCH-AWARE via src_epoch (the ORIGIN epoch,
-            # carried as a data column so index compaction preserves it —
-            # the __epoch partition column is only the commit vehicle and
-            # compaction consolidates it to -1): the crashed first attempt
-            # may have indexed this very batch under THIS epoch — that
+            # replay guard, RUN+EPOCH-scoped via (src_run, src_epoch) —
+            # the ORIGIN incarnation and micro-batch, carried as data
+            # columns so index compaction preserves them (__epoch is only
+            # the commit vehicle): the crashed first attempt may have
+            # indexed this very batch under THIS (run, epoch) — that
             # self-match is a replay artifact and must be excluded, even
             # if a compaction ran between crash and replay. A self-match
-            # whose src_epoch differs is a genuine redelivery of an
-            # already-ingested doc — it must still route is_dup so the
-            # out sink never accumulates two fresh rows for one doc.
+            # from ANY OTHER (run, epoch) is a genuine redelivery of an
+            # already-ingested doc — including a rebuilt checkpoint
+            # re-reading the source under a RECYCLED epoch number (the
+            # review-pass escape: epoch-only scoping let runB's epoch 0
+            # redeliveries of runA's epoch-0 docs route fresh again) —
+            # and must still route is_dup so the out sink never
+            # accumulates two fresh rows for one doc.
             .filter(
-                ~((F.col("old_id") == F.col("id")) & (F.col("src_epoch") == F.lit(int(epoch_id))))
+                ~(
+                    (F.col("old_id") == F.col("id"))
+                    & (F.col("src_epoch") == F.lit(int(epoch_id)))
+                    & (F.col("src_run") == F.lit(cur_run))
+                )
             )
             .select("id", "old_id")
             .distinct()
@@ -752,8 +848,9 @@ def near_dup_ingest_batch(
         if not fresh_ids.head(1):
             return  # all-dup batch: nothing to index, no version churn
         src = F.lit(int(epoch_id)).alias("src_epoch")
-        new_bands = bks.join(fresh_ids, "id", "leftsemi").select("*", src)
-        new_sigs = sigs.join(fresh_ids, "id", "leftsemi").select("*", src)
+        srun = F.lit(cur_run).alias("src_run")
+        new_bands = bks.join(fresh_ids, "id", "leftsemi").select("*", src, srun)
+        new_sigs = sigs.join(fresh_ids, "id", "leftsemi").select("*", src, srun)
         # ONE atomic commit appends both stores; the CAS loop re-reads
         # the current version on loss (e.g. a concurrent compaction) —
         # data files land once, only the commit retries

@@ -274,7 +274,7 @@ def test_near_dup_ingest_stream_screens_against_history(spark, tmp_path):
 
     sigs = M.read_store(spark, str(tmp_path / "index"), "sigs")
     assert {r["id"] for r in sigs.select("id").collect()} == {1, 2, 12}
-    assert set(sigs.columns) == {"id", "sig", "src_epoch"}
+    assert set(sigs.columns) == {"id", "sig", "src_epoch", "src_run"}
 
 
 def _near_dup_state(spark, tmp_path):
@@ -737,3 +737,67 @@ def test_route_batch_to_manifest_key_mode_survives_recycled_epochs(spark, tmp_pa
     out = M.read_table(spark, table)
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
     assert out.count() == 3
+
+
+def test_near_dup_cross_run_redelivery_routes_as_dup(spark, tmp_path):
+    """Review-pass finding: with epoch-only scoping, a rebuilt
+    checkpoint re-reading the source redelivers docs under recycled
+    epoch ids EQUAL to their original src_epoch — the self-match
+    exclusion let them route fresh again (two is_dup=false rows for one
+    doc across runs). Scoping by (src_run, src_epoch) closes it."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    near_dup_ingest_batch(b, 0, run_id="runA", **kw)
+    # same-run same-epoch replay: self-match excluded, routed fresh once
+    near_dup_ingest_batch(b, 0, run_id="runA", **kw)
+    # rebuilt checkpoint: full source re-read delivers doc 1 again at
+    # recycled epoch 0 — same epoch number as its src_epoch, NEW run
+    near_dup_ingest_batch(b, 0, run_id="runB", **kw)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {(r["__run"], r["doc_id"]): r for r in out.collect()}
+    assert not rows[("runA", 1)]["is_dup"]  # original sighting: fresh
+    assert rows[("runB", 1)]["is_dup"] and rows[("runB", 1)]["dup_of"] == 1
+    fresh = [r for r in rows.values() if not r["is_dup"]]
+    assert len(fresh) == 1  # never two fresh rows for one doc
+    # index still holds exactly one copy
+    assert M.read_store(spark, str(tmp_path / "index"), "sigs").count() == 1
+
+
+def test_near_dup_run_layout_and_id_guards(spark, tmp_path):
+    """Switching an existing out sink between flat and run-namespaced
+    layouts must fail loudly (mixed partition depths brick readers), and
+    path-metacharacter run ids are rejected."""
+    import pytest
+
+    from cashback_data_pipeline_spark.streaming.jobs import near_dup_ingest_batch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    near_dup_ingest_batch(b, 0, **kw)  # flat layout
+    with pytest.raises(ValueError, match="mix partition depths"):
+        near_dup_ingest_batch(b, 1, run_id="runA", **kw)
+
+    kw2 = dict(index_path=str(tmp_path / "index2"), out_path=str(tmp_path / "out2"), threshold=0.7)
+    near_dup_ingest_batch(b, 0, run_id="runA", **kw2)  # namespaced layout
+    with pytest.raises(ValueError, match="run-namespaced"):
+        near_dup_ingest_batch(b, 1, **kw2)
+    with pytest.raises(ValueError, match="partition value"):
+        near_dup_ingest_batch(b, 1, run_id="a/b", **kw2)
+
+
+def test_read_epoch_table_drops_run_column(spark, tmp_path):
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        near_dup_ingest_batch,
+        read_epoch_table,
+    )
+
+    kw = dict(index_path=str(tmp_path / "index"), out_path=str(tmp_path / "out"), threshold=0.7)
+    b = spark.createDataFrame([(1, "alpha beta gamma " * 5)], "doc_id long, text string")
+    near_dup_ingest_batch(b, 0, run_id="runA", **kw)
+    out = read_epoch_table(spark, str(tmp_path / "out"))
+    assert "__run" not in out.columns and "__epoch" not in out.columns
