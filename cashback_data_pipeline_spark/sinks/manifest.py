@@ -185,6 +185,7 @@ def read_store(
     file_filter=None,
     schema: T.StructType | None = None,
     apply_schema: bool = False,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read one store of a multi-store manifest table at a PINNED
     version. ``file_filter(relpath) -> bool`` prunes files from manifest
@@ -196,7 +197,11 @@ def read_store(
     when a store's files span schema generations (an evolved column is
     NULL in pre-evolution files for every row, deterministically,
     instead of present-or-absent depending on which file Spark sampled
-    for inference)."""
+    for inference). ``merge_schema=True`` is the alternative for a
+    caller that does NOT know the expected schema up front (e.g. a
+    compactor rewriting whatever the store holds): the read unions every
+    file's schema instead of sampling one file, so an evolved column can
+    never silently vanish from the snapshot."""
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -208,6 +213,8 @@ def read_store(
             raise FileNotFoundError(f"store {store!r} has no files at v{v} and no schema given")
         return spark.createDataFrame([], schema)
     reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     if apply_schema:
         if schema is None:
             raise ValueError("apply_schema=True requires schema")
@@ -280,18 +287,45 @@ def compact_table(spark: SparkSession, table: str, n_files: int = 4) -> int:
             return cur + 1
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Mirror of Catalyst's RowOrdering.isOrderable: maps (at any
+    nesting level) cannot be sort keys."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _one_row_per_key(incoming: DataFrame, key: str):
+    """Deterministic one-row-per-key pick for the merge/append paths:
+    lowest full tuple. Columns whose type Catalyst cannot sort (MapType
+    anywhere in the tree — ADVICE r6, manifest.py:324) participate via
+    their canonical JSON rendering instead of failing the whole load
+    with AnalysisException; the pick stays deterministic for identical
+    input rows (same stored map = same JSON = same rank), which is all
+    replay idempotence needs."""
+    from pyspark.sql import Window as W
+
+    order_cols = [
+        F.col(f.name) if _orderable(f.dataType) else F.to_json(F.col(f.name)).asc_nulls_first()
+        for f in incoming.schema.fields
+    ]
+    w = W.partitionBy(key).orderBy(*order_cols)
+    return (
+        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
 def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str) -> int:
     """MERGE-by-key as a manifest commit: current-version rows whose key
     collides are replaced, new keys appended, one row per key kept
     deterministically (lowest full tuple). Optimistic concurrency: on
     CAS loss the merge recomputes against the winner's version, so
     concurrent upserts SERIALIZE instead of last-writer-wins."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(key).orderBy(*[c for c in incoming.columns])
-    incoming_unique = (
-        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    )
+    incoming_unique = _one_row_per_key(incoming, key)
     while True:
         cur = current_version(table)
         if cur is None:
@@ -319,12 +353,7 @@ def append_table_if_absent(
     anti-join recomputes against the winner's version, so two racing
     loaders SERIALIZE — each key lands exactly once, from whichever
     loader commits it first."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(key).orderBy(*[c for c in incoming.columns])
-    incoming_unique = (
-        incoming.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-    )
+    incoming_unique = _one_row_per_key(incoming, key)
     while True:
         cur = current_version(table)
         if cur is None:

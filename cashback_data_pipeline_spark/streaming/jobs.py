@@ -642,7 +642,23 @@ def compact_near_dup_index(spark: SparkSession, index_path: str, n_files: int = 
         files: list[str] = []
         schemas: dict[str, str] = {}
         for store in ("bands", "sigs"):
-            snapshot = M.read_store(spark, index_path, store, version=cur)
+            # mergeSchema, mirroring the ingest's enforced-schema read
+            # (ADVICE r6, jobs.py:645): on a mixed-generation index
+            # (pre-src_run commits next to newer ones) single-file
+            # schema sampling could silently DROP the provenance
+            # columns from the compacted snapshot, after which the
+            # (src_run, src_epoch) replay guard misroutes a replayed
+            # batch's own docs as dups. Backfilling the sentinel
+            # values (-1 / "") also means post-compaction rows can
+            # never carry NULL provenance into the screening filter.
+            snapshot = M.read_store(spark, index_path, store, version=cur, merge_schema=True)
+            for pcol, default, ptype in (("src_epoch", -1, "int"), ("src_run", "", "string")):
+                if pcol in snapshot.columns:
+                    snapshot = snapshot.withColumn(
+                        pcol, F.coalesce(F.col(pcol).cast(ptype), F.lit(default).cast(ptype))
+                    )
+                else:
+                    snapshot = snapshot.withColumn(pcol, F.lit(default).cast(ptype))
             files += M.write_store_files(snapshot.coalesce(n_files), index_path, cid, store)
             schemas[store] = snapshot.schema.json()
         meta = {"compaction": True}
@@ -852,13 +868,44 @@ def near_dup_ingest_batch(
         new_bands = bks.join(fresh_ids, "id", "leftsemi").select("*", src, srun)
         new_sigs = sigs.join(fresh_ids, "id", "leftsemi").select("*", src, srun)
         # ONE atomic commit appends both stores; the CAS loop re-reads
-        # the current version on loss (e.g. a concurrent compaction) —
-        # data files land once, only the commit retries
+        # the current version on loss — data files land once per
+        # screening generation, only the commit retries. When the loss
+        # is to a version OTHER than the one this batch screened
+        # against (a racing ingest writer sharing the index, not just a
+        # compaction), the id anti-join is RE-RUN against the winner's
+        # sigs and the delta files rewritten (ADVICE r6, jobs.py:860):
+        # without that, two concurrent writers could both commit
+        # bands/sigs for the same doc id — a permanent duplicate index
+        # entry. Mirrors append_table_if_absent, which recomputes its
+        # anti-join on CAS loss. Orphaned prior deltas → vacuum.
         cid = M.new_commit_id()
         files = M.write_store_files(new_bands, index_path, cid, "bands")
         files += M.write_store_files(new_sigs, index_path, cid, "sigs")
+        screened = cur
         while True:
             cur2 = M.current_version(index_path)
+            if cur2 is not None and cur2 != screened:
+                winner_ids = (
+                    M.read_store(
+                        spark,
+                        index_path,
+                        "sigs",
+                        version=cur2,
+                        schema=sigs_hist_schema,
+                        apply_schema=True,
+                    )
+                    .select("id")
+                    .distinct()
+                )
+                new_bands = new_bands.join(winner_ids, "id", "left_anti")
+                new_sigs = new_sigs.join(winner_ids, "id", "left_anti")
+                screened = cur2
+                if not new_sigs.head(1):
+                    return  # every remaining doc already indexed by the winner
+                cid = M.new_commit_id()
+                files = M.write_store_files(new_bands, index_path, cid, "bands")
+                files += M.write_store_files(new_sigs, index_path, cid, "sigs")
+                continue  # re-resolve before committing against cur2
             old_files = M.read_manifest(index_path, cur2)["files"] if cur2 is not None else []
             # meta epoch is PROVENANCE only (which micro-batch committed
             # this version) — never a dedup decision: idempotence rests
