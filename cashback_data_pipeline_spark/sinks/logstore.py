@@ -1,0 +1,278 @@
+"""Storage primitives for the manifest commit protocol (the LogStore
+seam the :mod:`manifest` docstring has always specified).
+
+The manifest layer needs exactly five storage capabilities: list a
+directory, read a small file, publish a small file ATOMICALLY-IF-ABSENT
+(the commit CAS), enumerate a data directory's files, and delete.
+Everything above this seam — optimistic-concurrency commits, pinned
+readers, vacuum — is storage-agnostic. This module provides two
+implementations, mirroring the public Delta Lake LogStore designs
+(HDFSLogStore's FileContext rename and S3SingleDriverLogStore's
+in-process serialization):
+
+- :class:`LocalLogStore` — plain paths. The CAS is ``os.link`` (O_EXCL
+  semantics: link(2) fails if the target exists, and the fully-written,
+  fsynced content appears in one atomic metadata op). This is the
+  strongest primitive a POSIX filesystem offers and the default for any
+  path without a URI scheme.
+- :class:`HadoopFsLogStore` — any ``scheme://`` URI Spark's Hadoop
+  configuration can resolve (``hdfs://``, ``file://``, a mounted
+  ``viewfs://``, an ``s3a://`` with a consistent rename, ...). The CAS
+  is ``FileContext.rename(src, dst, Options.Rename.NONE)`` — on HDFS an
+  atomic NameNode op that fails with FileAlreadyExistsException when the
+  destination exists, which is precisely Delta's HDFSLogStore contract.
+  Same-process committers are additionally serialized by an in-process
+  lock (the S3SingleDriverLogStore idea), so on stores whose rename is
+  check-then-act rather than atomic (the raw ``file://`` scheme, used by
+  the contract tests) concurrent commits from one driver are still
+  exactly-once; CROSS-process safety on such stores is best-effort and
+  the local-path deployment should use :class:`LocalLogStore` instead.
+
+The reference's warehouse lives on object storage and its transactional
+serving load assumes the store provides the atomicity
+(glue_script.py:77, load_to_redshift_lambda.py:119-127); this seam is
+what lets every manifest-backed capability (incremental inverted index,
+incremental IVF, streaming near-dup index, transactional loads) commit
+on the storage a real cluster has.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+import shutil
+import threading
+import uuid
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+
+TMP_PREFIX = ".tmp_"
+
+
+def get_log_store(table: str, spark=None):
+    """Resolve the store for a table root: URI scheme → Hadoop
+    FileSystem API via the active Spark JVM; plain path → local POSIX
+    primitives."""
+    if _SCHEME_RE.match(table):
+        return HadoopFsLogStore(spark)
+    return LocalLogStore()
+
+
+class LocalLogStore:
+    """POSIX-primitive store: O_EXCL-link CAS, listdir discovery."""
+
+    def join(self, base: str, *parts: str) -> str:
+        return os.path.join(base, *parts)
+
+    def relativize(self, base: str, child: str) -> str:
+        return os.path.relpath(child, base)
+
+    def list_names(self, directory: str) -> list[str]:
+        # os.listdir rather than glob DELIBERATELY: glob swallows
+        # OSError/PermissionError (an NFS hiccup would read as "table
+        # does not exist") — only a true FileNotFoundError may mean
+        # not-yet-created (see manifest.current_version).
+        return os.listdir(directory)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as fh:
+            return fh.read()
+
+    def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        """The commit CAS: write the FULL content to a hidden temp file,
+        fsync, then ``os.link`` it to the target name — link(2) both
+        fails if the target exists and makes the complete content appear
+        in one atomic metadata op. A crash mid-publish leaves only a
+        temp file (swept by vacuum), never a torn target."""
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(directory, name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def list_files_recursive(self, directory: str, suffix: str = "") -> list[str]:
+        return [
+            p
+            for p in _glob.glob(os.path.join(directory, "**", "*" + suffix), recursive=True)
+            if os.path.isfile(p)
+        ]
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def delete_recursive(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def delete_file(self, path: str) -> None:
+        os.unlink(path)
+
+
+class HadoopFsLogStore:
+    """Hadoop-FileSystem-API store, driven through the active Spark
+    session's JVM gateway. All metadata ops go through the SAME Hadoop
+    configuration Spark uses for data files, so a table root resolves
+    identically for ``df.write.parquet`` and for the manifest machinery.
+
+    CAS atomicity contract: guaranteed cross-process on filesystems
+    whose no-overwrite rename is atomic (HDFS; Delta's HDFSLogStore
+    makes the same claim); same-process committers are always serialized
+    by ``_publish_lock`` regardless of filesystem (class docstring of
+    this module)."""
+
+    _publish_lock = threading.Lock()
+
+    def __init__(self, spark=None):
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            # getActiveSession is THREAD-local; racing committer threads
+            # (and foreachBatch workers) fall back to the process-wide
+            # instantiated session
+            spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+        if spark is None:
+            raise RuntimeError(
+                "HadoopFsLogStore needs an active SparkSession (its JVM hosts "
+                "the Hadoop FileSystem client for scheme:// table paths)"
+            )
+        self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # -- JVM helpers ----------------------------------------------------
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._jpath(p).getFileSystem(self._conf)
+
+    @staticmethod
+    def _java_class(exc) -> str:
+        je = getattr(exc, "java_exception", None)
+        try:
+            return je.getClass().getName() if je is not None else ""
+        except Exception:
+            return ""
+
+    def _translate_fnf(self, exc, path: str):
+        if "FileNotFoundException" in self._java_class(exc):
+            raise FileNotFoundError(path) from exc
+        raise exc
+
+    # -- path algebra ---------------------------------------------------
+    def join(self, base: str, *parts: str) -> str:
+        return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+
+    def relativize(self, base: str, child: str) -> str:
+        # normalize through Hadoop Path URIs so "file:///x" and
+        # "file:/x/..." (the listing's rendering) compare equal
+        b = self._jpath(base).toUri().getPath().rstrip("/")
+        c = self._jpath(child).toUri().getPath()
+        if not c.startswith(b + "/"):
+            raise ValueError(f"{child!r} is not under {base!r}")
+        return c[len(b) + 1 :]
+
+    # -- primitives -----------------------------------------------------
+    def list_names(self, directory: str) -> list[str]:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            statuses = self._fs(directory).listStatus(self._jpath(directory))
+        except Py4JJavaError as e:
+            self._translate_fnf(e, directory)
+        return [s.getPath().getName() for s in statuses]
+
+    def read_text(self, path: str) -> str:
+        from py4j.protocol import Py4JJavaError
+
+        fs = self._fs(path)
+        try:
+            stream = fs.open(self._jpath(path))
+        except Py4JJavaError as e:
+            self._translate_fnf(e, path)
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8")
+
+    def _write_bytes(self, path: str, content: bytes) -> None:
+        out = self._fs(path).create(self._jpath(path), False)
+        try:
+            out.write(bytearray(content))
+            out.hflush()
+        finally:
+            out.close()
+
+    def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        """The commit CAS: write the FULL content to a hidden temp file,
+        then ``FileContext.rename(..., Options.Rename.NONE)`` it to the
+        target — on HDFS one atomic NameNode op that fails when the
+        destination exists; a reader can never observe a half-written
+        manifest. The in-process lock serializes same-driver committers
+        on filesystems whose NONE-rename is check-then-act."""
+        from py4j.protocol import Py4JJavaError
+
+        fs = self._fs(directory)
+        jdir = self._jpath(directory)
+        fs.mkdirs(jdir)
+        tmp = self.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
+        self._write_bytes(tmp, content.encode("utf-8"))
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(jdir.toUri(), self._conf)
+        rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.NONE
+        target = self.join(directory, name)
+        with HadoopFsLogStore._publish_lock:
+            try:
+                fc.rename(self._jpath(tmp), self._jpath(target), opts)
+                return True
+            except Py4JJavaError as e:
+                if "AlreadyExistsException" in self._java_class(e):
+                    fs.delete(self._jpath(tmp), False)
+                    return False
+                raise
+
+    def list_files_recursive(self, directory: str, suffix: str = "") -> list[str]:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            it = self._fs(directory).listFiles(self._jpath(directory), True)
+        except Py4JJavaError as e:
+            if "FileNotFoundException" in self._java_class(e):
+                return []
+            raise
+        out = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            if p.endswith(suffix):
+                out.append(p)
+        return out
+
+    def exists(self, path: str) -> bool:
+        return self._fs(path).exists(self._jpath(path))
+
+    def mtime(self, path: str) -> float:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            return self._fs(path).getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
+        except Py4JJavaError as e:
+            self._translate_fnf(e, path)
+
+    def delete_recursive(self, path: str) -> None:
+        self._fs(path).delete(self._jpath(path), True)
+
+    def delete_file(self, path: str) -> None:
+        self._fs(path).delete(self._jpath(path), False)

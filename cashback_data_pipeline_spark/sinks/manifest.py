@@ -13,13 +13,13 @@ Delta's transaction log + LogStore, Iceberg's metadata pointer):
 - A table VERSION is a JSON manifest ``<table>/_manifests/v<N>.json``
   listing exactly the data files that make up that version (plus the
   schema, for empty tables and reader validation).
-- Publishing version N+1 is ONE atomic file creation (``open(..., "x")``
-  → O_EXCL). Two concurrent writers racing to the same version: exactly
-  one wins; the loser re-reads the new current version and RETRIES its
-  whole operation against it (optimistic concurrency, serializable
-  commits). On an object store without atomic create, swap this seam
-  for a conditional put / external lock — exactly Delta's LogStore
-  contract; the rest of the protocol is storage-agnostic.
+- Publishing version N+1 is ONE atomic create-if-absent, provided by a
+  pluggable :mod:`logstore` (Delta's LogStore contract): O_EXCL link on
+  local paths, FileContext no-overwrite rename on ``scheme://`` paths
+  (HDFS-atomic — the store a real cluster has). Two concurrent writers
+  racing to the same version: exactly one wins; the loser re-reads the
+  new current version and RETRIES its whole operation against it
+  (optimistic concurrency, serializable commits).
 - Readers resolve the manifest ONCE and then read a PINNED file list:
   a concurrent commit cannot tear a running read, because the files it
   references are never touched. ``vacuum`` deletes only data dirs
@@ -32,7 +32,6 @@ and nothing ever blocks readers.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import uuid
@@ -41,43 +40,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from cashback_data_pipeline_spark.sinks.logstore import TMP_PREFIX, get_log_store
+
 _MANIFEST_DIR = "_manifests"
 
 
-def _require_local(table: str) -> None:
-    """The commit CAS is ``os.link`` and discovery is ``os.listdir`` —
-    LOCAL-FILESYSTEM primitives. A remote URI would have Spark write
-    data files to the object store while the manifest machinery silently
-    operated on a bogus local ``s3:/...`` directory (empty file lists,
-    phantom versions) — fail loudly at the seam instead. Supporting an
-    object store means swapping this layer's create/list for a
-    conditional put — exactly Delta's LogStore contract (module
-    docstring); everything above it is storage-agnostic."""
-    if "://" in table:
-        raise ValueError(
-            f"manifest tables require a local filesystem path, got {table!r}; "
-            "object-store support needs a conditional-put LogStore seam in "
-            "sinks/manifest.py (see module docstring)"
-        )
+def _version_name(version: int) -> str:
+    return f"v{version:020d}.json"
 
 
 def _manifest_path(table: str, version: int) -> str:
-    return os.path.join(table, _MANIFEST_DIR, f"v{version:020d}.json")
+    store = get_log_store(table)
+    return store.join(table, _MANIFEST_DIR, _version_name(version))
 
 
 def current_version(table: str) -> int | None:
     """Highest committed version, or None for a not-yet-created table.
 
-    Uses ``os.listdir`` rather than glob DELIBERATELY: glob swallows
-    OSError/PermissionError (an NFS hiccup would read as "table does not
-    exist"), and for screening-critical readers like the streaming
-    near-dup ingest a transient FS error MUST fail the micro-batch
-    (checkpoint replays it) rather than silently report an absent index
-    and admit every duplicate. Only a true FileNotFoundError means
-    not-yet-created."""
-    _require_local(table)
+    Discovery is a raw directory listing, never a glob: a transient FS
+    error must PROPAGATE (for screening-critical readers like the
+    streaming near-dup ingest it fails the micro-batch, which the
+    checkpoint replays) rather than silently read as "table does not
+    exist" and admit every duplicate. Only a true FileNotFoundError
+    means not-yet-created."""
+    store = get_log_store(table)
     try:
-        names = os.listdir(os.path.join(table, _MANIFEST_DIR))
+        names = store.list_names(store.join(table, _MANIFEST_DIR))
     except FileNotFoundError:
         return None
     versions = [
@@ -87,8 +75,7 @@ def current_version(table: str) -> int | None:
 
 
 def read_manifest(table: str, version: int) -> dict:
-    with open(_manifest_path(table, version)) as fh:
-        return json.load(fh)
+    return json.loads(get_log_store(table).read_text(_manifest_path(table, version)))
 
 
 def _try_commit(
@@ -101,44 +88,32 @@ def _try_commit(
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
-    Publication = write the FULL manifest to a hidden temp file, fsync,
-    then ``os.link`` it to the version name: link(2) both fails if the
-    target exists (the CAS) and makes the complete content appear in one
-    atomic metadata op — a reader or racing writer can never observe a
-    half-written manifest, and a crash mid-commit leaves only a temp
-    file (swept by vacuum), never a bricked version. Object stores
-    substitute a conditional put here (Delta LogStore seam). ``meta``
-    rides in the manifest (e.g. a streaming epoch id)."""
-    _require_local(table)
-    os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    Publication is the LogStore's create-if-absent (logstore module
+    docstring): the complete manifest content appears in one atomic op
+    — a reader or racing writer can never observe a half-written
+    manifest, and a crash mid-commit leaves only a temp file (swept by
+    vacuum), never a bricked version. ``meta`` rides in the manifest
+    (e.g. a streaming epoch id)."""
+    store = get_log_store(table)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
     if meta:
         doc["meta"] = meta
-    tmp = os.path.join(table, _MANIFEST_DIR, f".tmp_{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, _manifest_path(table, version))
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return store.publish_atomic(
+        store.join(table, _MANIFEST_DIR), _version_name(version), json.dumps(doc)
+    )
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
     """Write one commit's immutable data dir; return table-relative file
     paths. Files exist but are INVISIBLE until a manifest references
     them — a crash here leaves only unreferenced files for vacuum."""
-    _require_local(table)
+    store = get_log_store(table)
     commit_id = uuid.uuid4().hex[:12]
-    data_dir = os.path.join(table, "data", commit_id)
+    data_dir = store.join(table, "data", commit_id)
     df.write.parquet(data_dir)
     return [
-        os.path.relpath(p, table)
-        for p in glob.glob(os.path.join(data_dir, "*.parquet"))
+        store.relativize(table, p)
+        for p in store.list_files_recursive(data_dir, suffix=".parquet")
     ]
 
 
@@ -158,15 +133,15 @@ def write_store_files(
     out hive-partitioned so readers can prune FILES from the manifest's
     metadata alone, no directory listing. Returns table-relative paths —
     invisible until a manifest references them, like every data write."""
-    _require_local(table)
-    data_dir = os.path.join(table, "data", commit_id, store)
+    log_store = get_log_store(table)
+    data_dir = log_store.join(table, "data", commit_id, store)
     writer = df.write
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(data_dir)
     return [
-        os.path.relpath(p, table)
-        for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        log_store.relativize(table, p)
+        for p in log_store.list_files_recursive(data_dir, suffix=".parquet")
     ]
 
 
@@ -219,7 +194,8 @@ def read_store(
         if schema is None:
             raise ValueError("apply_schema=True requires schema")
         reader = reader.schema(schema)
-    return reader.parquet(*[os.path.join(table, f) for f in files])
+    log_store = get_log_store(table)
+    return reader.parquet(*[log_store.join(table, f) for f in files])
 
 
 def write_table(df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None) -> int:
@@ -267,7 +243,8 @@ def read_table(spark: SparkSession, table: str, version: int | None = None) -> D
     if not m["files"]:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+    store = get_log_store(table)
+    return spark.read.parquet(*[store.join(table, f) for f in m["files"]])
 
 
 def compact_table(spark: SparkSession, table: str, n_files: int = 4) -> int:
@@ -385,10 +362,12 @@ def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str
     progress and is skipped — only dirs older than the window (i.e. a
     writer that crashed pre-commit, or superseded versions) are removed.
     Also sweeps orphaned manifest temp files past the window. Returns
-    the removed dirs."""
-    import shutil
+    the removed dirs. Ages compare the store's file mtimes to the local
+    clock — on a remote store keep ``min_age_s`` generously above any
+    plausible clock skew (the Delta retention-window practice)."""
     import time
 
+    store = get_log_store(table)
     cur = current_version(table)
     if cur is None:
         return []
@@ -399,17 +378,33 @@ def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str
             m = read_manifest(table, v)
         except FileNotFoundError:
             continue
-        referenced |= {f.split(os.sep)[1] for f in m["files"] if f.startswith("data")}
+        referenced |= {
+            f.replace(os.sep, "/").split("/")[1] for f in m["files"] if f.startswith("data")
+        }
     now = time.time()
     removed = []
-    for d in glob.glob(os.path.join(table, "data", "*")):
-        if os.path.basename(d) in referenced:
+    data_root = store.join(table, "data")
+    try:
+        commit_dirs = store.list_names(data_root)
+    except FileNotFoundError:
+        commit_dirs = []
+    for name in commit_dirs:
+        d = store.join(data_root, name)
+        if name in referenced:
             continue
-        if now - os.path.getmtime(d) < min_age_s:
+        if now - store.mtime(d) < min_age_s:
             continue  # possibly an in-flight commit's data — not ours to take
-        shutil.rmtree(d)
+        store.delete_recursive(d)
         removed.append(d)
-    for t in glob.glob(os.path.join(table, _MANIFEST_DIR, ".tmp_*")):
-        if now - os.path.getmtime(t) >= min_age_s:
-            os.unlink(t)
+    manifest_dir = store.join(table, _MANIFEST_DIR)
+    try:
+        manifest_names = store.list_names(manifest_dir)
+    except FileNotFoundError:
+        manifest_names = []
+    for name in manifest_names:
+        if not name.startswith(TMP_PREFIX):
+            continue
+        t = store.join(manifest_dir, name)
+        if now - store.mtime(t) >= min_age_s:
+            store.delete_file(t)
     return removed

@@ -260,6 +260,63 @@ def _write_epoch_partition(df: DataFrame, path: str, epoch_id: int) -> None:
     )
 
 
+def vacuum_run_partitions(
+    out_path: str,
+    keep_runs: list[str] | None = None,
+    keep_last: int | None = None,
+) -> list[str]:
+    """Retention sweep for run-namespaced streaming sinks (VERDICT r6
+    item 8): every stream restart under a new ``run_id`` accretes one
+    ``__run=<id>`` partition tree on the routed-output sink, forever.
+    Deletes whole retired run namespaces — either everything not in
+    ``keep_runs`` (explicit incarnation list) or everything but the
+    ``keep_last`` most-recently-written runs — and returns the removed
+    paths. Exactly one selection mode must be given.
+
+    Safe by construction: run trees are self-contained OUTPUT (routing
+    decisions for that incarnation's consumers) — the dedup index keeps
+    its own provenance in the manifest table, so deleting an old run's
+    output can never flip a future routing decision; and
+    :func:`read_epoch_table`'s partition discovery sees only the
+    surviving ``__run=*/__epoch=*`` trees, so readers keep working with
+    no layout migration. A flat (``__epoch=*``) sink is refused loudly —
+    it has no run namespaces to retire (symmetric with
+    :func:`_guard_run_layout`). Storage-agnostic via the manifest
+    LogStore seam (works on ``scheme://`` sinks)."""
+    from cashback_data_pipeline_spark.sinks.logstore import get_log_store
+
+    if (keep_runs is None) == (keep_last is None):
+        raise ValueError("pass exactly one of keep_runs= or keep_last=")
+    store = get_log_store(out_path)
+    try:
+        names = store.list_names(out_path)
+    except FileNotFoundError:
+        return []
+    if any(n.startswith("__epoch=") for n in names):
+        raise ValueError(
+            f"out sink {out_path} holds a flat __epoch layout — there are no "
+            "run namespaces to retire (run retention is for __run=*/ sinks)"
+        )
+    runs = [n for n in names if n.startswith("__run=")]
+    if keep_runs is not None:
+        for r in keep_runs:
+            _validate_run_id(r)
+        keep = {f"__run={r}" for r in keep_runs}
+    else:
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (a sink with zero runs is a delete)")
+        by_age = sorted(runs, key=lambda n: store.mtime(store.join(out_path, n)))
+        keep = set(by_age[len(by_age) - keep_last :])
+    removed = []
+    for n in runs:
+        if n in keep:
+            continue
+        p = store.join(out_path, n)
+        store.delete_recursive(p)
+        removed.append(p)
+    return removed
+
+
 def read_epoch_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an epoch-partitioned streaming sink (anything written by
     :func:`_write_epoch_partition`) as a plain table: partition pruning
@@ -607,12 +664,16 @@ def _migrate_legacy_near_dup_index(spark: SparkSession, index_path: str) -> int 
         index_path, 1, files, None, schemas["bands"], meta={"migrated": True}
     ):
         return M.current_version(index_path)  # a racing migrator won — use its commit
-    import shutil
+    from cashback_data_pipeline_spark.sinks.logstore import get_log_store
 
+    log_store = get_log_store(index_path)
     for store in ("bands", "sigs"):
         # the legacy dirs are fully captured by v1; removing them makes
         # the migration single-shot (their presence is the trigger)
-        shutil.rmtree(f"{index_path}/{store}", ignore_errors=True)
+        try:
+            log_store.delete_recursive(f"{index_path}/{store}")
+        except Exception:
+            pass  # best-effort cleanup; v1's existence already disarms the trigger
     return 1
 
 

@@ -656,15 +656,22 @@ def test_near_dup_rebuilt_checkpoint_still_indexes_new_docs(spark, tmp_path):
     assert sorted(r["id"] for r in sigs2.collect()) == [1, 2, 3]
 
 
-def test_manifest_rejects_remote_paths(spark):
+def test_manifest_remote_paths_fail_loudly_or_work(spark, tmp_path):
+    """scheme:// table paths now dispatch to the HadoopFsLogStore
+    (tests/test_logstore.py is the contract suite). A scheme the Hadoop
+    conf can't resolve must still fail LOUDLY at the seam — never
+    silently operate on a bogus local directory."""
     import pytest
 
     from cashback_data_pipeline_spark.sinks import manifest as M
 
-    with pytest.raises(ValueError, match="local filesystem"):
-        M.current_version("s3://bucket/idx")
-    with pytest.raises(ValueError, match="LogStore"):
-        M.write_table(spark.range(3), "hdfs://nn/table")
+    # an unresolvable scheme raises from the FileSystem lookup, loudly
+    with pytest.raises(Exception, match="(?i)unsupported|no filesystem|unknownhost"):
+        M.current_version("s3-nonexistent-scheme://bucket/idx")
+    # a resolvable scheme commits and reads through the same protocol
+    t = "file://" + str(tmp_path / "remote_t")
+    assert M.write_table(spark.range(3).selectExpr("id AS k"), t) == 1
+    assert M.read_table(spark, t).count() == 3
 
 
 def test_index_ingest_rebuilt_checkpoint_indexes_new_docs(spark, tmp_path):
