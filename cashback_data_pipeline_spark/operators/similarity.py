@@ -745,15 +745,30 @@ def _commit_ivf_delta(
         # CAS lost — recompute against the winner (orphans → vacuum)
 
 
-def compact_ivf_index(spark, table: str) -> int:
+def compact_ivf_index(spark, table: str, retrain: bool = False, refine_iters: int = 3) -> int:
     """Maintenance for the incremental IVF index: each
     :func:`upsert_ivf_index` commit adds one small file per touched
     list, so a long-running vector ingest accumulates per-epoch file
     fragments and probes pay file-open overhead per delta. Rewrites the
     lists store to one file per ``__list`` partition as ONE new manifest
-    version (centroid files carry forward untouched — the quantizer is
-    frozen); pinned readers unaffected, ``delta_ids`` carried forward so
-    replays stay no-ops, CAS retries on a racing delta commit."""
+    version; pinned readers unaffected, ``delta_ids`` carried forward so
+    replays stay no-ops, CAS retries on a racing delta commit.
+
+    ``retrain=False`` (default) keeps the coarse quantizer FROZEN (the
+    FAISS ``add`` contract): centroid files carry forward untouched and
+    only file layout changes. ``retrain=True`` is the drift-governance
+    path (VERDICT r6 item 4): a corpus whose distribution shifts across
+    many deltas degrades unboundedly under a frozen quantizer, so this
+    re-clusters the CURRENT vectors (deterministic lowest-id seed +
+    ``refine_iters`` Lloyd rounds — the same machinery as a fresh
+    build), REASSIGNS every vector to the new centroids, and commits
+    new lists + new centroids as ONE manifest version. Readers pinned
+    to older versions keep the old quantizer+lists coherently; future
+    :func:`upsert_ivf_index` deltas assign against the new centroids.
+    For an int8-quantized index the stored ``q·scale`` reconstructions
+    feed the retrain (the FAISS reconstruction-retrain practice);
+    re-quantization is exact on its own output (scale round-trips), so
+    retraining never compounds quantization error."""
     import json
 
     from pyspark.sql import types as T
@@ -774,16 +789,43 @@ def compact_ivf_index(spark, table: str) -> int:
             version=cur,
             schema=T.StructType.fromJson(json.loads(prev["schema"])),
         )
-        listed = lists.withColumn("__list", F.col("centroid_id"))
-        files = M.write_store_files(
-            listed.repartition("__list"), table, cid, "lists", partition_by="__list"
-        )
-        files += M.store_files(prev, "centroids")  # immutable, reused as-is
         meta = {
             "layout": layout,
             "delta_ids": prev["meta"].get("delta_ids", []),
             "compaction": True,
         }
+        if retrain:
+            id_col, vec_col = layout["id_col"], layout["vec_col"]
+            if layout["quantize"]:
+                vectors = dequantize_embeddings_int8(lists, id_col).withColumnRenamed(
+                    "embedding", vec_col
+                )
+            else:
+                vectors = lists.select(F.col(id_col), F.col(vec_col))
+            cents = make_centroids_from_sample(vectors, layout["n_centroids"], id_col, vec_col)
+            if refine_iters > 0:
+                cents = kmeans_refine(
+                    vectors, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col
+                )
+            assigned = ivf_assign(vectors, cents, id_col, vec_col)
+            if layout["quantize"]:
+                assigned = quantize_embeddings_int8(
+                    assigned, id_col, vec_col, keep_cols=["centroid_id"]
+                )
+            listed = assigned.withColumn("__list", F.col("centroid_id"))
+            files = M.write_store_files(
+                listed.repartition("__list"), table, cid, "lists", partition_by="__list"
+            )
+            # the retrained quantizer gets its own commit dir so the old
+            # one stays vacuum-reclaimable at dir granularity
+            files += M.write_store_files(cents, table, M.new_commit_id(), "centroids")
+            meta["retrain"] = True
+        else:
+            listed = lists.withColumn("__list", F.col("centroid_id"))
+            files = M.write_store_files(
+                listed.repartition("__list"), table, cid, "lists", partition_by="__list"
+            )
+            files += M.store_files(prev, "centroids")  # immutable, reused as-is
         if M._try_commit(table, cur + 1, files, cur, prev["schema"], meta=meta):
             return cur + 1
 

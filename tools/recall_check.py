@@ -173,6 +173,50 @@ def main() -> None:
         "int8 lists + exact rescore of top 4k candidates",
     )
 
+    # IVF drift governance (VERDICT r6 item 4): a delta drawn from a
+    # SHIFTED distribution (reversed embeddings under fresh ids — a
+    # second mode the frozen base quantizer never saw) degrades probe
+    # recall; compact_ivf_index(retrain=True) re-clusters the current
+    # vectors and reassigns lists. Both rows use the same brute-force
+    # truth over base ∪ drifted.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    drift_base = emb.select("vec_id", "embedding")
+    drifted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    drift_corpus = drift_base.unionByName(drifted)
+    q_drift = drifted.filter(F.col("vec_id") < 1000010)
+    truth_drift = ann_pairs(S.brute_force_topk(q_drift, drift_corpus, k=5))
+    tdir = tempfile.mkdtemp(prefix="ivf_drift_recall_")
+    drift_table = os.path.join(tdir, "ivf")
+    S.ivf_build_index_manifest(drift_base, drift_table, n_centroids=16)
+    S.upsert_ivf_index(drifted, drift_table, delta_id="drift-1")
+
+    def drift_row(note: str) -> dict:
+        got = ann_pairs(
+            S.ivf_query_index_manifest(spark, drift_table, q_drift, n_probe=4, k=5)
+        )
+        return {
+            "note": note,
+            "recall_at_5": round(len(got & truth_drift) / len(truth_drift), 4)
+            if truth_drift
+            else None,
+        }
+
+    out["ann_ivf_drifted_frozen@k5"] = drift_row(
+        "frozen quantizer after a distribution-shifted delta"
+    )
+    S.compact_ivf_index(spark, drift_table, retrain=True, refine_iters=3)
+    out["ann_ivf_drifted_retrained@k5"] = drift_row(
+        "same index after compact_ivf_index(retrain=True, refine_iters=3)"
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.json")
     with open(path, "w") as fh:
         json.dump({"sf_dir": sf_dir, "results": out}, fh, indent=1, sort_keys=True)
