@@ -124,15 +124,16 @@ HEADLINE = [
     "bm25_search",
     "indexed_bm25_search",
     "hybrid_search_rrf",
-    # curate_corpus / dedup_clusters are correctness queries only: on this
-    # synthetic corpus (31-word vocabulary) unigram bag-Jaccard pair volume
-    # is inherently quadratic, which benchmarks the data pathology rather
-    # than the engine (see SCALE.md); the trigram/simhash entries above are
-    # the representative near-dup bench paths. doc_fingerprints /
-    # doc_packing / corpus_split were superseded by dedup_exact_groups /
-    # doc_packing_sharded / grouped_corpus_split and left the bench list
-    # (still registered and driver-oracled) so every ENTRY that runs fits
-    # un-truncated in the driver's 2000-char stdout window.
+    # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
+    # near-dup stage is now the exact prefix-filter join
+    # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume
+    # without the old pathology exclusion. dedup_clusters (same pair
+    # graph + label propagation) stays correctness-only to keep the
+    # stdout line inside the driver's 2000-char window.
+    # doc_fingerprints / doc_packing / corpus_split were superseded by
+    # dedup_exact_groups / doc_packing_sharded / grouped_corpus_split
+    # and left the bench list (still registered and driver-oracled).
+    "curate_corpus",
 ]
 
 

@@ -1985,9 +1985,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ORACLE replays the pair graph and takes each node's min reachable
     id with a recursive transitive-closure CTE — fine at oracle scale,
     while the engine side stays the bounded-round label propagation that
-    survives 100 TB (closure materialization would not)."""
+    survives 100 TB (closure materialization would not). The pair graph
+    comes from the exact prefix-filter join (same output as the full
+    inverted-index join, by theorem — see ngram_jaccard_pairs_prefix)."""
     docs = read_testdata(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
+    pairs = dedup.ngram_jaccard_pairs_prefix(
         docs, n=1, threshold=0.7, block_cols=["lang"], bag=True
     )
     return dedup.connected_components(pairs)
@@ -2074,11 +2076,17 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             `dedup_clusters` provides separately)
           → quality gate (composite score ≥ 0.5)
 
-    One lazy plan: Catalyst pipelines the whole chain; the only shuffles
-    are the fingerprint window, the token join, and the drop anti-join."""
+    The near-dup stage is the EXACT prefix-filter join (VERDICT r6 item
+    5 — dedup.ngram_jaccard_pairs_prefix): lossless by the AllPairs
+    theorem, so this oracle is unchanged, and sub-quadratic on long-tail
+    corpora where the full inverted-index join's Σ df² blows up. (The
+    verdict's suggested MinHash-LSH candidates were measured and
+    rejected: on this 31-word-vocab corpus set-LSH admits half of all
+    pairs as candidates and the hot-bucket cap loses 26/81 true pairs
+    at sf0.1 — see the operator docstring.)"""
     docs = read_testdata(spark, sf_dir, "documents")
     exact_kept = dedup.dedup_exact_by_fingerprint(docs)
-    pairs = dedup.ngram_jaccard_pairs(
+    pairs = dedup.ngram_jaccard_pairs_prefix(
         exact_kept, n=1, threshold=0.75, block_cols=["lang"], bag=True
     )
     near_drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -5631,80 +5639,80 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01-r04 keys).
 #
-# Round-5 rotation (VERDICT r4 item 2): the 33 queries that had never
-# received a driver correctness row through round 4, plus this round's
-# two new oracled queries (bpe_merge_tokenize, manifest_roundtrip) -
-# after this round every registered query has had at least one driver
-# row. The remaining 15 slots re-validate the STALEST previously-green
-# queries (last checked round 2-3). Everything else stays covered by
-# the local gate (tools/check_correctness.py runs ALL queries).
+# Round-7 rotation (VERDICT r6 item 2): the 3 round-6 queries the
+# driver never sampled (ann_ivf_quantized_topk, ann_ivf_delta_topk,
+# indexed_bm25_delta) lead the window so they finally get driver-green
+# rows; the other 47 slots re-validate the STALEST previously-green
+# queries (all last driver-checked in round 3). Everything else stays
+# covered by the local gate (tools/check_correctness.py runs ALL
+# queries).
 # ---------------------------------------------------------------------------
 
-_ROUND5_WINDOW = [
-    "array_agg_functions",
-    "null_handling",
-    "table_stats",
-    "text_char_classes",
-    "statistical_aggs",
-    "date_arithmetic",
-    "trailing_window_sum",
-    "dq_violations",
-    "sequence_explode",
-    "distinct_users_salted",
-    "orc_roundtrip",
-    "decimal_exact_totals",
-    "asof_enrich_value",
-    "asof_forward_nearest",
-    "embedding_lsh_auto_near_dups",
-    "embedding_lsh_multitable_near_dups",
-    "window_value_functions",
-    "null_safe_join",
-    "grouping_sets_summary",
-    "salted_join_orders",
-    "unpivot_event_bounds",
-    "vocab_top_terms",
-    "time_grain_rollup",
-    "value_outliers",
-    "event_funnel",
-    "bpe_tokenize",
-    "token_budget_mixture_bpe",
-    "grouped_corpus_split",
-    "temperature_mixture",
-    "ann_neighbor_docs",
-    "semantic_dedup",
-    "quality_classifier_scores",
-    "streaming_quality_route",
-    "manifest_roundtrip",
-    "bpe_merge_tokenize",
-    "ann_topk_batch",
-    "embedding_near_dups_fast",
-    "jsonl_roundtrip",
-    "windowed_event_counts",
-    "ann_ivf_topk",
-    "ann_topk_cosine",
-    "indexed_bm25_search",
-    "asof_last_signup",
-    "compound_null_predicate",
-    "curate_corpus",
-    "dedup_exact_groups",
-    "bpe_train_merges",
-    "doc_keywords_tfidf",
-    "bm25_search",
-    "hybrid_search_rrf",
+_ROUND7_WINDOW = [
+    "ann_ivf_quantized_topk",
+    "ann_ivf_delta_topk",
+    "indexed_bm25_delta",
+    "monthly_segment_summary",
+    "left_join_enrich",
+    "anti_join_absent_keys",
+    "semi_join_present_keys",
+    "donor_group_fill",
+    "filter_neq_null_safe",
+    "range_filter_events",
+    "count_filtered",
+    "distinct_agg",
+    "rollup_summary",
+    "derived_conditional_price",
+    "date_parts_projection",
+    "json_field_extract",
+    "sort_limit_offset",
+    "window_topk_per_group",
+    "union_except_keys",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "doc_fingerprints",
+    "near_dup_jaccard",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "lenient_casts",
+    "string_functions",
+    "math_functions",
+    "pivot_event_counts",
+    "cube_summary",
+    "first_match_per_group",
+    "sessionization",
+    "sliding_window_counts",
+    "warehouse_roundtrip",
+    "incremental_append",
+    "minhash_trigram_near_dups",
+    "pricing_summary",
+    "shipping_priority",
+    "supplier_volume_by_nation",
+    "sql_api_order_stats",
+    "value_percentiles",
+    "window_analytics",
+    "csv_roundtrip",
+    "reference_pipeline_parity",
+    "streaming_windowed_counts",
+    "approx_sketches",
+    "dedup_clusters",
+    "forecast_revenue",
 ]
 
 
-def _apply_round5_window() -> None:
-    assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
-    assert len(set(_ROUND5_WINDOW)) == 50, "duplicate names in window"
-    unknown = [n for n in _ROUND5_WINDOW if n not in QUERIES]
+def _apply_driver_window() -> None:
+    assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
+    assert len(set(_ROUND7_WINDOW)) == 50, "duplicate names in window"
+    unknown = [n for n in _ROUND7_WINDOW if n not in QUERIES]
     assert not unknown, f"window names not registered: {unknown}"
-    missing = [n for n in _ROUND5_WINDOW if n not in ORACLES]
+    missing = [n for n in _ROUND7_WINDOW if n not in ORACLES]
     assert not missing, f"driver window contains oracle-less queries: {missing}"
-    rest = [n for n in QUERIES if n not in set(_ROUND5_WINDOW)]
-    reordered = {n: QUERIES[n] for n in [*_ROUND5_WINDOW, *rest]}
+    rest = [n for n in QUERIES if n not in set(_ROUND7_WINDOW)]
+    reordered = {n: QUERIES[n] for n in [*_ROUND7_WINDOW, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 
 
-_apply_round5_window()
+_apply_driver_window()
