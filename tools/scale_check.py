@@ -109,6 +109,12 @@ DEFAULT_OPS = [
     "index_delta",
     "manifest_upsert",
     "manifest_compact",
+    # round-7 additions (VERDICT r6 item 6): IVF maintenance — delta
+    # merge under the frozen quantizer, file-layout compaction, and the
+    # retrain-compaction drift-governance path
+    "ivf_delta",
+    "ivf_compact",
+    "ivf_retrain",
 ]
 
 
@@ -240,12 +246,89 @@ class _ManifestCompact:
         return dt
 
 
+def _vecs(spark, sf_dir: str):
+    from cashback_data_pipeline_spark.queries import read_testdata
+
+    return read_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+class _IvfDelta:
+    """Incremental IVF maintenance (VERDICT r6 item 6): merge the 20%
+    vector tail into a manifest index built (untimed) from the 80% base
+    — assignment against the frozen broadcast quantizer + per-list
+    appends + the id anti-join, all O(delta + committed-id scan),
+    exponent ≈ 1."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.operators import similarity
+
+        vecs = _vecs(spark, sf_dir)
+        table = tempfile.mkdtemp(prefix="scale_ivf_delta_") + "/ivf"
+        similarity.ivf_build_index_manifest(
+            vecs.filter(F.pmod("vec_id", F.lit(5)) != 0), table, n_centroids=16
+        )
+        delta = vecs.filter(F.pmod("vec_id", F.lit(5)) == 0)
+        t0 = time.time()
+        similarity.upsert_ivf_index(delta, table)
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
+class _IvfCompact:
+    """IVF list compaction at corpus size (frozen quantizer, file-layout
+    rewrite only) — snapshot read + one partitioned write, exponent ≈ 1."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from cashback_data_pipeline_spark.operators import similarity
+
+        table = tempfile.mkdtemp(prefix="scale_ivf_comp_") + "/ivf"
+        similarity.ivf_build_index_manifest(_vecs(spark, sf_dir), table, n_centroids=16)
+        t0 = time.time()
+        similarity.compact_ivf_index(spark, table)
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
+class _IvfRetrain:
+    """compact_ivf_index(retrain=True) (round-7 drift governance): full
+    re-cluster (lowest-id seed + Lloyd rounds) + reassignment + rewrite
+    — each round is one broadcast-join aggregation over the corpus, so
+    cost is O(iters × corpus), exponent ≈ 1."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from cashback_data_pipeline_spark.operators import similarity
+
+        table = tempfile.mkdtemp(prefix="scale_ivf_rt_") + "/ivf"
+        similarity.ivf_build_index_manifest(_vecs(spark, sf_dir), table, n_centroids=16)
+        t0 = time.time()
+        similarity.compact_ivf_index(spark, table, retrain=True, refine_iters=2)
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
 SPECIAL_OPS = {
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
     "manifest_upsert": _ManifestUpsert(),
     "manifest_compact": _ManifestCompact(),
+    "ivf_delta": _IvfDelta(),
+    "ivf_compact": _IvfCompact(),
+    "ivf_retrain": _IvfRetrain(),
 }
 
 
