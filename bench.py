@@ -222,6 +222,70 @@ def make_index_samplers(spark, sf_dir: str, base: str):  # -> 3 samplers + clean
     return sample_build, sample_search, sample_delta, cleanup
 
 
+def make_skipping_samplers(spark, sf_dir: str, base: str):  # -> 2 samplers + cleanup
+    """One-sample closures for the manifest maintenance/serve paths round
+    7 added. ``stats_skip_read`` = a 5-day ranged aggregate over a
+    stats-committed month of events, served via ``read_table(skip=)``
+    file pruning (the zero-I/O leg a 100 TB time-ranged query pays
+    instead of a table scan — the sampler RAISES if pruning skipped
+    nothing, so the number can never silently degrade to a full read).
+    ``changes_read`` = a change-feed consumer catching up on the last of
+    12 commits (``read_changes`` opens only that commit's files). Table
+    build is untimed one-time setup, shared by both samplers."""
+    import datetime as _dt
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.queries import read_testdata
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    table = f"{base}/events_stats"
+    day = lambda d: _dt.datetime(2024, 1, d)  # noqa: E731
+    bounds = [(1 + 3 * i, 1 + 3 * (i + 1)) for i in range(10)] + [(31, 32)]
+
+    def _setup() -> None:
+        if os.path.exists(os.path.join(table, "_manifest")):
+            return
+        events = read_testdata(spark, sf_dir, "events")
+        for i, (lo, hi) in enumerate(bounds):  # 11 time-correlated commits
+            chunk = events.filter(
+                (F.col("ts") >= F.lit(day(lo))) & (F.col("ts") < F.lit(day(min(hi, 31))))
+            )
+            M.write_table(
+                chunk, table, mode="append" if i else "overwrite", stats_cols=["ts"]
+            )
+
+    skip = [("ts", ">=", day(20)), ("ts", "<", day(25))]
+
+    def sample_skip_read() -> float:
+        _setup()
+        m = M.read_manifest(table, M.current_version(table))
+        _, skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+        if skipped == 0:
+            raise RuntimeError("stats pruning skipped nothing — sampler is mismeasuring")
+        t0 = time.time()
+        M.read_table(spark, table, skip=skip).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    def sample_changes_read() -> float:
+        _setup()
+        v = M.current_version(table)
+        t0 = time.time()
+        M.read_changes(spark, table, from_version=v - 1).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    def cleanup() -> None:
+        shutil.rmtree(base, ignore_errors=True)
+
+    return sample_skip_read, sample_changes_read, cleanup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -349,6 +413,12 @@ def main() -> None:
     measure("index_search", sample_search)
     measure("index_delta", sample_delta)
     index_cleanup()
+    sample_skip_read, sample_changes_read, skip_cleanup = make_skipping_samplers(
+        spark, sf_dir, tempfile.mkdtemp(prefix="stats_skip_bench_")
+    )
+    measure("stats_skip_read", sample_skip_read)
+    measure("changes_read", sample_changes_read)
+    skip_cleanup()
     measure(
         "reference_pipeline",
         lambda: reference_pipeline_bench(

@@ -43,6 +43,10 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # driver testdata stores TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert (sources.readers.read_testdata)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 (the legacy default) carries NO parquet footer statistics,
+        # which would blind file-level data skipping (sinks/filestats.py)
+        # on every timestamp column; micros is the modern interchange type
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     )
 
@@ -84,6 +88,7 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         # runtime-settable: the driver's plain session defaults to 200
         # shuffle partitions — needless task overhead at test scale
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),

@@ -1,0 +1,362 @@
+"""File-level column statistics + data skipping for manifest tables.
+
+The manifest layer already prunes FILES from metadata alone when the
+layout encodes the predicate in a path segment (``term_bucket=``,
+``__list=`` — retrieval.py / similarity.py). This module generalizes
+that to arbitrary orderable columns, the Delta-Lake/Iceberg data-skipping
+design: each committed file carries ``min``/``max``/``null_count`` for a
+declared set of stats columns inside the manifest JSON, and a read with
+simple comparison predicates drops every file whose value range cannot
+intersect them BEFORE Spark ever lists or opens it. At 100 TB a
+time-correlated append workload (the common shape for event/crawl data)
+makes a time-ranged query touch a handful of files instead of the whole
+table, with zero I/O spent deciding which.
+
+Statistics come from the parquet FOOTERS the files already have — a
+distributed Arrow-batched footer read (KBs per file, no data pages) —
+not from re-scanning the data; a commit pays metadata-read cost, never a
+second full pass. On stores where footers can't be opened locally
+(``scheme://`` URIs), the fallback is one distributed Spark scan of the
+just-written files grouped by ``_metadata.file_path``.
+
+Conservative by construction: a file with no stats entry, a column
+missing from a file's entry, or a writer that omitted footer min/max
+(oversized values) ⇒ the file is KEPT. Pruning can only ever skip files
+that provably contain no qualifying row; the reader re-applies the full
+predicate to the surviving files, so results are exact regardless of
+how much pruning happened.
+
+Type discipline: stats for numeric and string columns are stored as
+JSON natives; timestamp/date columns as ISO-8601 strings, coerced back
+through the PREDICATE literal's Python type at prune time (the caller
+compares a timestamp column against a datetime literal, so the coercion
+target is unambiguous). Truncated string bounds (parquet writers may
+shorten huge min/max) remain valid bounds, so pruning with them is
+still sound.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OPS = ("==", "=", "<", "<=", ">", ">=")
+
+_STATS_OK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.StringType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.BooleanType,
+)
+
+
+def validate_stats_cols(schema: T.StructType, stats_cols: list[str]) -> None:
+    """Stats columns must exist and be atomic orderable types — min/max
+    of a map or array is not a pruning bound."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in stats_cols:
+        if c not in by_name:
+            raise ValueError(f"stats column {c!r} not in schema {sorted(by_name)}")
+        if not isinstance(by_name[c], _STATS_OK_TYPES):
+            raise ValueError(
+                f"stats column {c!r} has unprunable type {by_name[c].simpleString()}; "
+                "file skipping needs an atomic orderable column"
+            )
+
+
+def _json_val(v):
+    """JSON-safe rendering; ISO-8601 for temporal values (coerced back
+    through the predicate literal's type at prune time)."""
+    if isinstance(v, _dt.datetime):
+        # normalize to a UTC-naive instant (the engine pins the session
+        # timezone to UTC): footer readers render micros timestamps
+        # tz-aware, the Spark scan fallback renders them naive — one
+        # canonical form keeps prune-time comparison total
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+def _coerce(stat, literal):
+    """Coerce a stored stat to the predicate literal's comparison
+    domain. Returns None when no sound comparison exists (⇒ caller
+    keeps the file)."""
+    if stat is None:
+        return None
+    if isinstance(literal, _dt.datetime):
+        if isinstance(stat, str):
+            try:
+                stat = _dt.datetime.fromisoformat(stat)
+            except ValueError:
+                return None
+        if not isinstance(stat, _dt.datetime):
+            return None
+        # align awareness with the literal (stored instants are UTC)
+        if literal.tzinfo is None and stat.tzinfo is not None:
+            return stat.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if literal.tzinfo is not None and stat.tzinfo is None:
+            return stat.replace(tzinfo=_dt.timezone.utc)
+        return stat
+    if isinstance(literal, _dt.date):
+        if isinstance(stat, str):
+            try:
+                return _dt.date.fromisoformat(stat)
+            except ValueError:
+                return None
+        if isinstance(stat, _dt.date):
+            return stat
+        return None
+    if isinstance(literal, bool) or isinstance(stat, bool):
+        return stat if isinstance(stat, bool) and isinstance(literal, bool) else None
+    if isinstance(literal, (int, float)):
+        return stat if isinstance(stat, (int, float)) else None
+    if isinstance(literal, str):
+        return stat if isinstance(stat, str) else None
+    return None
+
+
+def _normalize_predicates(predicates) -> list[tuple[str, str, object]]:
+    out = []
+    for p in predicates:
+        col, op, val = p
+        if op not in OPS:
+            raise ValueError(f"unsupported skip op {op!r}; one of {OPS}")
+        if val is None:
+            raise ValueError("skip predicates compare against a non-null literal")
+        out.append((col, "==" if op == "=" else op, val))
+    return out
+
+
+def file_may_match(entry: dict | None, predicates: list[tuple[str, str, object]]) -> bool:
+    """Can this file contain a row satisfying ALL predicates? ``entry``
+    is the manifest's per-file stats dict (or None). Missing information
+    at any level ⇒ True (keep)."""
+    if not predicates:
+        return True
+    if not entry:
+        return True
+    cols = entry.get("cols", {})
+    rows = entry.get("rows")
+    for col, op, lit in predicates:
+        st = cols.get(col)
+        if st is None:
+            continue  # column not tracked in this file — keep
+        nulls = st.get("nulls")
+        if rows is not None and nulls is not None and nulls >= rows and rows > 0:
+            # every value NULL: no comparison predicate can match
+            return False
+        lo = _coerce(st.get("min"), lit)
+        hi = _coerce(st.get("max"), lit)
+        if lo is None or hi is None:
+            continue  # bounds unusable for this literal — keep
+        if op == "==" and not (lo <= lit <= hi):
+            return False
+        if op == "<" and not (lo < lit):
+            return False
+        if op == "<=" and not (lo <= lit):
+            return False
+        if op == ">" and not (hi > lit):
+            return False
+        if op == ">=" and not (hi >= lit):
+            return False
+    return True
+
+
+def prune_files(
+    files: list[str], stats: dict | None, predicates
+) -> tuple[list[str], int]:
+    """Split a manifest file list by :func:`file_may_match`; returns
+    (kept, skipped_count)."""
+    preds = _normalize_predicates(predicates)
+    if not preds or not stats:
+        return list(files), 0
+    kept = [f for f in files if file_may_match(stats.get(f), preds)]
+    return kept, len(files) - len(kept)
+
+
+def skip_condition(predicates):
+    """The predicates as ONE Spark Column — re-applied to surviving
+    files so the read's semantics are exact however much was pruned."""
+    cond = None
+    for col, op, lit in _normalize_predicates(predicates):
+        c = F.col(col)
+        piece = {
+            "==": c == F.lit(lit),
+            "<": c < F.lit(lit),
+            "<=": c <= F.lit(lit),
+            ">": c > F.lit(lit),
+            ">=": c >= F.lit(lit),
+        }[op]
+        cond = piece if cond is None else (cond & piece)
+    return cond
+
+
+def _local_path(p: str) -> str | None:
+    """Filesystem path for a local/file: rendering, else None."""
+    if "://" not in p and not p.startswith("file:"):
+        return p
+    u = urlparse(p)
+    if u.scheme in ("", "file"):
+        return u.path
+    return None
+
+
+def _footer_stats_batch(paths: list[str], stats_cols: list[str]) -> list[dict]:
+    """Per-file stats from parquet footers (executor-side, pyarrow).
+    Row-group min/max fold to file min/max; a row group without usable
+    stats for a column poisons that column to unbounded (dropped), never
+    to a wrong bound."""
+    import pyarrow.parquet as pq
+
+    out = []
+    want = set(stats_cols)
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        rows = md.num_rows
+        acc: dict[str, dict] = {c: {"min": None, "max": None, "nulls": 0} for c in want}
+        usable = {c: True for c in want}
+        seen = {c: False for c in want}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in want or not usable[name]:
+                    continue
+                st = col.statistics
+                if st is None:
+                    usable[name] = False
+                    continue
+                if not st.has_min_max:
+                    # an ALL-NULL row group legitimately has no min/max;
+                    # its null count is still a usable (and decisive —
+                    # see file_may_match) statistic. Anything else
+                    # without min/max poisons the column to unbounded.
+                    if st.null_count is not None and st.null_count == g.num_rows:
+                        seen[name] = True
+                        acc[name]["nulls"] += st.null_count
+                    else:
+                        usable[name] = False
+                    continue
+                seen[name] = True
+                a = acc[name]
+                mn, mx = st.min, st.max
+                a["min"] = mn if a["min"] is None or mn < a["min"] else a["min"]
+                a["max"] = mx if a["max"] is None or mx > a["max"] else a["max"]
+                if st.null_count is not None:
+                    a["nulls"] += st.null_count
+                else:
+                    usable[name] = False
+        cols = {}
+        for c in want:
+            if not usable[c] or not seen[c]:
+                continue
+            cols[c] = {
+                "min": _json_val(acc[c]["min"]),
+                "max": _json_val(acc[c]["max"]),
+                "nulls": acc[c]["nulls"],
+            }
+        out.append({"path": path, "rows": rows, "cols": cols})
+    return out
+
+
+def collect_file_stats(
+    spark: SparkSession,
+    table: str,
+    rel_files: list[str],
+    stats_cols: list[str],
+    schema: T.StructType | None = None,
+) -> dict[str, dict]:
+    """Stats for a commit's just-written files, keyed by table-relative
+    path. Local files: DISTRIBUTED footer read (mapInPandas over the
+    path list — metadata pages only, no data I/O). Non-local stores:
+    one Spark scan of exactly these files, grouped by
+    ``_metadata.file_path`` (reads data once; still a single pass over
+    only the new files, never the table)."""
+    from cashback_data_pipeline_spark.sinks.logstore import get_log_store
+
+    if not rel_files or not stats_cols:
+        return {}
+    if schema is not None:
+        validate_stats_cols(schema, stats_cols)
+    store = get_log_store(table)
+    abs_by_rel = {rel: store.join(table, rel) for rel in rel_files}
+    rel_by_base = {os.path.basename(rel): rel for rel in rel_files}
+    if len(rel_by_base) != len(rel_files):  # spark part-file names are uuid-unique
+        raise ValueError("duplicate basenames in one commit's file list")
+
+    local = {rel: _local_path(p) for rel, p in abs_by_rel.items()}
+    if all(p is not None for p in local.values()):
+        import pandas as pd
+
+        paths_df = spark.createDataFrame(
+            [(p,) for p in local.values()], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(min(len(rel_files), 32))
+        cols_b = list(stats_cols)
+
+        def _read(batches):
+            for pdf in batches:
+                rows = _footer_stats_batch(list(pdf["path"]), cols_b)
+                yield pd.DataFrame(
+                    {
+                        "path": [r["path"] for r in rows],
+                        "rows": [r["rows"] for r in rows],
+                        "stats_json": [__import__("json").dumps(r["cols"]) for r in rows],
+                    }
+                )
+
+        collected = paths_df.mapInPandas(_read, "path string, rows long, stats_json string").collect()
+        import json as _json
+
+        out = {}
+        for r in collected:
+            rel = rel_by_base[os.path.basename(r["path"])]
+            out[rel] = {"rows": r["rows"], "cols": _json.loads(r["stats_json"])}
+        return out
+
+    # scheme:// fallback: one scan of the new files only
+    df = spark.read.parquet(*abs_by_rel.values())
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+        ]
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__path"), *stats_cols)
+        .groupBy("__path")
+        .agg(*aggs)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        rel = rel_by_base.get(os.path.basename(r["__path"]))
+        if rel is None:
+            continue
+        cols = {}
+        for c in stats_cols:
+            cols[c] = {
+                "min": _json_val(r[f"__min_{c}"]),
+                "max": _json_val(r[f"__max_{c}"]),
+                "nulls": r[f"__nulls_{c}"],
+            }
+        out[rel] = {"rows": r["__rows"], "cols": cols}
+    return out

@@ -85,6 +85,7 @@ def _try_commit(
     parent: int | None,
     schema_json: str,
     meta: dict | None = None,
+    stats: dict | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -98,6 +99,11 @@ def _try_commit(
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
     if meta:
         doc["meta"] = meta
+    if stats:
+        # per-file column stats (sinks/filestats.py) — optional, additive:
+        # readers treat a missing entry as "keep the file", so mixed
+        # stats/no-stats histories stay correct
+        doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
     return store.publish_atomic(
         store.join(table, _MANIFEST_DIR), _version_name(version), json.dumps(doc)
     )
@@ -161,6 +167,7 @@ def read_store(
     schema: T.StructType | None = None,
     apply_schema: bool = False,
     merge_schema: bool = False,
+    skip=None,
 ) -> DataFrame:
     """Read one store of a multi-store manifest table at a PINNED
     version. ``file_filter(relpath) -> bool`` prunes files from manifest
@@ -176,13 +183,19 @@ def read_store(
     caller that does NOT know the expected schema up front (e.g. a
     compactor rewriting whatever the store holds): the read unions every
     file's schema instead of sampling one file, so an evolved column can
-    never silently vanish from the snapshot."""
+    never silently vanish from the snapshot. ``skip=`` is stats-based
+    file pruning + exact residual filter, as in :func:`read_table`."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
-    files = store_files(read_manifest(table, v), store)
+    m = read_manifest(table, v)
+    files = store_files(m, store)
     if file_filter is not None:
         files = [f for f in files if file_filter(f)]
+    if skip:
+        files, _ = filestats.prune_files(files, m.get("stats"), skip)
     if not files:
         if schema is None:
             raise FileNotFoundError(f"store {store!r} has no files at v{v} and no schema given")
@@ -195,22 +208,79 @@ def read_store(
             raise ValueError("apply_schema=True requires schema")
         reader = reader.schema(schema)
     log_store = get_log_store(table)
-    return reader.parquet(*[log_store.join(table, f) for f in files])
+    out = reader.parquet(*[log_store.join(table, f) for f in files])
+    if skip:
+        out = out.filter(filestats.skip_condition(skip))
+    return out
 
 
-def write_table(df: DataFrame, table: str, mode: str = "overwrite", meta: dict | None = None) -> int:
+def write_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the
     committed version. Concurrency: data files land once; only the CAS
-    retries, so a losing appender re-commits WITHOUT rewriting data."""
+    retries, so a losing appender re-commits WITHOUT rewriting data.
+
+    ``stats_cols`` opts the commit into file-level data skipping
+    (sinks/filestats.py): per-file min/max/null-count for these columns
+    ride in the manifest (footer-read, no data re-scan on local stores),
+    and :func:`read_table`'s ``skip=`` predicates prune files from
+    metadata alone. Appends carry the parent's stats forward for the
+    files they keep, so a time-correlated append history stays fully
+    prunable.
+
+    ``cluster_by`` range-partitions (+ sorts within partitions) the
+    commit's rows on those columns before writing, so each file covers a
+    DISJOINT value range — the layout that makes ``skip=`` pruning
+    maximal (a point/range predicate hits ~files_matching instead of
+    every file that happens to straddle the value). One extra shuffle at
+    write time, bought once; the Delta/Iceberg ``OPTIMIZE``-style
+    clustering discipline. Implies ``stats_cols=cluster_by`` unless
+    stats_cols is given explicitly (clustering without stats would be
+    pointless)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if cluster_by:
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        filestats.validate_stats_cols(df.schema, list(cluster_by))
+        if stats_cols is None:
+            stats_cols = list(cluster_by)
+        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
     files = _write_data_files(df, table)
     schema_json = df.schema.json()
+    stats = None
+    if stats_cols:
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        spark = df.sparkSession
+        stats = filestats.collect_file_stats(spark, table, files, stats_cols, schema=df.schema)
     while True:
         cur = current_version(table)
-        base = [] if (mode == "overwrite" or cur is None) else read_manifest(table, cur)["files"]
-        if _try_commit(table, (cur or 0) + 1, base + files, cur, schema_json, meta=meta):
+        base_doc = (
+            None if (mode == "overwrite" or cur is None) else read_manifest(table, cur)
+        )
+        base = [] if base_doc is None else base_doc["files"]
+        merged_stats = dict(stats or {})
+        if base_doc is not None:
+            for f, st in (base_doc.get("stats") or {}).items():
+                if f in set(base):
+                    merged_stats.setdefault(f, st)
+        if _try_commit(
+            table,
+            (cur or 0) + 1,
+            base + files,
+            cur,
+            schema_json,
+            meta=meta,
+            stats=merged_stats or None,
+        ):
             return (cur or 0) + 1
 
 
@@ -231,36 +301,134 @@ def committed_meta_values(table: str, key: str) -> set:
     return out
 
 
-def read_table(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    skip=None,
+) -> DataFrame:
     """Read a PINNED version (default: current at call time). The file
     list is resolved once; later commits/compactions cannot tear or
     change this read — time travel is the same call with an older
-    ``version``."""
+    ``version``.
+
+    ``skip=[(col, op, literal), ...]`` (ops ``== < <= > >=``, AND-ed)
+    both PRUNES files whose manifest stats prove no row can match (zero
+    I/O — the 100 TB win for time-correlated histories) and re-applies
+    the predicates as a Spark filter on the survivors, so the result is
+    EXACTLY the filtered table however much or little was pruned
+    (files without stats are conservatively read)."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")
     m = read_manifest(table, v)
-    if not m["files"]:
+    files = m["files"]
+    if skip:
+        files, _ = filestats.prune_files(files, m.get("stats"), skip)
+    if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
     store = get_log_store(table)
-    return spark.read.parquet(*[store.join(table, f) for f in m["files"]])
+    out = spark.read.parquet(*[store.join(table, f) for f in files])
+    if skip:
+        out = out.filter(filestats.skip_condition(skip))
+    return out
 
 
-def compact_table(spark: SparkSession, table: str, n_files: int = 4) -> int:
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental (change-feed) read: the rows ADDED between
+    ``from_version`` (exclusive) and ``to_version`` (inclusive, default
+    current) — read from ONLY the files those commits added, so a
+    downstream consumer that checkpoints its last-seen version processes
+    each commit's data exactly once and never rescans the table (the
+    Delta CDF / Iceberg incremental-scan shape; at 100 TB the difference
+    between "read last hour's appends" and "read the table").
+
+    Exact ONLY for append-only histories, so rewrites are REFUSED: if
+    any ``from_version`` file is gone by ``to_version`` (an overwrite,
+    compaction, upsert or vacuum-after-rewrite happened in between), the
+    file-level diff no longer equals the row-level diff and this raises
+    ValueError — fall back to a keyed diff of :func:`read_table` at the
+    two versions, or restart the consumer from a snapshot."""
+    to_v = current_version(table) if to_version is None else to_version
+    if to_v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    m_to = read_manifest(table, to_v)
+    old = set(read_manifest(table, from_version)["files"]) if from_version > 0 else set()
+    new = set(m_to["files"])
+    removed = sorted(old - new)
+    if removed:
+        raise ValueError(
+            f"{table} is not append-only between v{from_version} and v{to_v}: "
+            f"{len(removed)} file(s) were rewritten/removed (e.g. {removed[0]!r}); "
+            "the file diff is not the row diff — use a keyed read_table diff "
+            "or restart from a snapshot"
+        )
+    added = sorted(new - old)
+    if not added:
+        schema = T.StructType.fromJson(json.loads(m_to["schema"]))
+        return spark.createDataFrame([], schema)
+    store = get_log_store(table)
+    return spark.read.parquet(*[store.join(table, f) for f in added])
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    n_files: int = 4,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Rewrite the current version's files into ``n_files`` larger ones
     as a NEW version (small-file compaction). Multi-writer safe: the
     snapshot is pinned, the rewrite goes to a fresh data dir, and if the
     CAS loses (someone committed meanwhile) the whole compaction retries
     against the new current version — readers never see a torn state,
-    and the orphaned rewrite is vacuum fodder, never visible."""
+    and the orphaned rewrite is vacuum fodder, never visible.
+
+    ``cluster_by`` turns the compaction into a RE-LAYOUT (the Delta
+    ``OPTIMIZE ZORDER``-shape maintenance op): the snapshot is
+    range-partitioned + sorted on those columns so each rewritten file
+    covers a disjoint value range, and per-file stats (``stats_cols``,
+    default = cluster_by) ride in the new manifest — an append history
+    whose files straddle the cluster key becomes maximally ``skip=``
+    prunable in one atomic version. Note a compaction is a REWRITE:
+    :func:`read_changes` windows spanning it refuse, by design."""
+    if cluster_by:
+        if stats_cols is None:
+            stats_cols = list(cluster_by)
     while True:
         cur = current_version(table)
         if cur is None:
             raise FileNotFoundError(f"no committed version in {table}")
         snapshot = read_table(spark, table, cur)
-        files = _write_data_files(snapshot.coalesce(n_files), table)
-        if _try_commit(table, cur + 1, files, cur, snapshot.schema.json()):
+        if cluster_by:
+            from cashback_data_pipeline_spark.sinks import filestats
+
+            filestats.validate_stats_cols(snapshot.schema, list(cluster_by))
+            rewritten = snapshot.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            rewritten = snapshot.coalesce(n_files)
+        files = _write_data_files(rewritten, table)
+        stats = None
+        if stats_cols:
+            from cashback_data_pipeline_spark.sinks import filestats
+
+            stats = filestats.collect_file_stats(
+                spark, table, files, stats_cols, schema=snapshot.schema
+            )
+        if _try_commit(table, cur + 1, files, cur, snapshot.schema.json(), stats=stats):
             return cur + 1
 
 

@@ -1,0 +1,257 @@
+"""File-level data skipping + incremental change-feed reads (round 7).
+
+The skipping contract: ``skip=`` predicates on manifest reads PRUNE
+files whose per-file min/max prove no row can match (zero I/O), apply
+the exact residual filter to survivors, and are CONSERVATIVE about
+missing information (no stats, untracked column, unusable bounds ⇒ the
+file is read). Stats come from parquet footers on local stores and a
+single scan of the new files on ``scheme://`` stores — both paths are
+exercised via the parameterized fixture.
+
+The change-feed contract: ``read_changes`` returns exactly the rows
+added between two versions for append-only histories, reads only the
+added files, and REFUSES histories with rewrites in the window.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.sinks import filestats
+from cashback_data_pipeline_spark.sinks import manifest as M
+
+
+@pytest.fixture(params=["local", "hadoop-fs"])
+def mk_table(request, tmp_path):
+    def _mk(name: str = "t") -> str:
+        p = str(tmp_path / name)
+        return p if request.param == "local" else "file://" + p
+
+    return _mk
+
+
+def _events(spark, n=200):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, float(i), f"u{i:04d}", base + dt.timedelta(hours=i)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, x double, s string, ts timestamp")
+
+
+def _commit_quarters(spark, table, stats_cols):
+    df = _events(spark)
+    v = None
+    for q in range(4):
+        part = df.filter((F.col("id") >= q * 50) & (F.col("id") < (q + 1) * 50)).repartition(2)
+        v = M.write_table(
+            part, table, mode="append" if q else "overwrite", stats_cols=stats_cols
+        )
+    return v
+
+
+def test_stats_ride_in_manifest_and_appends_carry_parent_stats(spark, mk_table):
+    t = mk_table()
+    v = _commit_quarters(spark, t, ["ts", "id", "s"])
+    m = M.read_manifest(t, v)
+    assert len(m["files"]) == 8
+    # every file of every commit has stats — appends carried the parent's
+    assert set(m["stats"]) == set(m["files"])
+    one = next(iter(m["stats"].values()))
+    assert set(one["cols"]) == {"ts", "id", "s"} and one["rows"] > 0
+
+
+def test_skip_prunes_files_and_result_is_exact(spark, mk_table):
+    t = mk_table()
+    v = _commit_quarters(spark, t, ["ts", "id"])
+    m = M.read_manifest(t, v)
+    lo = dt.datetime(2024, 1, 1) + dt.timedelta(hours=120)
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], [("ts", ">=", lo)])
+    assert skipped >= 4  # at least the first two quarters' files drop
+    got = M.read_table(spark, t, skip=[("ts", ">=", lo)])
+    want = M.read_table(spark, t).filter(F.col("ts") >= F.lit(lo))
+    assert sorted(r["id"] for r in got.collect()) == sorted(r["id"] for r in want.collect())
+
+
+def test_skip_ops_and_string_bounds(spark, mk_table):
+    t = mk_table()
+    v = _commit_quarters(spark, t, ["id", "s"])
+    m = M.read_manifest(t, v)
+    for op, lit, expect_ids in [
+        ("<", 10, set(range(10))),
+        ("<=", 10, set(range(11))),
+        (">", 190, set(range(191, 200))),
+        (">=", 190, set(range(190, 200))),
+        ("==", 42, {42}),
+    ]:
+        got = {r["id"] for r in M.read_table(spark, t, skip=[("id", op, lit)]).collect()}
+        assert got == expect_ids, (op, lit)
+    # string bounds prune too (lexicographic zero-padded ids)
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], [("s", "==", "u0003")])
+    assert skipped > 0
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("s", "==", "u0003")]).collect()}
+    assert got == {3}
+
+
+def test_missing_stats_are_conservative(spark, mk_table):
+    t = mk_table()
+    # first commit WITHOUT stats, second WITH
+    df = _events(spark)
+    M.write_table(df.filter(F.col("id") < 100), t, stats_cols=None)
+    v = M.write_table(
+        df.filter(F.col("id") >= 100), t, mode="append", stats_cols=["id"]
+    )
+    m = M.read_manifest(t, v)
+    assert 0 < len(m["stats"]) < len(m["files"])
+    # predicate matching only the stats-less half: its files must be KEPT
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("id", "<", 5)]).collect()}
+    assert got == {0, 1, 2, 3, 4}
+    # untracked column ⇒ no pruning, still exact
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("x", "<", 5.0)]).collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+
+def test_all_null_files_are_skipped_for_comparisons(spark, mk_table):
+    t = mk_table()
+    a = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    b = spark.createDataFrame([(3, "x"), (4, "y")], "id long, v string")
+    M.write_table(a.coalesce(1), t, stats_cols=["v"])
+    v = M.write_table(b.coalesce(1), t, mode="append", stats_cols=["v"])
+    m = M.read_manifest(t, v)
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], [("v", ">=", "a")])
+    assert skipped >= 1  # the all-null file can satisfy no comparison
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("v", ">=", "a")]).collect()}
+    assert got == {3, 4}
+
+
+def test_stats_cols_validation(spark, mk_table):
+    t = mk_table()
+    df = spark.createDataFrame([(1, {"a": 1})], "id long, m map<string,int>")
+    with pytest.raises(ValueError, match="unprunable type"):
+        M.write_table(df, t, stats_cols=["m"])
+    with pytest.raises(ValueError, match="not in schema"):
+        M.write_table(df, t, stats_cols=["nope"])
+    with pytest.raises(ValueError, match="unsupported skip op"):
+        filestats.prune_files(["f"], {"f": {}}, [("id", "!=", 1)])
+    with pytest.raises(ValueError, match="non-null literal"):
+        filestats.prune_files(["f"], {"f": {}}, [("id", "==", None)])
+
+
+def test_read_store_skip_composes_with_file_filter(spark, mk_table):
+    t = mk_table()
+    df = _events(spark, 100)
+    cid = M.new_commit_id()
+    files = M.write_store_files(df.repartition(4), t, cid, "docs")
+    stats = filestats.collect_file_stats(spark, t, files, ["id"], schema=df.schema)
+    assert M._try_commit(t, 1, files, None, df.schema.json(), stats=stats)
+    got = M.read_store(spark, t, "docs", skip=[("id", "<", 3)])
+    assert {r["id"] for r in got.collect()} == {0, 1, 2}
+
+
+def test_read_changes_is_the_exact_append_diff(spark, mk_table):
+    t = mk_table()
+    df = _events(spark)
+    M.write_table(df.filter(F.col("id") < 50), t)
+    M.write_table(
+        df.filter((F.col("id") >= 50) & (F.col("id") < 120)), t, mode="append"
+    )
+    v3 = M.write_table(df.filter(F.col("id") >= 120), t, mode="append")
+    ch = M.read_changes(spark, t, from_version=1)
+    assert sorted(r["id"] for r in ch.collect()) == list(range(50, 200))
+    ch2 = M.read_changes(spark, t, from_version=2, to_version=v3)
+    assert sorted(r["id"] for r in ch2.collect()) == list(range(120, 200))
+    assert M.read_changes(spark, t, from_version=v3).count() == 0
+    # from_version=0 ⇒ everything
+    assert M.read_changes(spark, t, from_version=0).count() == 200
+
+
+def test_read_changes_refuses_rewrites(spark, mk_table):
+    t = mk_table()
+    df = _events(spark, 60)
+    M.write_table(df.filter(F.col("id") < 30), t)
+    M.write_table(df.filter(F.col("id") >= 30), t, mode="append")
+    M.compact_table(spark, t, n_files=1)
+    with pytest.raises(ValueError, match="not append-only"):
+        M.read_changes(spark, t, from_version=1)
+    # but a window that starts AT the rewrite is fine again
+    v = M.write_table(df.filter(F.col("id") < 5), t, mode="append")
+    ch = M.read_changes(spark, t, from_version=3, to_version=v)
+    assert sorted(r["id"] for r in ch.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_timestamp_skip_and_fallback_scan_agrees_with_footers(spark, mk_table, monkeypatch):
+    """Timestamp pruning end-to-end, plus: the ``scheme://`` fallback
+    (one scan grouped by ``_metadata.file_path``) must produce stats
+    interchangeable with the footer path — forced by making every path
+    look non-local."""
+    t = mk_table()
+    df = _events(spark, 48).repartition(2)
+    v = M.write_table(df, t, stats_cols=["ts"])
+    m = M.read_manifest(t, v)
+    lo = dt.datetime(2024, 1, 2)
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("ts", ">=", lo)]).collect()}
+    want = {r["id"] for r in M.read_table(spark, t).filter(F.col("ts") >= F.lit(lo)).collect()}
+    assert got == want and len(got) == 24
+
+    footer_stats = {f: m["stats"][f] for f in m["files"]}
+    monkeypatch.setattr(filestats, "_local_path", lambda p: None)
+    scan_stats = filestats.collect_file_stats(spark, t, m["files"], ["ts"], schema=df.schema)
+    assert set(scan_stats) == set(footer_stats)
+    for f in footer_stats:
+        a, b = footer_stats[f], scan_stats[f]
+        assert a["rows"] == b["rows"]
+        assert a["cols"]["ts"]["min"] == b["cols"]["ts"]["min"]
+        assert a["cols"]["ts"]["max"] == b["cols"]["ts"]["max"]
+        assert a["cols"]["ts"]["nulls"] == b["cols"]["ts"]["nulls"]
+
+
+def test_cluster_by_makes_files_disjoint_and_maximally_prunable(spark, mk_table):
+    """cluster_by range-partitions the commit so each file covers a
+    disjoint id range: a point predicate must keep exactly ONE file
+    (an unclustered repartition(8) would straddle every file)."""
+    t = mk_table()
+    df = _events(spark).repartition(8)  # ids deliberately shuffled across files
+    v = M.write_table(df, t, cluster_by=["id"])
+    m = M.read_manifest(t, v)
+    assert set(m["stats"]) == set(m["files"])  # stats implied by cluster_by
+    spans = sorted(
+        (s["cols"]["id"]["min"], s["cols"]["id"]["max"]) for s in m["stats"].values()
+    )
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "clustered files must cover disjoint ranges"
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], [("id", "==", 42)])
+    assert len(kept) == 1
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("id", "==", 42)]).collect()}
+    assert got == {42}
+
+
+def test_compact_with_cluster_by_relayouts_history(spark, mk_table):
+    """An append history whose files straddle the key becomes maximally
+    prunable after ONE clustered compaction (the OPTIMIZE shape)."""
+    t = mk_table()
+    df = _events(spark)
+    # two commits, each shuffled so every file straddles the id range
+    M.write_table(df.filter(F.col("id") % 2 == 0).repartition(4), t, stats_cols=["id"])
+    M.write_table(
+        df.filter(F.col("id") % 2 == 1).repartition(4), t, mode="append", stats_cols=["id"]
+    )
+    m0 = M.read_manifest(t, M.current_version(t))
+    _, skipped0 = filestats.prune_files(m0["files"], m0["stats"], [("id", "==", 42)])
+    assert skipped0 == 0  # pre-compaction: nothing prunable
+    v = M.compact_table(spark, t, n_files=4, cluster_by=["id"])
+    m1 = M.read_manifest(t, v)
+    kept1, _ = filestats.prune_files(m1["files"], m1["stats"], [("id", "==", 42)])
+    assert len(kept1) == 1
+    # row-level content unchanged by the re-layout
+    assert sorted(r["id"] for r in M.read_table(spark, t).collect()) == list(range(200))
+    got = {r["id"] for r in M.read_table(spark, t, skip=[("id", "==", 42)]).collect()}
+    assert got == {42}
+
+
+def test_cluster_by_validates_columns(spark, mk_table):
+    t = mk_table()
+    df = spark.createDataFrame([(1, {"a": 1})], "id long, m map<string,int>")
+    with pytest.raises(ValueError, match="unprunable type"):
+        M.write_table(df, t, cluster_by=["m"])
