@@ -27,6 +27,25 @@ in-process serialization):
   the contract tests) concurrent commits from one driver are still
   exactly-once; CROSS-process safety on such stores is best-effort and
   the local-path deployment should use :class:`LocalLogStore` instead.
+- :class:`ObjectStoreLogStore` — object stores, where rename is
+  copy+delete and NOT a CAS (two drivers on two machines can both
+  "win" a version under HadoopFsLogStore). Data files still flow
+  through the Hadoop connector (``s3a://``/``gs://`` — inherited
+  primitives), but the manifest publish is ONE conditional full-object
+  PUT through a :class:`ConditionalPutClient`: S3 ``PutObject`` with
+  ``If-None-Match: *`` (a public S3 API since 2024; also honored by
+  MinIO/R2-class S3-compatible stores), GCS ``ifGenerationMatch=0``.
+  The service arbitrates the race — atomic across machines, no lock,
+  no temp file, no external coordination table. This is the
+  multi-driver-safe commit on the storage a real 100 TB cluster has;
+  a conditional PUT is strictly stronger than Delta's original
+  S3-DynamoDB LogStore design (same guarantee, no second system).
+
+Resolution (:func:`get_log_store`): an explicit per-table-prefix
+override wins (``register_log_store``, longest prefix first — how a
+deployment pins a custom client), then ``s3://``/``s3a://``/``s3n://``/
+``gs://`` map to :class:`ObjectStoreLogStore`, any other scheme to
+:class:`HadoopFsLogStore`, plain paths to :class:`LocalLogStore`.
 
 The reference's warehouse lives on object storage and its transactional
 serving load assumes the store provides the atomicity
@@ -45,16 +64,43 @@ import shutil
 import threading
 import uuid
 
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):/")
 
 TMP_PREFIX = ".tmp_"
 
+# object-store schemes whose rename is copy+delete: the commit CAS must
+# be a service-side conditional PUT, never a rename
+_CONDITIONAL_PUT_SCHEMES = {"s3", "s3a", "s3n", "gs", "gcs"}
+
+# per-table-prefix store factories, longest prefix wins — how a
+# deployment pins a specific store/client to a table tree (and how the
+# contract tests route a file:// root through ObjectStoreLogStore)
+_PREFIX_FACTORIES: list[tuple[str, object]] = []
+
+
+def register_log_store(prefix: str, factory) -> None:
+    """Pin ``factory(spark) -> store`` for every table under ``prefix``.
+    Longest registered prefix wins; re-registering a prefix replaces it."""
+    unregister_log_store(prefix)
+    _PREFIX_FACTORIES.append((prefix, factory))
+    _PREFIX_FACTORIES.sort(key=lambda t: len(t[0]), reverse=True)
+
+
+def unregister_log_store(prefix: str) -> None:
+    _PREFIX_FACTORIES[:] = [(p, f) for p, f in _PREFIX_FACTORIES if p != prefix]
+
 
 def get_log_store(table: str, spark=None):
-    """Resolve the store for a table root: URI scheme → Hadoop
-    FileSystem API via the active Spark JVM; plain path → local POSIX
-    primitives."""
-    if _SCHEME_RE.match(table):
+    """Resolve the store for a table root (module docstring): explicit
+    prefix registration → object-store schemes (conditional-put CAS) →
+    any other scheme (Hadoop FS CAS) → plain path (POSIX primitives)."""
+    for prefix, factory in _PREFIX_FACTORIES:
+        if table.startswith(prefix):
+            return factory(spark)
+    m = _SCHEME_RE.match(table)
+    if m:
+        if m.group(1).lower() in _CONDITIONAL_PUT_SCHEMES:
+            return ObjectStoreLogStore(spark)
         return HadoopFsLogStore(spark)
     return LocalLogStore()
 
@@ -276,3 +322,142 @@ class HadoopFsLogStore:
 
     def delete_file(self, path: str) -> None:
         self._fs(path).delete(self._jpath(path), False)
+
+
+class ObjectStoreLogStore(HadoopFsLogStore):
+    """Object-store store: Hadoop FS primitives for data/list/read (the
+    ``s3a://``/``gs://`` connectors Spark already uses for parquet), but
+    the commit CAS is ONE service-arbitrated conditional PUT — atomic
+    across drivers on different machines, which no rename on an object
+    store is (module docstring). No temp file either: an object PUT is
+    all-or-nothing, so a crash mid-publish leaves nothing at all."""
+
+    def __init__(self, spark=None, client=None):
+        super().__init__(spark)
+        self._client = client
+
+    def _resolve_client(self, uri: str):
+        if self._client is None:
+            scheme = (_SCHEME_RE.match(uri) or [None, ""])[1].lower()
+            if scheme in ("s3", "s3a", "s3n"):
+                self._client = S3ConditionalPutClient()
+            elif scheme in ("gs", "gcs"):
+                self._client = GcsConditionalPutClient()
+            else:
+                raise ValueError(
+                    f"no conditional-put client for scheme of {uri!r}; pass client= "
+                    "or register_log_store() a factory for this table prefix"
+                )
+        return self._client
+
+    def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        target = self.join(directory, name)
+        return self._resolve_client(target).put_if_absent(target, content.encode("utf-8"))
+
+
+class S3ConditionalPutClient:
+    """S3 conditional create: ``PutObject`` with ``If-None-Match: *`` —
+    the service accepts exactly one creator per key (HTTP 412
+    PreconditionFailed for losers; 409 ConditionalRequestConflict while
+    a concurrent conditional write is in flight, which also means we
+    lost unless the key is still absent). Public AWS API, also served by
+    S3-compatible stores (MinIO, R2). boto3 is resolved lazily so the
+    module imports in environments without it."""
+
+    def __init__(self, boto3_client=None):
+        if boto3_client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover - env without boto3
+                raise RuntimeError(
+                    "S3ConditionalPutClient needs boto3; pass boto3_client= or "
+                    "register a custom ConditionalPutClient for this table prefix"
+                ) from e
+            boto3_client = boto3.client("s3")
+        self._s3 = boto3_client
+
+    @staticmethod
+    def _bucket_key(uri: str) -> tuple[str, str]:
+        rest = uri.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"not a bucket/key object URI: {uri!r}")
+        return bucket, key
+
+    def put_if_absent(self, uri: str, content: bytes) -> bool:
+        bucket, key = self._bucket_key(uri)
+        try:
+            self._s3.put_object(Bucket=bucket, Key=key, Body=content, IfNoneMatch="*")
+            return True
+        except Exception as e:
+            code = str(
+                getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            ) or type(e).__name__
+            if code in ("PreconditionFailed", "412"):
+                return False
+            if code in ("ConditionalRequestConflict", "409"):
+                # a concurrent conditional PUT was in flight; whoever it
+                # was, this attempt did not create the object
+                return False
+            raise
+
+
+class GcsConditionalPutClient:
+    """GCS conditional create: upload with ``if_generation_match=0``
+    (generation 0 = "object must not exist"); the service returns 412
+    PreconditionFailed to every creator but one."""
+
+    def __init__(self, gcs_client=None):
+        if gcs_client is None:
+            try:
+                from google.cloud import storage
+            except ImportError as e:  # pragma: no cover - env without the SDK
+                raise RuntimeError(
+                    "GcsConditionalPutClient needs google-cloud-storage; pass "
+                    "gcs_client= or register a custom ConditionalPutClient"
+                ) from e
+            gcs_client = storage.Client()
+        self._gcs = gcs_client
+
+    def put_if_absent(self, uri: str, content: bytes) -> bool:
+        bucket_name, _, key = uri.split("://", 1)[1].partition("/")
+        blob = self._gcs.bucket(bucket_name).blob(key)
+        try:
+            blob.upload_from_string(content, if_generation_match=0)
+            return True
+        except Exception as e:
+            if "412" in str(e) or type(e).__name__ == "PreconditionFailed":
+                return False
+            raise
+
+
+class EmulatedConditionalPutClient:
+    """Conditional-put semantics over local ``file:``/plain paths — the
+    development/test stand-in for the S3/GCS clients (the environment
+    has no object store). Faithful to the service contract the store
+    relies on: ONE atomic full-object create-if-absent per key (the
+    complete content appears or nothing does; exactly one concurrent
+    creator wins), emulated with the same fsync+link(2) primitive
+    LocalLogStore's CAS uses."""
+
+    def put_if_absent(self, uri: str, content: bytes) -> bool:
+        from urllib.parse import urlparse
+
+        u = urlparse(uri)
+        if u.scheme not in ("", "file"):
+            raise ValueError(f"EmulatedConditionalPutClient is local-only, got {uri!r}")
+        path = u.path if u.scheme else uri
+        directory, name = os.path.split(path)
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, os.path.join(directory, name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)

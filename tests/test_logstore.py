@@ -24,17 +24,34 @@ from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.sinks import manifest as M
 from cashback_data_pipeline_spark.sinks.logstore import (
+    EmulatedConditionalPutClient,
     HadoopFsLogStore,
     LocalLogStore,
+    ObjectStoreLogStore,
+    S3ConditionalPutClient,
     get_log_store,
+    register_log_store,
+    unregister_log_store,
 )
 
 
-@pytest.fixture(params=["local", "hadoop-fs"])
+@pytest.fixture(params=["local", "hadoop-fs", "object-store"])
 def store_and_root(request, spark, tmp_path):
     if request.param == "local":
-        return LocalLogStore(), str(tmp_path / "root")
-    return HadoopFsLogStore(spark), "file://" + str(tmp_path / "root")
+        yield LocalLogStore(), str(tmp_path / "root")
+        return
+    if request.param == "hadoop-fs":
+        yield HadoopFsLogStore(spark), "file://" + str(tmp_path / "root")
+        return
+    # object store: Hadoop FS primitives + conditional-put CAS. The env
+    # has no object store, so the client is the local emulator; the
+    # root's prefix is REGISTERED so the protocol-level tests (write_table
+    # through vacuum) resolve this store for every internal get_log_store.
+    root = "file://" + str(tmp_path / "root")
+    store = ObjectStoreLogStore(spark, client=EmulatedConditionalPutClient())
+    register_log_store(root, lambda spark_, s=store: s)
+    yield store, root
+    unregister_log_store(root)
 
 
 def test_get_log_store_dispatch(spark):
@@ -42,6 +59,50 @@ def test_get_log_store_dispatch(spark):
     assert isinstance(get_log_store("relative/path"), LocalLogStore)
     assert isinstance(get_log_store("file:///tmp/x"), HadoopFsLogStore)
     assert isinstance(get_log_store("hdfs://nn:8020/warehouse/t"), HadoopFsLogStore)
+    # object-store schemes route the CAS through conditional PUT
+    for uri in ("s3://b/warehouse/t", "s3a://b/warehouse/t", "gs://b/warehouse/t"):
+        assert isinstance(get_log_store(uri), ObjectStoreLogStore)
+
+
+def test_register_log_store_prefix_override(spark, tmp_path):
+    """A registered table-prefix factory wins over scheme dispatch —
+    the deployment hook for pinning a custom client to a table tree."""
+    prefix = "file://" + str(tmp_path / "pinned")
+    factory = lambda spark_: ObjectStoreLogStore(spark_, client=EmulatedConditionalPutClient())  # noqa: E731
+    register_log_store(prefix, factory)
+    try:
+        assert isinstance(get_log_store(prefix + "/t"), ObjectStoreLogStore)
+        # non-matching paths keep scheme dispatch
+        assert isinstance(get_log_store("file:///elsewhere/t"), HadoopFsLogStore)
+    finally:
+        unregister_log_store(prefix)
+    assert isinstance(get_log_store(prefix + "/t"), HadoopFsLogStore)
+
+
+class _FakeS3:
+    """Minimal boto3-shaped fake pinning the EXACT conditional-create
+    call the client must make: If-None-Match:* on PutObject, 412 ⇒ lost."""
+
+    def __init__(self):
+        self.objects: dict[tuple[str, str], bytes] = {}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        assert IfNoneMatch == "*", "commit PUT must be conditional-on-absence"
+        if (Bucket, Key) in self.objects:
+            err = Exception("precondition failed")
+            err.response = {"Error": {"Code": "PreconditionFailed"}}
+            raise err
+        self.objects[(Bucket, Key)] = Body
+
+
+def test_s3_conditional_put_client_contract():
+    fake = _FakeS3()
+    client = S3ConditionalPutClient(boto3_client=fake)
+    assert client.put_if_absent("s3://bkt/t/_manifests/v1.json", b"winner")
+    assert not client.put_if_absent("s3://bkt/t/_manifests/v1.json", b"loser")
+    assert fake.objects[("bkt", "t/_manifests/v1.json")] == b"winner"
+    with pytest.raises(ValueError):
+        client.put_if_absent("s3://bucket-only", b"x")
 
 
 def test_publish_atomic_cas_and_visibility(store_and_root):
@@ -178,6 +239,33 @@ def test_concurrent_appenders_all_rows_land(spark, store_and_root):
     assert M.current_version(t) == n_writers
     got = sorted(r["k"] for r in M.read_table(spark, t).collect())
     assert got == list(range(n_writers * rows_each))
+
+
+def test_manifest_roundtrip_on_object_store(spark, tmp_path):
+    """The manifest_roundtrip query's exact sequence (seed → upsert →
+    compact → pinned read) with every commit CAS going through the
+    conditional-put client — the multi-driver-safe path a real S3/GCS
+    warehouse uses. Also pins that the object-store publish leaves no
+    manifest temp files at all (a conditional PUT has no rename dance)."""
+    root = "file://" + str(tmp_path / "obj")
+    register_log_store(root, lambda s: ObjectStoreLogStore(s, client=EmulatedConditionalPutClient()))
+    try:
+        t = root + "/orders"
+        df = spark.range(100).selectExpr("id AS k", "id % 7 AS grp", "id * 1.5 AS amt")
+        M.write_table(df.filter("k % 10 < 6"), t)
+        M.upsert_table(spark, df, t, key="k")
+        M.compact_table(spark, t, n_files=2)
+        back = M.read_table(spark, t)
+        assert back.count() == 100
+        assert back.groupBy().sum("amt").first()[0] == sum(i * 1.5 for i in range(100))
+        store = get_log_store(t)
+        assert isinstance(store, ObjectStoreLogStore)
+        names = store.list_names(store.join(t, "_manifests"))
+        assert sorted(names) and all(not n.startswith(".tmp_") for n in names)
+        # time travel still pinned across the three commits
+        assert M.read_table(spark, t, version=1).count() == 60
+    finally:
+        unregister_log_store(root)
 
 
 def test_streaming_near_dup_index_commits_on_hadoop_store(spark, tmp_path):
