@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-OPS = ("==", "=", "<", "<=", ">", ">=")
+OPS = ("==", "=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 _STATS_OK_TYPES = (
     T.ByteType,
@@ -132,51 +132,106 @@ def _coerce(stat, literal):
     return None
 
 
-def _normalize_predicates(predicates) -> list[tuple[str, str, object]]:
-    out = []
-    for p in predicates:
-        col, op, val = p
-        if op not in OPS:
-            raise ValueError(f"unsupported skip op {op!r}; one of {OPS}")
-        if val is None:
-            raise ValueError("skip predicates compare against a non-null literal")
-        out.append((col, "==" if op == "=" else op, val))
-    return out
+def _normalize_node(spec):
+    """Normalize a skip spec into the internal node tree
+    ``("and"|"or", [children]) | ("leaf", col, op, lit)``.
+
+    Accepted surface forms (VERDICT r7 item 3 — the Delta/Iceberg
+    data-skipping predicate breadth):
+
+    - ``(col, op, literal)`` — a comparison leaf (ops ``== = < <= > >=``)
+    - ``(col, "in", [literals])`` — membership leaf
+    - ``(col, "is_null")`` / ``(col, "is_not_null")`` — null-test leaf
+      (also accepted as a 3-tuple with ``None``)
+    - ``[spec, ...]`` — conjunction (the original AND-list form)
+    - ``("and", [specs])`` / ``("or", [specs])`` — explicit boolean nodes,
+      nestable — e.g. the TPC-H Q19 shape is an OR of range conjunctions
+    """
+    if isinstance(spec, list):
+        return ("and", [_normalize_node(s) for s in spec])
+    if not isinstance(spec, tuple):
+        raise ValueError(f"skip spec nodes are tuples/lists, got {type(spec).__name__}")
+    if len(spec) == 2 and spec[0] in ("and", "or") and isinstance(spec[1], (list, tuple)):
+        return (spec[0], [_normalize_node(s) for s in spec[1]])
+    if len(spec) == 2:
+        col, op = spec
+        val = None
+    elif len(spec) == 3:
+        col, op, val = spec
+    else:
+        raise ValueError(f"malformed skip predicate {spec!r}")
+    if op not in OPS:
+        raise ValueError(f"unsupported skip op {op!r}; one of {OPS}")
+    if op in ("is_null", "is_not_null"):
+        if val is not None:
+            raise ValueError(f"{op} takes no literal, got {val!r}")
+    elif op == "in":
+        vals = list(val) if isinstance(val, (list, tuple, set, frozenset)) else None
+        if vals is None:
+            raise ValueError("'in' needs a list/tuple/set of literals")
+        if any(v is None for v in vals):
+            raise ValueError("'in' literals must be non-null (use is_null)")
+        val = sorted(vals, key=repr)  # canonical order: deterministic residual plan
+    elif val is None:
+        raise ValueError("skip predicates compare against a non-null literal")
+    return ("leaf", col, "==" if op == "=" else op, val)
 
 
-def file_may_match(entry: dict | None, predicates: list[tuple[str, str, object]]) -> bool:
-    """Can this file contain a row satisfying ALL predicates? ``entry``
-    is the manifest's per-file stats dict (or None). Missing information
-    at any level ⇒ True (keep)."""
-    if not predicates:
-        return True
-    if not entry:
-        return True
+def _leaf_may_match(entry: dict, col: str, op: str, lit) -> bool:
+    """Can any row of this file satisfy one leaf predicate? Missing
+    information at any level ⇒ True (keep)."""
     cols = entry.get("cols", {})
     rows = entry.get("rows")
-    for col, op, lit in predicates:
-        st = cols.get(col)
-        if st is None:
-            continue  # column not tracked in this file — keep
-        nulls = st.get("nulls")
-        if rows is not None and nulls is not None and nulls >= rows and rows > 0:
-            # every value NULL: no comparison predicate can match
-            return False
-        lo = _coerce(st.get("min"), lit)
-        hi = _coerce(st.get("max"), lit)
-        if lo is None or hi is None:
-            continue  # bounds unusable for this literal — keep
-        if op == "==" and not (lo <= lit <= hi):
-            return False
-        if op == "<" and not (lo < lit):
-            return False
-        if op == "<=" and not (lo <= lit):
-            return False
-        if op == ">" and not (hi > lit):
-            return False
-        if op == ">=" and not (hi >= lit):
-            return False
-    return True
+    if rows is not None and rows == 0:
+        return False  # an empty file satisfies no predicate
+    st = cols.get(col)
+    if st is None:
+        return True  # column not tracked in this file — keep
+    nulls = st.get("nulls")
+    all_null = rows is not None and nulls is not None and nulls >= rows
+    if op == "is_null":
+        # prunable only when the null count PROVES zero nulls
+        return not (nulls is not None and nulls == 0)
+    if op == "is_not_null":
+        return not all_null
+    if all_null:
+        return False  # every value NULL: no comparison/membership can match
+    lo = _coerce(st.get("min"), lit[0] if op == "in" else lit)
+    hi = _coerce(st.get("max"), lit[0] if op == "in" else lit)
+    if lo is None or hi is None:
+        return True  # bounds unusable for this literal — keep
+    if op == "in":
+        return any(lo <= e <= hi for e in lit)
+    if op == "==":
+        return lo <= lit <= hi
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    return hi >= lit  # ">="
+
+
+def _node_may_match(entry: dict, node) -> bool:
+    kind = node[0]
+    if kind == "and":
+        return all(_node_may_match(entry, c) for c in node[1])
+    if kind == "or":
+        # an empty disjunction matches nothing; otherwise any branch keeps
+        return any(_node_may_match(entry, c) for c in node[1])
+    return _leaf_may_match(entry, node[1], node[2], node[3])
+
+
+def file_may_match(entry: dict | None, predicates) -> bool:
+    """Can this file contain a row satisfying the skip spec? ``entry``
+    is the manifest's per-file stats dict (or None). Missing information
+    at any level ⇒ True (keep); boolean structure is honored exactly
+    (an OR keeps the file if ANY branch might match)."""
+    node = _normalize_node(predicates)
+    if not entry:
+        return True
+    return _node_may_match(entry, node)
 
 
 def prune_files(
@@ -184,28 +239,44 @@ def prune_files(
 ) -> tuple[list[str], int]:
     """Split a manifest file list by :func:`file_may_match`; returns
     (kept, skipped_count)."""
-    preds = _normalize_predicates(predicates)
-    if not preds or not stats:
+    node = _normalize_node(predicates)
+    if (node[0] in ("and",) and not node[1]) or not stats:
         return list(files), 0
-    kept = [f for f in files if file_may_match(stats.get(f), preds)]
+    kept = [f for f in files if not stats.get(f) or _node_may_match(stats[f], node)]
     return kept, len(files) - len(kept)
 
 
+def _node_condition(node):
+    kind = node[0]
+    if kind in ("and", "or"):
+        subs = [_node_condition(c) for c in node[1]]
+        if not subs:
+            return F.lit(kind == "and")  # empty AND = true, empty OR = false
+        out = subs[0]
+        for s in subs[1:]:
+            out = (out & s) if kind == "and" else (out | s)
+        return out
+    _, col, op, lit = node
+    c = F.col(col)
+    if op == "in":
+        return c.isin(*lit)
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
+    return {
+        "==": c == F.lit(lit),
+        "<": c < F.lit(lit),
+        "<=": c <= F.lit(lit),
+        ">": c > F.lit(lit),
+        ">=": c >= F.lit(lit),
+    }[op]
+
+
 def skip_condition(predicates):
-    """The predicates as ONE Spark Column — re-applied to surviving
+    """The skip spec as ONE Spark Column — re-applied to surviving
     files so the read's semantics are exact however much was pruned."""
-    cond = None
-    for col, op, lit in _normalize_predicates(predicates):
-        c = F.col(col)
-        piece = {
-            "==": c == F.lit(lit),
-            "<": c < F.lit(lit),
-            "<=": c <= F.lit(lit),
-            ">": c > F.lit(lit),
-            ">=": c >= F.lit(lit),
-        }[op]
-        cond = piece if cond is None else (cond & piece)
-    return cond
+    return _node_condition(_normalize_node(predicates))
 
 
 def _local_path(p: str) -> str | None:

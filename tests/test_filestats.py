@@ -126,6 +126,70 @@ def test_all_null_files_are_skipped_for_comparisons(spark, mk_table):
     assert got == {3, 4}
 
 
+def test_disjunctive_in_and_null_test_pruning(spark, mk_table):
+    """VERDICT r7 item 3: OR of range conjunctions, IN lists, and null
+    tests prune files and stay exact (the Q19 predicate shape)."""
+    t = mk_table()
+    v = _commit_quarters(spark, t, ["ts", "id", "s"])
+    m = M.read_manifest(t, v)
+    base = dt.datetime(2024, 1, 1)
+    hours = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    # OR of two ranges living in quarters 1 and 4: quarters 2-3 prune
+    spec = ("or", [
+        [("ts", ">=", hours(10)), ("ts", "<", hours(20))],
+        [("ts", ">=", hours(180)), ("ts", "<", hours(190))],
+    ])
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], spec)
+    assert skipped >= 4  # the two middle quarters' files (2 each)
+    got = {r["id"] for r in M.read_table(spark, t, skip=spec).collect()}
+    assert got == set(range(10, 20)) | set(range(180, 190))
+    # IN list: members in quarters 1 and 3 only — quarters 2, 4 prune
+    spec_in = [("id", "in", [7, 120])]
+    kept, skipped = filestats.prune_files(m["files"], m["stats"], spec_in)
+    assert skipped >= 4
+    got = {r["id"] for r in M.read_table(spark, t, skip=spec_in).collect()}
+    assert got == {7, 120}
+    # null tests: an all-null file prunes for is_not_null, a no-null
+    # file prunes for is_null; residual stays exact either way
+    t2 = mk_table("t_nulls")
+    a = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    b = spark.createDataFrame([(3, "x"), (4, "y")], "id long, v string")
+    M.write_table(a.coalesce(1), t2, stats_cols=["v"])
+    v2 = M.write_table(b.coalesce(1), t2, mode="append", stats_cols=["v"])
+    m2 = M.read_manifest(t2, v2)
+    _, skipped = filestats.prune_files(m2["files"], m2["stats"], [("v", "is_not_null")])
+    assert skipped == 1
+    got = {r["id"] for r in M.read_table(spark, t2, skip=[("v", "is_not_null")]).collect()}
+    assert got == {3, 4}
+    _, skipped = filestats.prune_files(m2["files"], m2["stats"], [("v", "is_null")])
+    assert skipped == 1
+    got = {r["id"] for r in M.read_table(spark, t2, skip=[("v", "is_null")]).collect()}
+    assert got == {1, 2}
+    # nested boolean structure: (is_null OR range) keeps both files
+    nested = ("or", [[("v", "is_null")], [("v", ">=", "x")]])
+    _, skipped = filestats.prune_files(m2["files"], m2["stats"], nested)
+    assert skipped == 0
+    got = {r["id"] for r in M.read_table(spark, t2, skip=nested).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_skip_spec_validation():
+    with pytest.raises(ValueError, match="unsupported skip op"):
+        filestats.skip_condition([("a", "!=", 1)])
+    with pytest.raises(ValueError, match="non-null literal"):
+        filestats.skip_condition([("a", "<", None)])
+    with pytest.raises(ValueError, match="takes no literal"):
+        filestats.skip_condition([("a", "is_null", 3)])
+    with pytest.raises(ValueError, match="list/tuple/set"):
+        filestats.skip_condition([("a", "in", 3)])
+    with pytest.raises(ValueError, match="non-null"):
+        filestats.skip_condition([("a", "in", [1, None])])
+    # empty OR matches nothing: every file prunes
+    entry = {"rows": 2, "cols": {"a": {"min": 1, "max": 5, "nulls": 0}}}
+    assert not filestats.file_may_match(entry, ("or", []))
+    assert filestats.file_may_match(entry, [])  # empty AND keeps
+
+
 def test_stats_cols_validation(spark, mk_table):
     t = mk_table()
     df = spark.createDataFrame([(1, {"a": 1})], "id long, m map<string,int>")
