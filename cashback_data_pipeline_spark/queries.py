@@ -1703,6 +1703,65 @@ def manifest_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_changes_rows",
+    sql="""
+    WITH o AS (
+      SELECT o_orderkey,
+             floor(o_totalprice) AS p1,
+             floor(o_totalprice * 100 + 0.5) / 100 AS p2
+      FROM orders
+    )
+    SELECT o_orderkey, p2 AS o_totalprice, 'insert' AS _change_type
+    FROM o WHERE o_orderkey % 10 IN (8, 9)
+    UNION ALL
+    SELECT o_orderkey, p1, 'delete' FROM o WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey, p1, 'update_preimage'
+    FROM o WHERE o_orderkey % 10 IN (4, 5, 6) AND p1 <> p2
+    UNION ALL
+    SELECT o_orderkey, p2, 'update_postimage'
+    FROM o WHERE o_orderkey % 10 IN (4, 5, 6) AND p1 <> p2
+    """,
+)
+def manifest_changes_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL change feed over a REWRITE window (VERDICT r7 item 4 —
+    manifest.read_changes_rows, the Delta CDF shape): v1 = orders keys
+    %10<8 with whole-dollar prices; v2 = upsert of keys %10>=4 with
+    exact 2-decimal prices (updates 4-6 where the price actually
+    differs, inserts 8-9); v3 = overwrite dropping keys %10==7. The
+    keyed diff of v1→v3 must emit exactly the inserts (8,9), the
+    deletes (7, with the OLD price), and pre+post rows for 4-6 where
+    rounding changed the value — unchanged keys (0-3, and 4-6 whose
+    price was already whole) emit nothing. The oracle recomputes all
+    four classes from the source table. The append-only fast path
+    (pure inserts, zero rescan) stays pytest-pinned."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    mod = F.pmod("o_orderkey", F.lit(10))
+    v1 = orders.filter(mod < 8).select(
+        "o_orderkey", F.floor("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    batch = orders.filter(mod >= 4).select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice")
+    )
+    table = tempfile.mkdtemp(prefix="manifest_cdf_rows_")
+    try:
+        M.write_table(v1, table)
+        M.upsert_table(spark, batch, table, key="o_orderkey")
+        v2_snapshot = M.read_table(spark, table)
+        M.write_table(v2_snapshot.filter(F.pmod("o_orderkey", F.lit(10)) != 7), table)
+        delta = M.read_changes_rows(spark, table, from_version=1, key="o_orderkey")
+        rows = delta.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, delta.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "incremental_append",
     sql="""
     SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice

@@ -355,8 +355,9 @@ def read_changes(
     any ``from_version`` file is gone by ``to_version`` (an overwrite,
     compaction, upsert or vacuum-after-rewrite happened in between), the
     file-level diff no longer equals the row-level diff and this raises
-    ValueError — fall back to a keyed diff of :func:`read_table` at the
-    two versions, or restart the consumer from a snapshot."""
+    ValueError — use :func:`read_changes_rows` (which falls back to a
+    keyed snapshot diff with ``_change_type`` rows), or restart the
+    consumer from a snapshot."""
     to_v = current_version(table) if to_version is None else to_version
     if to_v is None:
         raise FileNotFoundError(f"no committed version in {table}")
@@ -370,7 +371,7 @@ def read_changes(
         raise ValueError(
             f"{table} is not append-only between v{from_version} and v{to_v}: "
             f"{len(removed)} file(s) were rewritten/removed (e.g. {removed[0]!r}); "
-            "the file diff is not the row diff — use a keyed read_table diff "
+            "the file diff is not the row diff — use read_changes_rows(key=...) "
             "or restart from a snapshot"
         )
     added = sorted(new - old)
@@ -379,6 +380,109 @@ def read_changes(
         return spark.createDataFrame([], schema)
     store = get_log_store(table)
     return spark.read.parquet(*[store.join(table, f) for f in added])
+
+
+def read_changes_rows(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """ROW-level change feed (the Delta CDF shape — VERDICT r7 item 4):
+    the changes between ``from_version`` (exclusive) and ``to_version``
+    (inclusive), tagged with ``_change_type`` ∈ ``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete``.
+
+    Append-only windows keep :func:`read_changes`' zero-rescan fast
+    path: only the added files are read, every row is an ``insert``, no
+    ``key`` needed. A window containing a rewrite (upsert, compaction,
+    overwrite) falls back to a KEYED DIFF of the two pinned snapshots —
+    one full-outer join on ``key`` (required then), one pass, emitting
+    pre+post rows for keys whose non-key columns changed null-safely
+    (map-typed columns compare via their canonical JSON rendering, the
+    `_one_row_per_key` discipline). Both versions must hold one row per
+    key — true for any history written through :func:`upsert_table` /
+    :func:`append_table_if_absent`. Unlike the file diff, the keyed diff
+    reads both snapshots — the honest cost of row-level semantics over a
+    rewrite; downstream consumers that only ever see appends never pay
+    it."""
+    to_v = current_version(table) if to_version is None else to_version
+    if to_v is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    m_to = read_manifest(table, to_v)
+    old_files = set(read_manifest(table, from_version)["files"]) if from_version > 0 else set()
+    removed = sorted(old_files - set(m_to["files"]))
+    schema = T.StructType.fromJson(json.loads(m_to["schema"]))
+    if not removed:
+        # append-only fast path: the file diff IS the row diff
+        added = sorted(set(m_to["files"]) - old_files)
+        if not added:
+            out_schema = T.StructType(
+                schema.fields + [T.StructField("_change_type", T.StringType(), False)]
+            )
+            return spark.createDataFrame([], out_schema)
+        store = get_log_store(table)
+        return spark.read.parquet(*[store.join(table, f) for f in added]).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    if key is None:
+        raise ValueError(
+            f"{table} was rewritten between v{from_version} and v{to_v} "
+            f"({len(removed)} file(s) removed): row-level changes need a keyed "
+            "diff — pass key=<unique key column>"
+        )
+    new_df = read_table(spark, table, to_v)
+    if from_version == 0:
+        return new_df.withColumn("_change_type", F.lit("insert"))
+    old_df = read_table(spark, table, from_version)
+    if set(old_df.columns) != set(new_df.columns):
+        raise ValueError(
+            "schema changed across the window; read both versions with an "
+            "explicit schema and diff manually"
+        )
+    cols = new_df.columns
+    by_name = {f.name: f.dataType for f in new_df.schema.fields}
+    oldp = old_df.select(
+        F.lit(True).alias("__o_present"), *[F.col(c).alias(f"__o_{c}") for c in cols]
+    )
+    newp = new_df.select(
+        F.lit(True).alias("__n_present"), *[F.col(c).alias(f"__n_{c}") for c in cols]
+    )
+    j = oldp.join(newp, oldp[f"__o_{key}"] == newp[f"__n_{key}"], "full_outer")
+
+    def _eq(c: str):
+        o, n = F.col(f"__o_{c}"), F.col(f"__n_{c}")
+        if not _orderable(by_name[c]):
+            return F.to_json(o).eqNullSafe(F.to_json(n))
+        return o.eqNullSafe(n)
+
+    same = None
+    for c in cols:
+        if c == key:
+            continue
+        piece = _eq(c)
+        same = piece if same is None else (same & piece)
+    ct = (
+        F.when(F.col("__o_present").isNull(), F.array(F.lit("insert")))
+        .when(F.col("__n_present").isNull(), F.array(F.lit("delete")))
+        .when(
+            ~same if same is not None else F.lit(False),
+            F.array(F.lit("update_preimage"), F.lit("update_postimage")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    exploded = j.select(*j.columns, F.explode(ct).alias("_change_type"))
+    old_side = F.col("_change_type").isin("delete", "update_preimage")
+    return exploded.select(
+        *[
+            F.when(old_side, F.col(f"__o_{c}")).otherwise(F.col(f"__n_{c}")).alias(c)
+            for c in cols
+        ],
+        "_change_type",
+    )
 
 
 def compact_table(
