@@ -2867,6 +2867,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    sql="""
+    WITH s AS (SELECT i FROM generate_series(0, 767) t(i)),
+    d AS (
+      SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS channels
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT d.doc_id, 16 AS width, 16 AS height, d.channels,
+           CAST(sum((d.doc_id + i * i) % 256) AS BIGINT) AS sum_px
+    FROM d JOIN s ON s.i < 256 * d.channels
+    GROUP BY d.doc_id, d.channels
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle (VERDICT r7 item 5 —
+    operators.multimodal.decode_image_real, the pure-stdlib RFC 2083
+    PNG path): each selected document manufactures a 16×16 PNG
+    (grayscale for even doc_ids, RGB for odd — pixel i =
+    (doc_id + i²) mod 256, scanline filters CYCLING 0→4 so every
+    unfilter branch runs), then the decoder recovers dimensions,
+    channels, and the exact pixel bytes, summed. The oracle recomputes
+    the pixel sum arithmetically from the same formula — hash-equality
+    means decode (inflate + Sub/Up/Average/Paeth reconstruction) is
+    pixel-exact, not plumbing-deep. Encode and decode both run inside
+    one Arrow-batched kernel over (doc_id) only — no payload column is
+    shuffled or persisted."""
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(7)) == 0
+    ).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ch = 1 if doc_id % 2 == 0 else 3
+                n = 16 * 16 * ch
+                px = bytes((doc_id + i * i) % 256 for i in range(n))
+                png = multimodal.encode_png(px, 16, 16, ch, filter_cycle=True)
+                img = multimodal.decode_image_real(png)
+                assert img["channels"] == ch and img["width"] == 16 and img["height"] == 16
+                out.append(
+                    (doc_id, img["width"], img["height"], img["channels"], sum(img["pixels"]))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "channels", "sum_px"]
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, width int, height int, channels int, sum_px long"
+    )
+
+
+@query(
     "distinct_users_salted",
     sql="""
     SELECT event_type, count(DISTINCT user_id) AS n_distinct

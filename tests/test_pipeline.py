@@ -114,9 +114,75 @@ def test_frame_sample_plan_fanout(spark, media):
     assert got == [0, 1000, 2000]  # 3500ms video -> frames at 0/1000/2000
 
 
-def test_decode_real_is_explicit_stub():
+def test_decode_real_non_png_is_explicit_stub():
+    """Non-PNG formats still raise with the dependency note (the codec
+    seam for JPEG/video/audio)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"bytes")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"")
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_bit_exact_all_filters(channels):
+    """encode_png (filters cycling 0→4) → decode_image_real recovers the
+    exact pixel bytes for gray / gray+alpha / RGB / RGBA."""
+    w, h = 9, 11  # odd sizes: stride not a multiple of anything handy
+    px = bytes((i * 31 + channels * 7) % 256 for i in range(w * h * channels))
+    png = multimodal.encode_png(px, w, h, channels, filter_cycle=True)
+    img = multimodal.decode_image_real(png)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == px
+
+
+def test_png_decoder_rejects_unsupported_and_corrupt():
+    px = bytes(range(16))
+    png = multimodal.encode_png(px, 4, 4, 1)
+    # corrupt a chunk byte: CRC must catch it
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|IHDR"):
+        multimodal.decode_image_real(bytes(bad))
+    with pytest.raises(ValueError, match="pixel bytes"):
+        multimodal.encode_png(px, 5, 5, 1)  # wrong buffer size
+    # 16-bit depth (hand-built IHDR) rejected, not mis-decoded
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", _z.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png16 = multimodal.PNG_SIG + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        multimodal.decode_image_real(png16)
+
+
+def test_extract_features_uses_real_pixels_for_png(spark):
+    """PNG payloads feature from decoded pixel stats — two PNGs with the
+    same dimensions but different pixels must differ in feature, and the
+    channel-mean slots must equal the true means."""
+    w, h = 8, 8
+    px_dark = bytes([10] * (w * h * 3))
+    px_light = bytes([200] * (w * h * 3))
+    rows = [
+        (1, multimodal.encode_png(px_dark, w, h, 3)),
+        (2, multimodal.encode_png(px_light, w, h, 3)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(df, dim=8).collect()}
+    assert feats[1] != feats[2]
+    for mid, val in ((1, 10), (2, 200)):
+        for slot in (3, 4, 5):  # per-channel means, channels=3
+            assert abs(feats[mid][slot] - val / 255.0) < 1e-6
+    # non-image payloads keep the sha-derived stand-in (float32 storage)
+    want = multimodal._fake_feature(b"not an image", 8)
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feats[3], want))
 
 
 def test_merge_upsert_updates_and_inserts(spark):
