@@ -286,6 +286,50 @@ def make_skipping_samplers(spark, sf_dir: str, base: str):  # -> 2 samplers + cl
     return sample_skip_read, sample_changes_read, cleanup
 
 
+def make_manifest_hadoop_sampler(spark, sf_dir: str, base: str):
+    """One-sample closure for ``manifest_roundtrip_hadoop`` (VERDICT r7
+    item 6): the exact manifest_roundtrip sequence (seed 60% → upsert
+    full → compact → pinned aggregate read) against a ``file://`` URI,
+    so every commit CAS and listing goes through HadoopFsLogStore's JVM
+    FileSystem client instead of POSIX primitives. The delta vs the
+    local-path ``manifest_roundtrip`` row IS the commit-protocol
+    overhead on the Hadoop path — previously correctness-tested but
+    never timed. Fresh table per sample (the protocol's work grows with
+    version history); teardown outside the timed window."""
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.queries import dsum2, read_testdata
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+
+    def sample() -> float:
+        local_dir = f"{base}/t_{_uuid.uuid4().hex[:8]}"
+        table = "file://" + local_dir
+        t0 = time.time()
+        M.write_table(orders.filter(F.col("o_orderkey") % 10 < 6), table)
+        M.upsert_table(spark, orders, table, key="o_orderkey")
+        M.compact_table(spark, table, n_files=4)
+        M.read_table(spark, table).groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        elapsed = round(time.time() - t0, 3)
+        shutil.rmtree(local_dir, ignore_errors=True)
+        return elapsed
+
+    def cleanup() -> None:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+    return sample, cleanup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -419,6 +463,11 @@ def main() -> None:
     measure("stats_skip_read", sample_skip_read)
     measure("changes_read", sample_changes_read)
     skip_cleanup()
+    sample_mrh, mrh_cleanup = make_manifest_hadoop_sampler(
+        spark, sf_dir, tempfile.mkdtemp(prefix="manifest_hadoop_bench_")
+    )
+    measure("manifest_roundtrip_hadoop", sample_mrh)
+    mrh_cleanup()
     measure(
         "reference_pipeline",
         lambda: reference_pipeline_bench(

@@ -6013,79 +6013,76 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01-r04 keys).
 #
-# Round-7 rotation (VERDICT r6 item 2): the 3 round-6 queries the
-# driver never sampled (ann_ivf_quantized_topk, ann_ivf_delta_topk,
-# indexed_bm25_delta) plus the new round-7 queries (ann_ivf_retrain_topk,
-# manifest_stats_skipping, manifest_changes_feed) lead
-# the window; the other 44 slots re-validate the STALEST previously-green
-# queries (all last driver-checked in round 3). Everything else stays
+# Round-8 rotation (VERDICT r7 item 8): the three new round-8 queries
+# (manifest_skip_disjunctive, manifest_changes_rows, multimodal_png_decode)
+# lead the window; the other 47 slots re-validate the STALEST
+# previously-green queries (all last driver-checked in round 4 — computed
+# from CORRECTNESS_r01-r07 latest-check rounds). Everything else stays
 # covered by the local gate (tools/check_correctness.py runs ALL
 # queries).
-# ---------------------------------------------------------------------------
-
-_ROUND7_WINDOW = [
-    "ann_ivf_quantized_topk",
-    "ann_ivf_delta_topk",
-    "indexed_bm25_delta",
-    "ann_ivf_retrain_topk",
-    "manifest_stats_skipping",
-    "manifest_changes_feed",
-    "monthly_segment_summary",
-    "left_join_enrich",
-    "anti_join_absent_keys",
-    "semi_join_present_keys",
-    "donor_group_fill",
-    "filter_neq_null_safe",
-    "range_filter_events",
-    "count_filtered",
-    "distinct_agg",
-    "rollup_summary",
-    "derived_conditional_price",
-    "date_parts_projection",
-    "json_field_extract",
-    "sort_limit_offset",
-    "window_topk_per_group",
-    "union_except_keys",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "doc_fingerprints",
-    "near_dup_jaccard",
-    "minhash_lsh_near_dups",
-    "simhash_near_dups",
-    "embedding_near_dups",
-    "lenient_casts",
-    "string_functions",
-    "math_functions",
-    "pivot_event_counts",
-    "cube_summary",
-    "first_match_per_group",
-    "sessionization",
-    "sliding_window_counts",
-    "warehouse_roundtrip",
-    "incremental_append",
-    "minhash_trigram_near_dups",
-    "pricing_summary",
-    "shipping_priority",
-    "supplier_volume_by_nation",
-    "sql_api_order_stats",
-    "value_percentiles",
-    "window_analytics",
-    "csv_roundtrip",
-    "reference_pipeline_parity",
-    "streaming_windowed_counts",
+_ROUND8_WINDOW = [
+    "manifest_skip_disjunctive",
+    "manifest_changes_rows",
+    "multimodal_png_decode",
+    "approx_sketches",
+    "dedup_clusters",
+    "forecast_revenue",
+    "large_orders",
+    "order_priority_check",
+    "returned_item_revenue",
+    "nested_blob_parse",
+    "multimodal_features",
+    "doc_chunks",
+    "doc_packing",
+    "corpus_split",
+    "domain_mixture",
+    "repetition_scores",
+    "pii_redaction",
+    "stratified_sample",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "disjunctive_predicate_revenue",
+    "idle_rich_customers",
+    "attribution_interval_join",
+    "doc_packing_sharded",
+    "streaming_dedup_replay",
+    "streaming_sessionization",
+    "embedding_quantization",
+    "unigram_surprisal_scores",
+    "ann_ivf_refined_topk",
+    "cross_nation_volume",
+    "priority_shipping_counts",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "embedding_lsh_near_dups",
+    "streaming_interval_join",
+    "regional_min_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_values",
+    "top_revenue_supplier",
+    "part_supplier_variety",
+    "promo_stock_suppliers",
+    "waiting_orders_suppliers",
+    "benchmark_decontamination",
+    "incremental_corpus_dedup",
+    "cross_doc_ngram_dup",
+    "retention_cohorts",
+    "corpus_health_by_source",
+    "containment_near_dups",
+    "duplicate_passages",
 ]
 
 
 def _apply_driver_window() -> None:
-    assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
-    assert len(set(_ROUND7_WINDOW)) == 50, "duplicate names in window"
-    unknown = [n for n in _ROUND7_WINDOW if n not in QUERIES]
+    assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
+    assert len(set(_ROUND8_WINDOW)) == 50, "duplicate names in window"
+    unknown = [n for n in _ROUND8_WINDOW if n not in QUERIES]
     assert not unknown, f"window names not registered: {unknown}"
-    missing = [n for n in _ROUND7_WINDOW if n not in ORACLES]
+    missing = [n for n in _ROUND8_WINDOW if n not in ORACLES]
     assert not missing, f"driver window contains oracle-less queries: {missing}"
-    rest = [n for n in QUERIES if n not in set(_ROUND7_WINDOW)]
-    reordered = {n: QUERIES[n] for n in [*_ROUND7_WINDOW, *rest]}
+    rest = [n for n in QUERIES if n not in set(_ROUND8_WINDOW)]
+    reordered = {n: QUERIES[n] for n in [*_ROUND8_WINDOW, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 
