@@ -91,9 +91,9 @@ def _png_chunks(payload: bytes):
     pos = len(PNG_SIG)
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        if pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + length]
         crc = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} fails CRC")

@@ -95,7 +95,9 @@ def get_log_store(table: str, spark=None):
     prefix registration → object-store schemes (conditional-put CAS) →
     any other scheme (Hadoop FS CAS) → plain path (POSIX primitives)."""
     for prefix, factory in _PREFIX_FACTORIES:
-        if table.startswith(prefix):
+        # boundary-aware: "s3://b/tables" must not capture "s3://b/tables2"
+        p = prefix.rstrip("/")
+        if table == p or table.startswith(p + "/"):
             return factory(spark)
     m = _SCHEME_RE.match(table)
     if m:

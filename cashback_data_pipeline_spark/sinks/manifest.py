@@ -444,6 +444,8 @@ def read_changes_rows(
             "explicit schema and diff manually"
         )
     cols = new_df.columns
+    if key not in cols:
+        raise ValueError(f"key {key!r} not in table columns {cols}")
     by_name = {f.name: f.dataType for f in new_df.schema.fields}
     oldp = old_df.select(
         F.lit(True).alias("__o_present"), *[F.col(c).alias(f"__o_{c}") for c in cols]

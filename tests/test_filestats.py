@@ -173,6 +173,16 @@ def test_disjunctive_in_and_null_test_pruning(spark, mk_table):
     assert got == {1, 2, 3, 4}
 
 
+def test_in_pruning_mixed_types_stays_conservative():
+    """A mixed-type IN list must never crash prune-time comparison: an
+    element the bounds can't compare against keeps the file."""
+    entry = {"rows": 4, "cols": {"a": {"min": 10, "max": 20, "nulls": 0}}}
+    assert filestats.file_may_match(entry, [("a", "in", [15, "oops"])])
+    assert filestats.file_may_match(entry, [("a", "in", ["only-strings"])])
+    assert not filestats.file_may_match(entry, [("a", "in", [1, 2, 30])])
+    assert filestats.file_may_match(entry, [("a", "in", [1, 15])])
+
+
 def test_skip_spec_validation():
     with pytest.raises(ValueError, match="unsupported skip op"):
         filestats.skip_condition([("a", "!=", 1)])
@@ -305,11 +315,13 @@ def test_read_changes_rows_map_columns_compare_canonically(spark, mk_table):
     assert got == {(2, "update_preimage"), (2, "update_postimage")}
 
 
-def test_timestamp_skip_and_fallback_scan_agrees_with_footers(spark, mk_table, monkeypatch):
-    """Timestamp pruning end-to-end, plus: the ``scheme://`` fallback
-    (one scan grouped by ``_metadata.file_path``) must produce stats
-    interchangeable with the footer path — forced by making every path
-    look non-local."""
+def test_timestamp_skip_and_remote_stat_paths_agree_with_footers(spark, mk_table, monkeypatch):
+    """Timestamp pruning end-to-end, plus: BOTH ``scheme://`` stat paths
+    — the Hadoop-FS footer read (driver-side tail reads, zero data I/O;
+    round 8) and the one-scan fallback (``_metadata.file_path``) — must
+    produce stats interchangeable with the local footer path. Forced by
+    making every path look non-local; the scan leg additionally zeroes
+    the footer-path file bound."""
     t = mk_table()
     df = _events(spark, 48).repartition(2)
     v = M.write_table(df, t, stats_cols=["ts"])
@@ -320,15 +332,31 @@ def test_timestamp_skip_and_fallback_scan_agrees_with_footers(spark, mk_table, m
     assert got == want and len(got) == 24
 
     footer_stats = {f: m["stats"][f] for f in m["files"]}
+
+    def check(other: dict) -> None:
+        assert set(other) == set(footer_stats)
+        for f in footer_stats:
+            a, b = footer_stats[f], other[f]
+            assert a["rows"] == b["rows"]
+            assert a["cols"]["ts"]["min"] == b["cols"]["ts"]["min"]
+            assert a["cols"]["ts"]["max"] == b["cols"]["ts"]["max"]
+            assert a["cols"]["ts"]["nulls"] == b["cols"]["ts"]["nulls"]
+
+    # the Hadoop-footer path DIRECTLY (no silent fallback can hide a
+    # broken adapter): stats must match the local footer read bit-for-bit
+    from cashback_data_pipeline_spark.sinks.logstore import get_log_store
+
+    store = get_log_store(t)
+    abs_by_rel = {rel: store.join(t, rel) for rel in m["files"]}
+    by_abs = filestats._hadoop_footer_stats(spark, list(abs_by_rel.values()), ["ts"])
+    check({rel: by_abs[p] for rel, p in abs_by_rel.items()})
+
     monkeypatch.setattr(filestats, "_local_path", lambda p: None)
-    scan_stats = filestats.collect_file_stats(spark, t, m["files"], ["ts"], schema=df.schema)
-    assert set(scan_stats) == set(footer_stats)
-    for f in footer_stats:
-        a, b = footer_stats[f], scan_stats[f]
-        assert a["rows"] == b["rows"]
-        assert a["cols"]["ts"]["min"] == b["cols"]["ts"]["min"]
-        assert a["cols"]["ts"]["max"] == b["cols"]["ts"]["max"]
-        assert a["cols"]["ts"]["nulls"] == b["cols"]["ts"]["nulls"]
+    check(filestats.collect_file_stats(spark, t, m["files"], ["ts"], schema=df.schema))
+    # force the last-resort scan too (as if the commit exceeded the
+    # driver-side footer bound)
+    monkeypatch.setattr(filestats, "HADOOP_FOOTER_MAX_FILES", 0)
+    check(filestats.collect_file_stats(spark, t, m["files"], ["ts"], schema=df.schema))
 
 
 def test_cluster_by_makes_files_disjoint_and_maximally_prunable(spark, mk_table):

@@ -74,6 +74,9 @@ def test_register_log_store_prefix_override(spark, tmp_path):
         assert isinstance(get_log_store(prefix + "/t"), ObjectStoreLogStore)
         # non-matching paths keep scheme dispatch
         assert isinstance(get_log_store("file:///elsewhere/t"), HadoopFsLogStore)
+        # boundary-aware: a sibling sharing the string prefix is NOT pinned
+        assert isinstance(get_log_store(prefix + "2/t"), HadoopFsLogStore)
+        assert isinstance(get_log_store(prefix), ObjectStoreLogStore)
     finally:
         unregister_log_store(prefix)
     assert isinstance(get_log_store(prefix + "/t"), HadoopFsLogStore)

@@ -145,6 +145,9 @@ def test_png_decoder_rejects_unsupported_and_corrupt():
     bad[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|truncated|IHDR"):
         multimodal.decode_image_real(bytes(bad))
+    # truncated mid-chunk: ValueError, never a raw struct error
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        multimodal.decode_image_real(png[: len(png) - 7])
     with pytest.raises(ValueError, match="pixel bytes"):
         multimodal.encode_png(px, 5, 5, 1)  # wrong buffer size
     # 16-bit depth (hand-built IHDR) rejected, not mis-decoded
