@@ -221,6 +221,7 @@ def write_table(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the
@@ -243,7 +244,10 @@ def write_table(
     write time, bought once; the Delta/Iceberg ``OPTIMIZE``-style
     clustering discipline. Implies ``stats_cols=cluster_by`` unless
     stats_cols is given explicitly (clustering without stats would be
-    pointless)."""
+    pointless). ``cluster_files`` pins the range-partition count —
+    without it AQE may coalesce a small commit into one file, which is
+    optimal I/O but leaves nothing for per-file pruning to skip (at
+    cluster scale the range shuffle is naturally many files)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     if cluster_by:
@@ -252,7 +256,11 @@ def write_table(
         filestats.validate_stats_cols(df.schema, list(cluster_by))
         if stats_cols is None:
             stats_cols = list(cluster_by)
-        df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+        if cluster_files:
+            df = df.repartitionByRange(cluster_files, *cluster_by)
+        else:
+            df = df.repartitionByRange(*cluster_by)
+        df = df.sortWithinPartitions(*cluster_by)
     files = _write_data_files(df, table)
     schema_json = df.schema.json()
     stats = None
@@ -625,6 +633,68 @@ def append_table_if_absent(
             # anti-join against its version (orphaned files → vacuum)
         finally:
             fresh.unpersist()
+
+
+def delete_where(spark: SparkSession, table: str, predicates) -> int:
+    """``DELETE FROM table WHERE <predicates>`` as ONE manifest commit,
+    FILE-PRUNED (the Delta/Iceberg copy-on-write DELETE shape, round 8):
+    files whose manifest stats PROVE no row matches carry forward
+    UNTOUCHED — zero read or write I/O for them — and only candidate
+    files are read and rewritten without the matching rows. At 100 TB a
+    keyed/ranged delete over a clustered or time-correlated history
+    touches the handful of files that straddle the predicate, never the
+    table. ``predicates`` use the same tree language as
+    ``read_table(skip=)`` (sinks/filestats.py: comparisons, IN, null
+    tests, and/or nesting); SQL DELETE null semantics (a row whose
+    predicate evaluates NULL survives). Optimistic CAS retry; rewritten
+    files get fresh stats for the same columns the parent tracked, so
+    skipping keeps working across deletes; ``meta["delete"]`` records
+    {"rewritten", "carried"} file counts (the carried count is the
+    pruning evidence). A delete is a REWRITE: append-only
+    :func:`read_changes` windows spanning it refuse, and
+    :func:`read_changes_rows` shows the removed rows as ``delete``."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    cond = filestats.skip_condition(predicates)
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        files = m["files"]
+        stats = m.get("stats") or {}
+        cand, _ = filestats.prune_files(files, stats, predicates)
+        cand_set = set(cand)
+        carried = [f for f in files if f not in cand_set]
+        if not cand:
+            return cur  # stats prove nothing matches — no version churn
+        store = get_log_store(table)
+        snap = spark.read.parquet(*[store.join(table, f) for f in cand])
+        # DELETE semantics: drop rows where cond IS TRUE; NULL survives
+        survivors = snap.filter(~cond.eqNullSafe(F.lit(True)))
+        new_files = _write_data_files(survivors, table)
+        stats_cols = sorted(
+            {c for f in cand for c in (stats.get(f) or {}).get("cols", {})}
+        )
+        new_stats = (
+            filestats.collect_file_stats(spark, table, new_files, stats_cols)
+            if stats_cols
+            else {}
+        )
+        merged_stats = {f: stats[f] for f in carried if f in stats}
+        merged_stats.update(new_stats)
+        meta = dict(m.get("meta") or {})
+        meta["delete"] = {"rewritten": len(cand), "carried": len(carried)}
+        if _try_commit(
+            table,
+            cur + 1,
+            carried + new_files,
+            cur,
+            m["schema"],
+            meta=meta,
+            stats=merged_stats or None,
+        ):
+            return cur + 1
 
 
 def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str]:

@@ -315,6 +315,43 @@ def test_read_changes_rows_map_columns_compare_canonically(spark, mk_table):
     assert got == {(2, "update_preimage"), (2, "update_postimage")}
 
 
+def test_delete_where_prunes_files_and_keeps_null_rows(spark, mk_table):
+    """delete_where (round 8): files whose stats prove no match carry
+    forward untouched; candidate files rewrite without matching rows;
+    NULL-predicate rows survive (SQL DELETE semantics); stats refresh on
+    rewritten files so skipping keeps working; no-match deletes commit
+    nothing."""
+    t = mk_table()
+    rows = [(i, float(i) if i % 5 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    v1 = M.write_table(df, t, cluster_by=["id"], cluster_files=8)
+    m1 = M.read_manifest(t, v1)
+    n_files = len(m1["files"])
+    assert n_files > 2
+
+    v2 = M.delete_where(spark, t, [("id", ">=", 10), ("id", "<", 20), ("x", ">", 0.0)])
+    assert v2 == v1 + 1
+    m2 = M.read_manifest(t, v2)
+    d = m2["meta"]["delete"]
+    assert d["carried"] > 0 and d["rewritten"] + d["carried"] == n_files
+    # carried files are literally the parent's (no rewrite)
+    assert set(m2["files"]) & set(m1["files"])
+    back = {r["id"] for r in M.read_table(spark, t).collect()}
+    # deleted: 10..19 except multiples of 5 (x NULL there -> predicate NULL -> survive)
+    assert back == set(range(100)) - {i for i in range(10, 20) if i % 5}
+    # stats survived the rewrite: a ranged read still prunes
+    _, skipped = filestats.prune_files(
+        m2["files"], m2.get("stats"), [("id", ">=", 90)]
+    )
+    assert skipped > 0
+    # provably-no-match delete: no version churn
+    assert M.delete_where(spark, t, [("id", ">=", 1000)]) == v2
+    # row-level change feed shows exactly the deletes
+    ch = M.read_changes_rows(spark, t, from_version=v1, to_version=v2, key="id")
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert got == {(i, "delete") for i in range(10, 20) if i % 5}
+
+
 def test_timestamp_skip_and_remote_stat_paths_agree_with_footers(spark, mk_table, monkeypatch):
     """Timestamp pruning end-to-end, plus: BOTH ``scheme://`` stat paths
     — the Hadoop-FS footer read (driver-side tail reads, zero data I/O;

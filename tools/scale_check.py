@@ -300,10 +300,14 @@ class _IvfCompact:
 
 
 class _IvfRetrain:
-    """compact_ivf_index(retrain=True) (round-7 drift governance): full
-    re-cluster (lowest-id seed + Lloyd rounds) + reassignment + rewrite
-    — each round is one broadcast-join aggregation over the corpus, so
-    cost is O(iters × corpus), exponent ≈ 1."""
+    """compact_ivf_index(retrain=True) (round-7 drift governance, round-8
+    spread seed): full re-cluster (content-hash spread seed + Lloyd
+    rounds) + reassignment + rewrite — each round is one broadcast-join
+    aggregation over the corpus, so cost is O(iters × corpus),
+    exponent ≈ 1."""
+
+    def __init__(self, spill: int | None = None):
+        self._spill = spill
 
     def sample(self, spark, sf_dir: str) -> float:
         import shutil
@@ -314,7 +318,80 @@ class _IvfRetrain:
         table = tempfile.mkdtemp(prefix="scale_ivf_rt_") + "/ivf"
         similarity.ivf_build_index_manifest(_vecs(spark, sf_dir), table, n_centroids=16)
         t0 = time.time()
-        similarity.compact_ivf_index(spark, table, retrain=True, refine_iters=2)
+        similarity.compact_ivf_index(
+            spark, table, retrain=True, refine_iters=2, spill=self._spill
+        )
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
+class _ChangesRowsDiff:
+    """read_changes_rows over a REWRITE window at corpus size (round 8):
+    one keyed full-outer diff of the two pinned snapshots + the pre/post
+    explode — two snapshot scans and one shuffle join, exponent ≈ 1 (the
+    honest cost of row-level change semantics over a rewrite; append-only
+    windows never pay it)."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir)
+        table = tempfile.mkdtemp(prefix="scale_cdf_rows_") + "/t"
+        M.write_table(docs, table)
+        delta = docs.filter(F.pmod("doc_id", F.lit(10)) == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updated"))
+        )
+        M.upsert_table(spark, delta, table, key="doc_id")
+        t0 = time.time()
+        M.read_changes_rows(spark, table, from_version=1, key="doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
+class _SkipFixedWindowRead:
+    """read_table(skip=) with a FIXED absolute id window over a GROWING
+    id-correlated commit history (round 8): files are pruned from the
+    manifest's stats alone, so the read cost tracks the WINDOW, not the
+    table — exponent ≈ 0, THE data-skipping scale claim. The sampler
+    raises if pruning skipped nothing."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.sinks import filestats
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        table = tempfile.mkdtemp(prefix="scale_skip_") + "/t"
+        for i in range(8):  # id-correlated commits, stats on the id
+            chunk = docs.filter(
+                (F.col("doc_id") >= i * n // 8) & (F.col("doc_id") < (i + 1) * n // 8)
+            )
+            M.write_table(
+                chunk, table, mode="append" if i else "overwrite", stats_cols=["doc_id"]
+            )
+        skip = [("doc_id", "<", BASE_DOCS // 8)]  # fixed window at every scale
+        m = M.read_manifest(table, M.current_version(table))
+        _, skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+        if skipped == 0:
+            raise RuntimeError("stats pruning skipped nothing — sampler is mismeasuring")
+        t0 = time.time()
+        M.read_table(spark, table, skip=skip).groupBy().count().write.format("noop").mode(
+            "overwrite"
+        ).save()
         dt = round(time.time() - t0, 3)
         shutil.rmtree(table, ignore_errors=True)
         return dt
@@ -329,6 +406,9 @@ SPECIAL_OPS = {
     "ivf_delta": _IvfDelta(),
     "ivf_compact": _IvfCompact(),
     "ivf_retrain": _IvfRetrain(),
+    "ivf_retrain_spill3": _IvfRetrain(spill=3),
+    "changes_rows_diff": _ChangesRowsDiff(),
+    "skip_fixed_window_read": _SkipFixedWindowRead(),
 }
 
 
