@@ -271,11 +271,26 @@ def test_manifest_roundtrip_on_object_store(spark, tmp_path):
         unregister_log_store(root)
 
 
-def test_streaming_near_dup_index_commits_on_hadoop_store(spark, tmp_path):
+@pytest.fixture(params=["hadoop-fs", "object-store"])
+def streaming_index_root(request, spark, tmp_path):
+    root = "file://" + str(tmp_path / "index")
+    if request.param == "object-store":
+        register_log_store(
+            root, lambda s: ObjectStoreLogStore(s, client=EmulatedConditionalPutClient())
+        )
+        yield root
+        unregister_log_store(root)
+    else:
+        yield root
+
+
+def test_streaming_near_dup_index_commits_on_remote_stores(spark, tmp_path, streaming_index_root):
     """The streaming near-dup index — the heaviest manifest consumer —
     ingests, replays exactly-once, screens history, and compacts with
-    its index on the Hadoop store (file:// URI), proving the streaming
-    maintenance paths are storage-agnostic end to end."""
+    its index on the Hadoop store AND the conditional-put object store,
+    proving the streaming maintenance paths are storage-agnostic end to
+    end (foreachBatch worker threads included: the store resolves per
+    call, never from thread-local session state)."""
     from cashback_data_pipeline_spark.streaming.jobs import (
         compact_near_dup_index,
         near_dup_ingest_batch,
@@ -283,7 +298,7 @@ def test_streaming_near_dup_index_commits_on_hadoop_store(spark, tmp_path):
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     other = "one two three four five six seven eight nine ten " * 3
-    index = "file://" + str(tmp_path / "index")
+    index = streaming_index_root
     kw = dict(index_path=index, out_path=str(tmp_path / "out"), threshold=0.7)
 
     b1 = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")

@@ -625,6 +625,18 @@ def test_compact_ivf_retrain_reassigns_and_governs_drift(spark, emb, tmp_path):
     pinned_after = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in pinned.collect()}
     assert pinned_after == pinned_before
 
+    # a NEW delta after the spilled retrain honors the layout's spill:
+    # its vectors land in 3 lists each, and probes stay dedup-clean
+    new_delta = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420)).select(
+        "vec_id", "embedding"
+    )
+    v2 = similarity.upsert_ivf_index(new_delta, table, delta_id="post-rt")
+    lists2 = M.read_store(spark, table, "lists", version=v2)
+    per_new = lists2.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 420)).groupBy(
+        "vec_id"
+    ).count()
+    assert per_new.count() == 20 and per_new.filter("count != 3").count() == 0
+
 
 def test_compact_ivf_retrain_quantized_and_cas_race(spark, emb, tmp_path, monkeypatch):
     """Retrain on an int8-quantized index keeps the stored schema and
