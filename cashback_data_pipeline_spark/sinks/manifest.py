@@ -697,7 +697,12 @@ def delete_where(spark: SparkSession, table: str, predicates) -> int:
             return cur + 1
 
 
-def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str]:
+def vacuum(
+    table: str,
+    keep_last: int = 2,
+    min_age_s: float = 600.0,
+    prune_manifests: bool = False,
+) -> list[str]:
     """Delete data dirs unreferenced by the last ``keep_last`` versions
     (readers pinned within that horizon stay safe — the Delta retention
     contract). ``min_age_s`` is the in-flight-writer guard, Delta's
@@ -708,7 +713,17 @@ def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str
     Also sweeps orphaned manifest temp files past the window. Returns
     the removed dirs. Ages compare the store's file mtimes to the local
     clock — on a remote store keep ``min_age_s`` generously above any
-    plausible clock skew (the Delta retention-window practice)."""
+    plausible clock skew (the Delta retention-window practice).
+
+    ``prune_manifests=True`` additionally removes manifest JSONs OLDER
+    than the ``keep_last`` horizon, once aged past ``min_age_s`` (the
+    Delta log-cleanup idea, opt-in): a long-lived table commits forever
+    — hourly appends accumulate ~9k manifests a year, and every
+    history-walking reader pays that listing. Pruned versions were
+    already un-time-travelable (their data dirs are vacuum fodder), so
+    this only reclaims the metadata; the latest ``keep_last`` versions
+    always survive, and history walkers (``committed_meta_values``)
+    already tolerate the gaps."""
     import time
 
     store = get_log_store(table)
@@ -745,8 +760,20 @@ def vacuum(table: str, keep_last: int = 2, min_age_s: float = 600.0) -> list[str
         manifest_names = store.list_names(manifest_dir)
     except FileNotFoundError:
         manifest_names = []
+    horizon = min(keep_versions)
     for name in manifest_names:
-        if not name.startswith(TMP_PREFIX):
+        if name.startswith(TMP_PREFIX):
+            t = store.join(manifest_dir, name)
+            if now - store.mtime(t) >= min_age_s:
+                store.delete_file(t)
+            continue
+        if not prune_manifests or not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            v = int(name[1:-5])
+        except ValueError:
+            continue
+        if v >= horizon:
             continue
         t = store.join(manifest_dir, name)
         if now - store.mtime(t) >= min_age_s:

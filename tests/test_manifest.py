@@ -149,6 +149,38 @@ def test_vacuum_spares_young_inflight_data(spark, mk_table):
     assert M.read_table(spark, t).count() == 20
 
 
+def test_vacuum_prune_manifests_reclaims_old_log(spark, mk_table):
+    """Opt-in manifest retention (round 8, the Delta log-cleanup idea):
+    aged manifests beyond the keep_last horizon are removed, the horizon
+    itself survives, young manifests survive regardless, and history
+    walkers tolerate the gaps."""
+    t = mk_table()
+    for i in range(6):
+        M.write_table(
+            _df(spark, i * 10, (i + 1) * 10), t,
+            mode="append" if i else "overwrite", meta={"epoch": i},
+        )
+    assert M.current_version(t) == 6
+    # default: nothing pruned even when aged
+    M.vacuum(t, keep_last=2, min_age_s=0.0)
+    assert M.read_manifest(t, 1)["version"] == 1
+    # young manifests survive even with prune_manifests
+    M.vacuum(t, keep_last=2, min_age_s=3600.0, prune_manifests=True)
+    assert M.read_manifest(t, 1)["version"] == 1
+    # aged + opted-in: v1-v4 go, horizon v5-v6 stays readable
+    M.vacuum(t, keep_last=2, min_age_s=0.0, prune_manifests=True)
+    for v in (1, 2, 3, 4):
+        with pytest.raises(FileNotFoundError):
+            M.read_manifest(t, v)
+    assert M.read_table(spark, t, version=5).count() == 50
+    assert M.read_table(spark, t).count() == 60
+    assert M.current_version(t) == 6
+    # history walkers skip the pruned gap instead of failing
+    assert M.committed_meta_values(t, "epoch") == {4, 5}
+    # appends keep committing on the pruned log
+    assert M.write_table(_df(spark, 60, 70), t, mode="append") == 7
+
+
 def test_manifest_readers_never_see_partial_commit(spark, mk_table):
     """The version file appears atomically with full content (temp +
     create-if-absent), so no .tmp_ residue becomes a version and every
