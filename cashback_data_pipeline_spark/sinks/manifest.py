@@ -635,24 +635,19 @@ def append_table_if_absent(
             fresh.unpersist()
 
 
-def delete_where(spark: SparkSession, table: str, predicates) -> int:
-    """``DELETE FROM table WHERE <predicates>`` as ONE manifest commit,
-    FILE-PRUNED (the Delta/Iceberg copy-on-write DELETE shape, round 8):
-    files whose manifest stats PROVE no row matches carry forward
-    UNTOUCHED — zero read or write I/O for them — and only candidate
-    files are read and rewritten without the matching rows. At 100 TB a
-    keyed/ranged delete over a clustered or time-correlated history
-    touches the handful of files that straddle the predicate, never the
-    table. ``predicates`` use the same tree language as
-    ``read_table(skip=)`` (sinks/filestats.py: comparisons, IN, null
-    tests, and/or nesting); SQL DELETE null semantics (a row whose
-    predicate evaluates NULL survives). Optimistic CAS retry; rewritten
-    files get fresh stats for the same columns the parent tracked, so
-    skipping keeps working across deletes; ``meta["delete"]`` records
-    {"rewritten", "carried"} file counts (the carried count is the
-    pruning evidence). A delete is a REWRITE: append-only
-    :func:`read_changes` windows spanning it refuse, and
-    :func:`read_changes_rows` shows the removed rows as ``delete``."""
+def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_key: str) -> int:
+    """Shared engine of the file-pruned copy-on-write DML ops
+    (:func:`delete_where` / :func:`update_where`): files whose manifest
+    stats PROVE no row matches the predicate tree carry forward
+    UNTOUCHED — zero read or write I/O — and only candidate files are
+    read and rewritten through ``transform(snapshot, matched)`` (matched
+    = the predicate column ``IS TRUE``, giving SQL DML null semantics).
+    Optimistic CAS retry; rewritten files get fresh stats for the same
+    columns the parent tracked, so skipping keeps working across DML;
+    ``meta[meta_key]`` records {"rewritten", "carried"} file counts (the
+    carried count is the pruning evidence). Both ops are REWRITES:
+    append-only :func:`read_changes` windows spanning them refuse, and
+    :func:`read_changes_rows` shows the row-level effect."""
     from cashback_data_pipeline_spark.sinks import filestats
 
     cond = filestats.skip_condition(predicates)
@@ -670,9 +665,8 @@ def delete_where(spark: SparkSession, table: str, predicates) -> int:
             return cur  # stats prove nothing matches — no version churn
         store = get_log_store(table)
         snap = spark.read.parquet(*[store.join(table, f) for f in cand])
-        # DELETE semantics: drop rows where cond IS TRUE; NULL survives
-        survivors = snap.filter(~cond.eqNullSafe(F.lit(True)))
-        new_files = _write_data_files(survivors, table)
+        rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
+        new_files = _write_data_files(rewritten, table)
         stats_cols = sorted(
             {c for f in cand for c in (stats.get(f) or {}).get("cols", {})}
         )
@@ -684,7 +678,7 @@ def delete_where(spark: SparkSession, table: str, predicates) -> int:
         merged_stats = {f: stats[f] for f in carried if f in stats}
         merged_stats.update(new_stats)
         meta = dict(m.get("meta") or {})
-        meta["delete"] = {"rewritten": len(cand), "carried": len(carried)}
+        meta[meta_key] = {"rewritten": len(cand), "carried": len(carried)}
         if _try_commit(
             table,
             cur + 1,
@@ -695,6 +689,51 @@ def delete_where(spark: SparkSession, table: str, predicates) -> int:
             stats=merged_stats or None,
         ):
             return cur + 1
+
+
+def delete_where(spark: SparkSession, table: str, predicates) -> int:
+    """``DELETE FROM table WHERE <predicates>`` as ONE manifest commit,
+    FILE-PRUNED (the Delta/Iceberg copy-on-write DELETE shape, round 8
+    — see :func:`_rewrite_where` for the shared machinery): at 100 TB a
+    keyed/ranged delete over a clustered or time-correlated history
+    touches the handful of files that straddle the predicate, never the
+    table. ``predicates`` use the same tree language as
+    ``read_table(skip=)``; SQL DELETE null semantics (a row whose
+    predicate evaluates NULL survives)."""
+    return _rewrite_where(
+        spark, table, predicates, lambda snap, matched: snap.filter(~matched), "delete"
+    )
+
+
+def update_where(spark: SparkSession, table: str, assignments: dict, predicates) -> int:
+    """``UPDATE table SET col = expr, ... WHERE <predicates>`` as ONE
+    manifest commit, FILE-PRUNED (the Delta copy-on-write UPDATE shape
+    — :func:`_rewrite_where`). ``assignments`` maps column name → SQL
+    expression string or Column; each expression is cast back to the
+    column's current type so the table schema is invariant under
+    updates (an UPDATE never silently widens a column). Non-matching
+    rows in candidate files are rewritten byte-identical; files the
+    stats prove untouched carry forward with zero I/O. With
+    :func:`delete_where`, :func:`upsert_table` (MERGE) and append
+    commits this completes the DML surface."""
+    def transform(snap: DataFrame, matched):
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        unknown = [c for c in assignments if c not in by_name]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown column(s) {unknown}; have {sorted(by_name)}")
+        cols = []
+        for c in snap.columns:
+            if c in assignments:
+                e = assignments[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                cols.append(
+                    F.when(matched, e.cast(by_name[c])).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return snap.select(*cols)
+
+    return _rewrite_where(spark, table, predicates, transform, "update")
 
 
 def vacuum(

@@ -352,6 +352,45 @@ def test_delete_where_prunes_files_and_keeps_null_rows(spark, mk_table):
     assert got == {(i, "delete") for i in range(10, 20) if i % 5}
 
 
+def test_update_where_prunes_preserves_schema_and_nulls(spark, mk_table):
+    """update_where (round 8): carried files untouched, assignments cast
+    back to the column's type (schema invariant), NULL-predicate rows
+    untouched, unknown columns rejected, no-match updates commit
+    nothing; the change feed shows exactly the updated keys."""
+    t = mk_table()
+    rows = [(i, float(i) if i % 5 else None, "s%d" % i) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double, s string")
+    v1 = M.write_table(df, t, cluster_by=["id"], cluster_files=8)
+    n_files = len(M.read_manifest(t, v1)["files"])
+
+    v2 = M.update_where(
+        spark, t, {"x": "x * 2", "s": "upper(s)"},
+        [("id", ">=", 10), ("id", "<", 20), ("x", ">", 0.0)],
+    )
+    m2 = M.read_manifest(t, v2)
+    d = m2["meta"]["update"]
+    assert d["carried"] > 0 and d["rewritten"] + d["carried"] == n_files
+    back = {r["id"]: r for r in M.read_table(spark, t).collect()}
+    assert len(back) == 100
+    for i in range(100):
+        hit = 10 <= i < 20 and i % 5 != 0  # x NULL (i%5==0) -> predicate NULL -> untouched
+        assert back[i]["x"] == ((i * 2.0) if hit else (float(i) if i % 5 else None))
+        assert back[i]["s"] == (("S%d" % i) if hit else ("s%d" % i))
+    # schema invariant (the cast discipline) and stats survive
+    assert [f.name for f in M.read_table(spark, t).schema.fields] == ["id", "x", "s"]
+    _, skipped = filestats.prune_files(m2["files"], m2.get("stats"), [("id", ">=", 90)])
+    assert skipped > 0
+    # no-match: no version churn; unknown column: loud
+    assert M.update_where(spark, t, {"x": "0.0"}, [("id", ">=", 1000)]) == v2
+    with pytest.raises(ValueError, match="unknown column"):
+        M.update_where(spark, t, {"nope": "1"}, [("id", "<", 5)])
+    # row-level change feed: exactly the updated keys, pre+post
+    ch = M.read_changes_rows(spark, t, from_version=v1, to_version=v2, key="id")
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    want_ids = {i for i in range(10, 20) if i % 5}
+    assert got == {(i, k) for i in want_ids for k in ("update_preimage", "update_postimage")}
+
+
 def test_timestamp_skip_and_remote_stat_paths_agree_with_footers(spark, mk_table, monkeypatch):
     """Timestamp pruning end-to-end, plus: BOTH ``scheme://`` stat paths
     — the Hadoop-FS footer read (driver-side tail reads, zero data I/O;
