@@ -309,25 +309,59 @@ def committed_meta_values(table: str, key: str) -> set:
     return out
 
 
+def version_at(table: str, ts: float) -> int:
+    """TIMESTAMP-based time travel (the Delta ``TIMESTAMP AS OF`` shape):
+    the highest version whose manifest was PUBLISHED at or before unix
+    time ``ts`` — publication mtime is the commit's visibility instant,
+    the same clock vacuum's retention guard uses. Raises if the table
+    has no version that old (pruned by retention or created later)."""
+    store = get_log_store(table)
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    best = None
+    for v in range(cur, 0, -1):
+        try:
+            mt = store.mtime(_manifest_path(table, v))
+        except FileNotFoundError:
+            break  # older versions pruned by retention — nothing earlier exists
+        if mt <= ts:
+            best = v
+            break
+    if best is None:
+        raise ValueError(
+            f"{table} has no version at or before ts={ts} (first retained "
+            "manifest is newer — created later, or pruned by retention)"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     table: str,
     version: int | None = None,
     skip=None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read a PINNED version (default: current at call time). The file
     list is resolved once; later commits/compactions cannot tear or
     change this read — time travel is the same call with an older
     ``version``.
 
-    ``skip=[(col, op, literal), ...]`` (ops ``== < <= > >=``, AND-ed)
-    both PRUNES files whose manifest stats prove no row can match (zero
-    I/O — the 100 TB win for time-correlated histories) and re-applies
-    the predicates as a Spark filter on the survivors, so the result is
-    EXACTLY the filtered table however much or little was pruned
-    (files without stats are conservatively read)."""
+    ``skip=`` (the sinks/filestats.py predicate tree: comparisons, IN,
+    null tests, and/or nesting) both PRUNES files whose manifest stats
+    prove no row can match (zero I/O — the 100 TB win for
+    time-correlated histories) and re-applies the predicates as a Spark
+    filter on the survivors, so the result is EXACTLY the filtered
+    table however much or little was pruned (files without stats are
+    conservatively read). ``as_of_ts`` is timestamp time travel
+    (:func:`version_at`), mutually exclusive with ``version``."""
     from cashback_data_pipeline_spark.sinks import filestats
 
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of_ts=, not both")
+        version = version_at(table, as_of_ts)
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version in {table}")

@@ -181,6 +181,27 @@ def test_vacuum_prune_manifests_reclaims_old_log(spark, mk_table):
     assert M.write_table(_df(spark, 60, 70), t, mode="append") == 7
 
 
+def test_timestamp_time_travel(spark, mk_table):
+    """read_table(as_of_ts=): the highest version published at or before
+    the instant — before-creation and version+ts-both are loud; the
+    publication clock is the store's manifest mtime."""
+    import time
+
+    t = mk_table()
+    M.write_table(_df(spark, 0, 10), t)
+    t1 = time.time()
+    time.sleep(1.1)  # store mtimes may be second-granular
+    M.write_table(_df(spark, 10, 30), t, mode="append")
+    assert M.version_at(t, t1) == 1
+    assert M.version_at(t, time.time()) == 2
+    assert M.read_table(spark, t, as_of_ts=t1).count() == 10
+    assert M.read_table(spark, t, as_of_ts=time.time()).count() == 30
+    with pytest.raises(ValueError, match="no version at or before"):
+        M.version_at(t, t1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        M.read_table(spark, t, version=1, as_of_ts=t1)
+
+
 def test_manifest_readers_never_see_partial_commit(spark, mk_table):
     """The version file appears atomically with full content (temp +
     create-if-absent), so no .tmp_ residue becomes a version and every
