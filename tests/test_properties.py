@@ -200,3 +200,79 @@ def test_rrf_fuse_bounds_and_membership(spark, ids_a, ids_b):
         # single-list score comes from a worse-or-equal rank position
         worst_dual = min(got[d] for d in both)
         assert worst_dual > 0
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping soundness (round 8): for ANY predicate tree and ANY file
+# contents, file_may_match may never prune a file that holds a matching
+# row. Pure-Python property — stats are computed FROM the generated rows,
+# so the entry is exactly what a commit would record, and the predicate
+# is evaluated row-by-row with SQL null semantics as the ground truth.
+# ---------------------------------------------------------------------------
+
+_sk_val = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+_sk_lit = st.integers(min_value=-6, max_value=6)
+_sk_col = st.sampled_from(["a", "b"])
+
+
+def _sk_leaf():
+    return st.one_of(
+        st.tuples(_sk_col, st.sampled_from(["==", "<", "<=", ">", ">="]), _sk_lit),
+        st.tuples(_sk_col, st.just("in"), st.lists(_sk_lit, min_size=1, max_size=3)),
+        st.tuples(_sk_col, st.sampled_from(["is_null", "is_not_null"])),
+    )
+
+
+_sk_tree = st.recursive(
+    _sk_leaf(),
+    lambda node: st.tuples(
+        st.sampled_from(["and", "or"]), st.lists(node, min_size=1, max_size=3)
+    ),
+    max_leaves=6,
+)
+
+
+def _sk_eval(row: dict, node) -> bool:
+    """Ground truth: SQL three-valued logic collapsed to IS TRUE."""
+    if isinstance(node, tuple) and node[0] in ("and", "or") and isinstance(node[1], list):
+        kids = [_sk_eval(row, k) for k in node[1]]
+        return all(kids) if node[0] == "and" else any(kids)
+    col, op = node[0], node[1]
+    v = row[col]
+    if op == "is_null":
+        return v is None
+    if op == "is_not_null":
+        return v is not None
+    if v is None:
+        return False  # NULL comparison is never TRUE
+    lit = node[2]
+    if op == "in":
+        return v in lit
+    return {"==": v == lit, "<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit}[op]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(_sk_val, _sk_val), min_size=0, max_size=8),
+    _sk_tree,
+)
+def test_file_may_match_is_sound_for_any_predicate_tree(rows_vals, tree):
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    rows = [{"a": a, "b": b} for a, b in rows_vals]
+    cols = {}
+    for c in ("a", "b"):
+        vals = [r[c] for r in rows if r[c] is not None]
+        entry = {"nulls": sum(1 for r in rows if r[c] is None)}
+        if vals:
+            entry["min"], entry["max"] = min(vals), max(vals)
+        else:
+            entry["min"] = entry["max"] = None
+        cols[c] = entry
+    entry = {"rows": len(rows), "cols": cols}
+    any_match = any(_sk_eval(r, tree) for r in rows)
+    may = filestats.file_may_match(entry, tree)
+    # soundness: a matching row forces keep. (The converse — pruning
+    # whenever possible — is NOT required; keeping is always safe.)
+    if any_match:
+        assert may, (rows, tree)
