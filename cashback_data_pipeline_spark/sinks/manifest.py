@@ -612,12 +612,61 @@ def _one_row_per_key(incoming: DataFrame, key: str):
     )
 
 
+_MERGE_IN_LIST_MAX = 1024
+
+
+def _merge_candidate_split(
+    spark: SparkSession, m: dict, key: str, incoming_unique: DataFrame
+) -> tuple[list[str], list[str], dict]:
+    """Split a manifest's files into (candidates, carried) for a MERGE on
+    ``key`` using the commit's per-file stats (the Delta MERGE
+    file-pruning idea): a file whose key stats PROVE it holds none of
+    the incoming keys cannot collide, so it carries forward untouched.
+    Small incoming key sets prune with an exact IN list (one bounded
+    driver collect); larger ones with the [min, max] key range — both
+    sound because incoming ⊆ the pruned domain. No stats / untracked
+    key / null incoming keys ⇒ everything is a candidate (the original
+    full-rewrite behavior, never wrong)."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    files = m["files"]
+    stats = m.get("stats") or {}
+    tracked = any(key in (e.get("cols") or {}) for e in stats.values())
+    if not tracked:
+        return files, [], stats
+    agg = incoming_unique.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count_distinct(key).alias("nd"),
+        F.sum(F.col(key).isNull().cast("long")).alias("nulls"),
+    ).first()
+    if agg["nd"] == 0 or (agg["nulls"] or 0) > 0:
+        # empty or null-keyed incoming: range/in pruning is not sound
+        return files, [], stats
+    if agg["nd"] <= _MERGE_IN_LIST_MAX:
+        keys = [r[0] for r in incoming_unique.select(key).distinct().collect()]
+        preds = [(key, "in", keys)]
+    else:
+        preds = [(key, ">=", agg["lo"]), (key, "<=", agg["hi"])]
+    cand, _ = filestats.prune_files(files, stats, preds)
+    cand_set = set(cand)
+    return cand, [f for f in files if f not in cand_set], stats
+
+
 def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str) -> int:
     """MERGE-by-key as a manifest commit: current-version rows whose key
     collides are replaced, new keys appended, one row per key kept
     deterministically (lowest full tuple). Optimistic concurrency: on
     CAS loss the merge recomputes against the winner's version, so
-    concurrent upserts SERIALIZE instead of last-writer-wins."""
+    concurrent upserts SERIALIZE instead of last-writer-wins.
+
+    FILE-PRUNED (round 8, the Delta MERGE optimization): when the table
+    carries stats on ``key``, files whose key range/set provably misses
+    every incoming key carry forward UNTOUCHED — a keyed trickle-merge
+    into a clustered 100 TB history rewrites the straddling files, not
+    the table. Rewritten files get fresh stats for the parent's tracked
+    columns so pruning compounds across merges; stats-less tables keep
+    the original whole-table rewrite."""
     incoming_unique = _one_row_per_key(incoming, key)
     while True:
         cur = current_version(table)
@@ -626,12 +675,49 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             if _try_commit(table, 1, files, None, incoming_unique.schema.json()):
                 return 1
             continue
-        target = read_table(spark, table, cur)
-        survivors = target.join(incoming_unique.select(key).distinct(), on=key, how="left_anti")
-        merged = survivors.unionByName(incoming_unique)
-        files = _write_data_files(merged, table)
-        if _try_commit(table, cur + 1, files, cur, merged.schema.json()):
+        m = read_manifest(table, cur)
+        cand, carried, stats = _merge_candidate_split(spark, m, key, incoming_unique)
+        store = get_log_store(table)
+        if cand:
+            target = spark.read.parquet(*[store.join(table, f) for f in cand])
+            survivors = target.join(
+                incoming_unique.select(key).distinct(), on=key, how="left_anti"
+            )
+            merged = survivors.unionByName(incoming_unique)
+        else:
+            merged = incoming_unique  # every existing file provably collision-free
+        new_files = _write_data_files(merged, table)
+        merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        if _try_commit(
+            table,
+            cur + 1,
+            carried + new_files,
+            cur,
+            merged.schema.json(),
+            stats=merged_stats or None,
+        ):
             return cur + 1
+
+
+def _refresh_stats(
+    spark: SparkSession, table: str, stats: dict, carried: list[str], new_files: list[str]
+) -> dict:
+    """Stats for a partial-rewrite commit: carried files keep their
+    entries verbatim; new files get fresh stats for the UNION of columns
+    the parent tracked anywhere (so pruning compounds across DML/merges
+    instead of eroding file by file). Stats-less parents stay
+    stats-less."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    stats_cols = sorted({c for e in stats.values() for c in (e.get("cols") or {})})
+    new_stats = (
+        filestats.collect_file_stats(spark, table, new_files, stats_cols)
+        if stats_cols
+        else {}
+    )
+    merged_stats = {f: stats[f] for f in carried if f in stats}
+    merged_stats.update(new_stats)
+    return merged_stats
 
 
 def append_table_if_absent(
@@ -645,23 +731,51 @@ def append_table_if_absent(
     number of rows appended. Optimistic concurrency: on CAS loss the
     anti-join recomputes against the winner's version, so two racing
     loaders SERIALIZE — each key lands exactly once, from whichever
-    loader commits it first."""
+    loader commits it first.
+
+    FILE-PRUNED key scan (round 8): with stats on ``key``, the
+    duplicate-screening anti-join reads keys ONLY from files that may
+    contain an incoming key — the idempotent trickle-load against a
+    clustered 100 TB serving table scans the straddling files' key
+    column, not every file's. Parent stats carry forward and the new
+    files get fresh entries (previously an idempotent append silently
+    DROPPED the table's stats, eroding data skipping)."""
     incoming_unique = _one_row_per_key(incoming, key)
     while True:
         cur = current_version(table)
         if cur is None:
             fresh = incoming_unique
+            m = None
         else:
-            target_keys = read_table(spark, table, cur).select(key).distinct()
-            fresh = incoming_unique.join(target_keys, on=key, how="left_anti")
+            m = read_manifest(table, cur)
+            cand, _, _ = _merge_candidate_split(spark, m, key, incoming_unique)
+            if cand:
+                store = get_log_store(table)
+                target_keys = (
+                    spark.read.parquet(*[store.join(table, f) for f in cand])
+                    .select(key)
+                    .distinct()
+                )
+                fresh = incoming_unique.join(target_keys, on=key, how="left_anti")
+            else:
+                fresh = incoming_unique  # no existing file can hold these keys
         fresh = fresh.cache()
         try:
             n = fresh.count()
             if n == 0:
                 return 0
             files = _write_data_files(fresh, table)
-            base = [] if cur is None else read_manifest(table, cur)["files"]
-            if _try_commit(table, (cur or 0) + 1, base + files, cur, fresh.schema.json()):
+            base = [] if m is None else m["files"]
+            stats = (m or {}).get("stats") or {}
+            merged_stats = _refresh_stats(spark, table, stats, base, files)
+            if _try_commit(
+                table,
+                (cur or 0) + 1,
+                base + files,
+                cur,
+                fresh.schema.json(),
+                stats=merged_stats or None,
+            ):
                 return n
             # CAS lost — a racing loader committed; recompute the
             # anti-join against its version (orphaned files → vacuum)
@@ -701,16 +815,7 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         snap = spark.read.parquet(*[store.join(table, f) for f in cand])
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
         new_files = _write_data_files(rewritten, table)
-        stats_cols = sorted(
-            {c for f in cand for c in (stats.get(f) or {}).get("cols", {})}
-        )
-        new_stats = (
-            filestats.collect_file_stats(spark, table, new_files, stats_cols)
-            if stats_cols
-            else {}
-        )
-        merged_stats = {f: stats[f] for f in carried if f in stats}
-        merged_stats.update(new_stats)
+        merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         meta = dict(m.get("meta") or {})
         meta[meta_key] = {"rewritten": len(cand), "carried": len(carried)}
         if _try_commit(

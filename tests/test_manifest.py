@@ -181,6 +181,48 @@ def test_vacuum_prune_manifests_reclaims_old_log(spark, mk_table):
     assert M.write_table(_df(spark, 60, 70), t, mode="append") == 7
 
 
+def test_upsert_and_append_prune_files_with_key_stats(spark, mk_table):
+    """File-pruned MERGE (round 8, the Delta MERGE optimization): on a
+    key-clustered table, an upsert touching a narrow key range rewrites
+    ONLY the straddling files — the others carry forward verbatim — and
+    the idempotent append's key scan reads only candidate files. Stats
+    survive both ops (appends previously dropped them)."""
+    t = mk_table()
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    v1 = M.write_table(df, t, cluster_by=["k"], cluster_files=8)
+    m1 = M.read_manifest(t, v1)
+    n_files = len(m1["files"])
+    assert n_files >= 8
+
+    incoming = spark.createDataFrame(
+        [(k, f"new{k}") for k in (10, 11, 12, 100, 101)], "k long, v string"
+    )
+    v2 = M.upsert_table(spark, incoming, t, key="k")
+    m2 = M.read_manifest(t, v2)
+    carried = set(m2["files"]) & set(m1["files"])
+    assert len(carried) >= n_files - 2  # only the 10-12-straddling file(s) rewrote
+    back = {r["k"]: r["v"] for r in M.read_table(spark, t).collect()}
+    assert len(back) == 102
+    assert back[10] == "new10" and back[100] == "new100" and back[50] == "50"
+    assert set(m2["stats"]) == set(m2["files"])  # stats refreshed, not eroded
+
+    # append-if-absent: dup keys dropped via a candidate-file-only key
+    # scan; new keys land; stats carried forward + fresh entries
+    batch = spark.createDataFrame(
+        [(k, f"x{k}") for k in (10, 50, 200, 201, 202)], "k long, v string"
+    )
+    n = M.append_table_if_absent(spark, batch, t, key="k")
+    assert n == 3
+    m3 = M.read_manifest(t, M.current_version(t))
+    assert set(m3["stats"]) == set(m3["files"])
+    back = {r["k"]: r["v"] for r in M.read_table(spark, t).collect()}
+    assert back[10] == "new10" and back[50] == "50" and back[200] == "x200"
+    # replay: exact no-op
+    assert M.append_table_if_absent(spark, batch, t, key="k") == 0
+    # the pruning stayed SOUND: the merged table equals the naive result
+    assert sorted(back) == sorted(set(range(100)) | {100, 101, 200, 201, 202})
+
+
 def test_timestamp_time_travel(spark, mk_table):
     """read_table(as_of_ts=): the highest version published at or before
     the instant — before-creation and version+ts-both are loud; the
