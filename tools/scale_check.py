@@ -397,11 +397,47 @@ class _SkipFixedWindowRead:
         return dt
 
 
+class _ManifestUpsertPruned:
+    """File-pruned MERGE (round 8): a FIXED-size keyed batch upserted
+    into a GROWING key-clustered table with bounded file sizes (files ∝
+    corpus, ~5k rows each — the production layout). Stats prune the
+    merge to the files straddling the batch's keys, so the cost tracks
+    the BATCH, not the table — exponent ≈ 0, vs plain manifest_upsert's
+    whole-table rewrite at exponent ≈ 1."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        table = tempfile.mkdtemp(prefix="scale_merge_pruned_") + "/t"
+        M.write_table(
+            docs, table, cluster_by=["doc_id"], cluster_files=max(16, n // 5000)
+        )
+        incoming = docs.filter(F.col("doc_id") < 50).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updated"))
+        )
+        t0 = time.time()
+        M.upsert_table(spark, incoming, table, key="doc_id")
+        dt = round(time.time() - t0, 3)
+        m = M.read_manifest(table, M.current_version(table))
+        shutil.rmtree(table, ignore_errors=True)
+        if len(m["files"]) < 16:
+            raise RuntimeError("pruned-merge sampler lost its clustered layout")
+        return dt
+
+
 SPECIAL_OPS = {
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
     "manifest_upsert": _ManifestUpsert(),
+    "manifest_upsert_pruned": _ManifestUpsertPruned(),
     "manifest_compact": _ManifestCompact(),
     "ivf_delta": _IvfDelta(),
     "ivf_compact": _IvfCompact(),
