@@ -1762,6 +1762,53 @@ def manifest_changes_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_manifest_cdf",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def streaming_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM a manifest table's change feed (streaming/cdf_source.py —
+    the Delta "stream from a table" shape, via PySpark 4's Python
+    DataSource API): events land in a manifest table across three append
+    commits, then ``readStream.format("manifest_changes")`` replays the
+    table with the manifest VERSION as the checkpointed offset — each
+    added file one executor-side Arrow partition, each commit's rows
+    delivered exactly once. availableNow drains the backlog into a
+    memory sink, which must hash-match the plain batch scan of the
+    source. At 100 TB this is how a streaming job tails a warehouse
+    table: per trigger the driver reads O(new versions) of JSON, workers
+    read only the files those commits added."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming import cdf_source
+
+    events = read_testdata(spark, sf_dir, "events")
+    table = tempfile.mkdtemp(prefix="manifest_stream_") + "/t"
+    try:
+        for part in events.randomSplit([1.0, 1.0, 1.0], seed=8):
+            M.write_table(part, table, mode="append")
+        stream = cdf_source.read_manifest_stream(spark, table)
+        name = f"smc_{_uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.table(name)  # memory sink: rows live on the driver
+        return got.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    finally:
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+
+
+@query(
     "manifest_delete_where",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,

@@ -1,0 +1,217 @@
+"""Structured-Streaming source over a manifest table's change feed.
+
+The manifest layer (sinks/manifest.py) gives batch consumers an
+incremental read — ``read_changes`` / ``read_changes_rows`` — but a
+streaming job that wants "every row committed to this table, exactly
+once, as it lands" previously had to hand-roll the version cursor. This
+module closes that gap the idiomatic PySpark-4 way: a **Python
+DataSource** (``pyspark.sql.datasource``) whose stream reader treats the
+manifest VERSION as the offset, so Spark's own checkpointing provides
+the exactly-once cursor — the Delta "stream from a table" shape
+(public design: Delta's DeltaSource reads the transaction log as an
+offset sequence; the reference itself has no streaming at all,
+SURVEY §2.10).
+
+Semantics:
+
+- **Offset** = ``{"version": N}`` — monotone, JSON-checkpointable.
+  ``startingVersion`` (default 0) makes the first batch replay the whole
+  table; pass the current version to tail only new commits.
+- **A micro-batch** covers manifest versions ``(start, end]``. Each
+  ADDED data file becomes one :class:`InputPartition`, so executors read
+  files in parallel and a batch's parallelism scales with the commit's
+  file count, not with 1.
+- **Rewrites** (upsert/compaction/overwrite — a commit that REMOVES
+  files) make the file diff unequal to the row diff, exactly as in
+  ``read_changes``. Default: raise, telling the consumer to restart from
+  a snapshot. With ``skipChangeCommits=true`` (Delta's option name and
+  semantics) rewrite commits are skipped ENTIRELY — append-only commits
+  in the same window still flow.
+- **Schema** is pinned at query start from the table's CURRENT manifest.
+  Files from older commits with a prefix of today's columns are
+  null-filled to the pinned schema (the additive evolution the manifest
+  write path allows); a file carrying a column the pinned schema lacks
+  fails loudly — narrowing mid-stream needs a restart.
+- ``maxVersionsPerTrigger`` bounds how many commits one micro-batch
+  drains (backlog catch-up without one giant batch). Best-effort, like
+  Delta's maxFilesPerTrigger, and applies on PROCESSING-TIME triggers:
+  ``availableNow`` in the Python-source wrapper plans against a single
+  ``latestOffset`` call, so it drains the backlog in one batch.
+
+Worker-side reads go through pyarrow (the Python DataSource contract —
+``read`` yields Arrow record batches, Spark's vectorized path). Plain
+local paths and ``file://`` URIs are supported in this environment;
+object-store table roots would plug in via pyarrow's native filesystems
+at the single marked seam (:func:`_open_parquet`).
+
+At 100 TB this is the right shape: per trigger the driver touches only
+O(#versions in window) small JSON manifests, workers read only the
+files those commits added, and state is one integer in the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+from cashback_data_pipeline_spark.sinks import manifest as mf
+
+FORMAT_NAME = "manifest_changes"
+
+
+def _local_path(p: str) -> str:
+    """Map a table-root-joined path to something pyarrow can open.
+
+    The seam for remote stores: ``file://`` URIs are stripped to plain
+    paths; an ``s3://``-class URI would return a pyarrow-FS handle here.
+    """
+    if p.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(p).path
+    if "://" in p:
+        raise NotImplementedError(
+            f"manifest_changes worker reads use pyarrow; wire a pyarrow "
+            f"filesystem for {p.split('://', 1)[0]}:// table roots here"
+        )
+    return p
+
+
+class ManifestFilePartition(InputPartition):
+    """One added data file (absolute path) + the pinned reader schema."""
+
+    def __init__(self, path: str, schema_json: str):
+        self.path = path
+        self.schema_json = schema_json
+
+
+class ManifestChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._schema = schema
+        self._schema_json = schema.json()
+        self._table = options.get("path") or options.get("table")
+        if not self._table:
+            raise ValueError("manifest_changes needs .option('path', <table root>)")
+        self._starting = int(options.get("startingversion", options.get("startingVersion", 0)))
+        self._skip_change = str(
+            options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
+        ).lower() in ("true", "1", "yes")
+        self._max_versions = int(options.get("maxversionspertrigger", 0)) or None
+        self._anchor: int | None = None  # last end version Spark finished or planned
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        self._anchor = self._starting
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        cur = mf.current_version(self._table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {self._table}")
+        if self._max_versions:
+            anchor = self._starting if self._anchor is None else self._anchor
+            cur = min(cur, anchor + self._max_versions)
+        self._anchor = cur
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:
+        self._anchor = max(self._anchor or 0, int(end["version"]))
+
+    # -- planning (driver) -------------------------------------------------
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        start_v, end_v = int(start["version"]), int(end["version"])
+        store = mf.get_log_store(self._table)
+        prev = (
+            set(mf.read_manifest(self._table, start_v)["files"]) if start_v > 0 else set()
+        )
+        added: list[str] = []
+        for v in range(start_v + 1, end_v + 1):
+            files = set(mf.read_manifest(self._table, v)["files"])
+            removed = prev - files
+            if removed and not self._skip_change:
+                raise ValueError(
+                    f"{self._table} v{v} removed {len(removed)} file(s) (upsert/"
+                    "compaction/overwrite): the file diff is not the row diff. "
+                    "Restart the stream from a snapshot, or set "
+                    ".option('skipChangeCommits', 'true') to skip rewrite commits."
+                )
+            if not removed:
+                added.extend(sorted(files - prev))
+            prev = files
+        return [
+            ManifestFilePartition(store.join(self._table, f), self._schema_json)
+            for f in added
+        ]
+
+    # -- execution (workers) -----------------------------------------------
+    def read(self, partition: ManifestFilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(T.StructType.fromJson(json.loads(partition.schema_json)))
+        pf = pq.ParquetFile(_local_path(partition.path))
+        file_cols = set(pf.schema_arrow.names)
+        extra = file_cols - set(target.names)
+        if extra:
+            raise ValueError(
+                f"{partition.path} carries column(s) {sorted(extra)} absent from the "
+                "pinned stream schema; restart the stream to pick up the new schema"
+            )
+        for batch in pf.iter_batches():
+            tbl = pa.Table.from_batches([batch])
+            arrays = []
+            for field in target:
+                if field.name in file_cols:
+                    arrays.append(tbl.column(field.name).cast(field.type))
+                else:
+                    arrays.append(pa.nulls(len(tbl), type=field.type))
+            for out in pa.Table.from_arrays(arrays, schema=target).to_batches():
+                yield out
+
+
+class ManifestChangesDataSource(DataSource):
+    """``spark.readStream.format("manifest_changes").option("path", table)``.
+
+    Register once per session with :func:`register`.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        table = self.options.get("path") or self.options.get("table")
+        if not table:
+            raise ValueError("manifest_changes needs .option('path', <table root>)")
+        cur = mf.current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        pinned = T.StructType.fromJson(json.loads(mf.read_manifest(table, cur)["schema"]))
+        # all-nullable, like Spark's own file sources: older commits in an
+        # evolved history are null-filled for late-added columns, so a
+        # non-null marking from one writer's literal would be a lie here
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata) for f in pinned.fields]
+        )
+
+    def streamReader(self, schema: T.StructType) -> ManifestChangesStreamReader:
+        return ManifestChangesStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(ManifestChangesDataSource)
+
+
+def read_manifest_stream(spark, table: str, **options):
+    """Convenience: a streaming DataFrame of ``table``'s change feed."""
+    register(spark)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", table)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
