@@ -9,14 +9,15 @@ Design for 100 TB multimodal corpora (north-star):
   runs as Arrow-batched ``mapInPandas`` over payload+id ONLY — select
   the minimum columns into the UDF so the parquet reader never
   materializes payloads for metadata-only queries;
-- codecs: PNG decodes FOR REAL — a pure-stdlib (zlib + struct)
+- codecs: PNG and WAV decode FOR REAL — a pure-stdlib (zlib + struct)
   RFC 2083 decoder below handles 8-bit gray/gray+alpha/RGB/RGBA with
-  all five scanline filters, so ``extract_features`` computes features
-  from actual pixels for PNG payloads (VERDICT r7 item 5). Other
-  formats (JPEG/ffmpeg/torchaudio territory) still raise
-  NotImplementedError with the dependency note; the Spark-side
+  all five scanline filters, and a RIFF/PCM parser recovers WAV
+  sample data (8-bit unsigned / 16-bit signed, any channel count), so
+  ``extract_features`` computes features from actual pixels/samples
+  for those payloads. Other formats (JPEG/ffmpeg territory) still
+  raise NotImplementedError with the dependency note; the Spark-side
   plumbing — schemas, batch shapes, partitioning — is identical either
-  way. The pure-Python pixel loops are the environment fallback;
+  way. The pure-Python decode loops are the environment fallback;
   production swaps in a vectorized codec behind the same signature.
 """
 
@@ -233,6 +234,120 @@ def encode_png(
     )
 
 
+WAV_RIFF = b"RIFF"
+
+
+def decode_audio_real(payload: bytes) -> dict:
+    """REAL audio decode for WAV (RIFF/PCM, pure stdlib struct walk):
+    8-bit unsigned or 16-bit signed integer PCM, any channel count.
+    Returns ``{"sample_rate", "channels", "sample_width", "n_frames",
+    "samples"}`` with ``samples`` the interleaved integer sample values
+    exactly as stored (8-bit: 0..255 unsigned, per the WAV spec; 16-bit:
+    -32768..32767) — sample-exact (pytest cross-validates against the
+    stdlib ``wave`` writer). Non-WAV payloads raise NotImplementedError
+    with the dependency note; WAV shapes beyond integer PCM (IEEE float,
+    24-bit, extensible, compressed) raise ValueError."""
+    if not payload or not payload.startswith(WAV_RIFF) or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only WAV (RIFF/PCM) decodes in this environment; other audio "
+            "formats need a codec library (ffmpeg/soundfile) plugged into this seam"
+        )
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _rate, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV format code {audio_format} (integer PCM only)")
+    if bits not in (8, 16):
+        raise ValueError(f"unsupported WAV bit depth {bits} (8/16-bit only)")
+    width = bits // 8
+    if block_align != channels * width:
+        raise ValueError("WAV block alignment disagrees with channels × width")
+    usable = len(data) - (len(data) % block_align)
+    n = usable // width
+    if width == 1:
+        samples = list(data[:usable])
+    else:
+        samples = list(struct.unpack(f"<{n}h", data[:usable]))
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "sample_width": width,
+        "n_frames": n // channels,
+        "samples": samples,
+    }
+
+
+def encode_wav(
+    samples: list[int], sample_rate: int = 16000, channels: int = 1, sample_width: int = 2
+) -> bytes:
+    """WAV twin via the STDLIB ``wave`` writer — an independent RIFF
+    implementation, so the round trip cross-validates
+    :func:`decode_audio_real` against CPython's own codec rather than
+    against this module's mirror image. ``samples`` are interleaved ints
+    (8-bit: 0..255, 16-bit: signed)."""
+    import io
+    import wave
+
+    if len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    if sample_width == 1:
+        frames = bytes(samples)
+    elif sample_width == 2:
+        frames = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError(f"unsupported sample width {sample_width} (8/16-bit only)")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _wav_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Feature from REAL decoded samples: rate/channels/duration plus
+    mean amplitude, RMS, and zero-crossing rate on the centered signal —
+    deterministic integer arithmetic on the exact stored samples, so two
+    engines (or an oracle) reproduce it bit-for-bit."""
+    audio = decode_audio_real(payload)
+    samples, ch, width = audio["samples"], audio["channels"], audio["sample_width"]
+    centered = [s - 128 for s in samples] if width == 1 else samples
+    full = 128.0 if width == 1 else 32768.0
+    n = max(len(centered), 1)
+    crossings = sum(
+        1
+        for c in range(ch)
+        for a, b in zip(centered[c::ch], centered[c + ch :: ch])
+        if (a < 0) != (b < 0)
+    )
+    feat = [
+        audio["sample_rate"] / 96000.0,
+        ch / 8.0,
+        audio["n_frames"] / 1e6,
+        sum(abs(s) for s in centered) / (n * full),
+        (sum(s * s for s in centered) / n) ** 0.5 / full,
+        crossings / n,
+    ]
+    feat = feat[:dim]
+    return feat + [0.0] * (dim - len(feat))
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in feature: sha256 bytes → dim floats in
     [0, 1). Stable across runs/engines — lets the distributed plumbing be
@@ -262,15 +377,19 @@ def extract_features(
 ) -> DataFrame:
     """Arrow-batched feature extraction over payload bytes: PNG payloads
     (magic-sniffed) feature from REAL decoded pixels
-    (:func:`_png_feature`); anything else keeps the deterministic
+    (:func:`_png_feature`), WAV payloads from REAL decoded samples
+    (:func:`_wav_feature`); anything else keeps the deterministic
     sha-derived stand-in (the model-inference seam). The batch shape
     (mapInPandas over minimal columns, feature as array<float>) is the
     production plan either way."""
     import pandas as pd
 
     def feature(p: bytes) -> list[float]:
-        if p and bytes(p).startswith(PNG_SIG):
-            return _png_feature(bytes(p), dim)
+        b = bytes(p) if p else b""
+        if b.startswith(PNG_SIG):
+            return _png_feature(b, dim)
+        if b.startswith(WAV_RIFF) and b[8:12] == b"WAVE":
+            return _wav_feature(b, dim)
         return _fake_feature(p, dim)
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -3082,6 +3082,89 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_decode",
+    sql="""
+    WITH d AS (
+      SELECT doc_id,
+             1 + doc_id % 2 AS channels,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS sample_width
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    s AS (SELECT i FROM generate_series(0, 599) t(i))
+    SELECT d.doc_id,
+           CAST(8000 + (d.doc_id % 5) * 1000 AS INT) AS sample_rate,
+           CAST(d.channels AS INT) AS channels,
+           CAST(d.sample_width AS INT) AS sample_width,
+           CAST(300 AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN d.sample_width = 1 THEN (d.doc_id + 3 * i * i) % 256
+                    ELSE (d.doc_id + 3 * i * i) % 65536 - 32768 END) AS BIGINT) AS sum_samples
+    FROM d JOIN s ON s.i < 300 * d.channels
+    GROUP BY d.doc_id, d.channels, d.sample_width
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle (operators.multimodal.
+    decode_audio_real — the pure-stdlib RIFF/PCM walk): each selected
+    document manufactures a WAV (mono/stereo by doc_id parity, 8-bit
+    unsigned for doc_id%3==0 else 16-bit signed, sample i =
+    (doc_id + 3i²) mod the type's range) through the STDLIB ``wave``
+    writer — an independent RIFF implementation — then the decoder
+    recovers rate, channels, width, frame count, and the exact sample
+    values, summed. The oracle recomputes the sum arithmetically from
+    the same formula — hash-equality proves decode is sample-exact
+    against both CPython's encoder and DuckDB's arithmetic. Encode and
+    decode run inside one Arrow-batched kernel over (doc_id) only; no
+    payload column is shuffled or persisted."""
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(11)) == 0
+    ).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ch = 1 + doc_id % 2
+                width = 1 if doc_id % 3 == 0 else 2
+                rate = 8000 + (doc_id % 5) * 1000
+                n = 300 * ch
+                if width == 1:
+                    samples = [(doc_id + 3 * i * i) % 256 for i in range(n)]
+                else:
+                    samples = [(doc_id + 3 * i * i) % 65536 - 32768 for i in range(n)]
+                wav = multimodal.encode_wav(samples, rate, ch, width)
+                audio = multimodal.decode_audio_real(wav)
+                assert audio["channels"] == ch and audio["sample_width"] == width
+                out.append(
+                    (
+                        doc_id,
+                        audio["sample_rate"],
+                        audio["channels"],
+                        audio["sample_width"],
+                        audio["n_frames"],
+                        sum(audio["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "sample_width",
+                    "n_frames", "sum_samples",
+                ],
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id long, sample_rate int, channels int, sample_width int, "
+        "n_frames long, sum_samples long",
+    )
+
+
+@query(
     "distinct_users_salted",
     sql="""
     SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -188,6 +188,65 @@ def test_extract_features_uses_real_pixels_for_png(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(feats[3], want))
 
 
+@pytest.mark.parametrize("channels,width", [(1, 1), (2, 1), (1, 2), (2, 2), (4, 2)])
+def test_wav_roundtrip_sample_exact(channels, width):
+    """stdlib wave writer → decode_audio_real recovers the exact sample
+    values, rate, channels, width, and frame count — the decoder is
+    cross-validated against CPython's own RIFF implementation."""
+    n = 37 * channels
+    if width == 1:
+        samples = [(i * 13 + channels) % 256 for i in range(n)]
+    else:
+        samples = [((i * 131 + channels * 7) % 65536) - 32768 for i in range(n)]
+    wav = multimodal.encode_wav(samples, 22050, channels, width)
+    audio = multimodal.decode_audio_real(wav)
+    assert audio["sample_rate"] == 22050
+    assert audio["channels"] == channels
+    assert audio["sample_width"] == width
+    assert audio["n_frames"] == 37
+    assert audio["samples"] == samples
+
+
+def test_wav_decoder_rejects_unsupported_and_corrupt():
+    import struct as _s
+
+    # non-WAV payloads hit the codec seam, like non-PNG images
+    with pytest.raises(NotImplementedError, match="WAV"):
+        multimodal.decode_audio_real(b"ID3\x04 mp3-ish")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_real(b"")
+    wav = multimodal.encode_wav([0, 1, -1, 2], 8000, 1, 2)
+    # truncated data chunk: ValueError, never a raw struct error
+    with pytest.raises(ValueError, match="truncated|missing"):
+        multimodal.decode_audio_real(wav[:-3])
+    # IEEE-float format code rejected, not mis-decoded
+    floaty = bytearray(wav)
+    fmt_at = wav.index(b"fmt ") + 8
+    _s.pack_into("<H", floaty, fmt_at, 3)
+    with pytest.raises(ValueError, match="format code"):
+        multimodal.decode_audio_real(bytes(floaty))
+    # 24-bit depth rejected
+    deep = bytearray(wav)
+    _s.pack_into("<H", deep, fmt_at + 14, 24)
+    with pytest.raises(ValueError, match="bit depth|alignment"):
+        multimodal.decode_audio_real(bytes(deep))
+
+
+def test_extract_features_uses_real_samples_for_wav(spark):
+    """WAV payloads feature from decoded samples — a silent and a loud
+    tone of identical byte length must differ in feature, and the RMS
+    slot must match the true RMS."""
+    quiet = multimodal.encode_wav([0] * 64, 16000, 1, 2)
+    loud = multimodal.encode_wav([20000, -20000] * 32, 16000, 1, 2)
+    df = spark.createDataFrame(
+        [(1, quiet), (2, loud)], "media_id long, payload binary"
+    )
+    feats = {r["media_id"]: r["feature"] for r in multimodal.extract_features(df, dim=8).collect()}
+    assert feats[1] != feats[2]
+    assert abs(feats[1][4] - 0.0) < 1e-6  # silent RMS
+    assert abs(feats[2][4] - 20000 / 32768.0) < 1e-6
+
+
 def test_merge_upsert_updates_and_inserts(spark):
     import tempfile
 
