@@ -1584,6 +1584,86 @@ def manifest_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_bloom_skipping",
+    sql="""
+    WITH mid AS (
+      SELECT CAST(floor((min(o_orderkey) + max(o_orderkey)) / 2.0) AS BIGINT) AS m
+      FROM orders
+    ),
+    keys AS (
+      SELECT o_orderkey FROM orders, mid
+      WHERE o_orderkey >= mid.m ORDER BY o_orderkey LIMIT 3
+    )
+    SELECT o.o_orderkey,
+           floor(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+           o.o_orderdate
+    FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+    """,
+)
+def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping (sinks/filestats.py bloom section —
+    the Delta bloom-index design): orders land as ONE commit hash-
+    distributed into 8 files on ``o_orderkey`` (every file spans the
+    full key range — the layout where min/max bounds are provably
+    useless, ASSERTED: the range pass must prune zero files), with
+    ``bloom_cols=["o_orderkey"]`` writing per-file filters into the
+    commit's sidecar. A 3-key IN lookup (the 3 smallest keys at or
+    above the range midpoint — mid-range, so no bound can exclude
+    them) must then prune files through the BLOOM pass alone — the
+    query RAISES unless it does — and the surviving files plus the
+    residual filter must reproduce exactly the plain IN join the
+    oracle runs. The 3-key driver materialization is the lookup's
+    input, not a data collect. At 100 TB this is the point-lookup
+    path: a needle query on a 10k-file un-clustered table opens the
+    ~k files whose filters admit the key, not all 10k."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice"), "o_orderdate"
+    )
+    bounds = orders.agg(
+        F.floor((F.min("o_orderkey") + F.max("o_orderkey")) / 2.0).alias("m")
+    ).first()
+    keys = [
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderkey") >= int(bounds.m))
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    table = tempfile.mkdtemp(prefix="manifest_bloom_")
+    try:
+        M.write_table(
+            orders.repartition(8, "o_orderkey"),
+            table,
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+        )
+        skip = ("o_orderkey", "in", keys)
+        m = M.read_manifest(table, M.current_version(table))
+        ranged, range_skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+        if range_skipped != 0:
+            raise ValueError(
+                "hash-distributed files were range-pruned — the layout no longer "
+                "proves the bloom pass is doing the work"
+            )
+        _, bloom_skipped = filestats.prune_files_bloom(
+            M.get_log_store(table), table, ranged, m.get("stats"), skip
+        )
+        if bloom_skipped == 0:
+            raise ValueError("bloom pruning skipped no files — bloom skipping is broken")
+        back = M.read_table(spark, table, skip=skip)
+        rows = back.collect()  # ≤3 keys' rows; materialize before rmtree
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_skip_disjunctive",
     sql=f"""
     SELECT event_type,

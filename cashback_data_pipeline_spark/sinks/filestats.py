@@ -258,6 +258,267 @@ def prune_files(
     return kept, len(files) - len(kept)
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter skipping (point lookups on high-cardinality columns)
+# ---------------------------------------------------------------------------
+# min/max bounds prune nothing for an equality on a key column whose
+# values span every file (the hash-distributed layout every non-clustered
+# key has). The Delta-Lake answer is a per-file Bloom filter index; this
+# is that design under the manifest protocol:
+#
+# - ``write_table(bloom_cols=...)`` builds one Bloom filter per
+#   (file, column) in a ZERO-SHUFFLE pass — mapInPandas over the
+#   just-written files (column-pruned scan of only the bloom columns +
+#   ``_metadata.file_path``), each Arrow batch emitting a partial filter,
+#   OR-merged driver-side (set-union is associative, so partials across
+#   batch/partition splits merge exactly).
+# - Filters live in a SIDECAR JSON inside the commit's immutable data dir
+#   (``data/<commit>/_blooms.json``), NOT in the manifest: the manifest
+#   stays O(#files) small, per-file entries carry only the sidecar path,
+#   and vacuum reclaims blooms with their commit automatically. Readers
+#   load a sidecar lazily, only when an ``==``/``in`` predicate names a
+#   bloom column, and only for files that survived min/max pruning.
+# - Soundness: a Bloom filter has NO false negatives, so "absent" proves
+#   no row matches; false positives merely keep a file. Values hash by
+#   md5 of a canonical rendering per column DOMAIN (int or string —
+#   validated at build), and a predicate literal that cannot be coerced
+#   EXACTLY into the domain keeps the file (e.g. 5.0 matches an int
+#   column's 5; 5.5 can never equal an int, so the file prunes on the
+#   range bounds instead).
+
+BLOOM_K = 7  # double-hashing probe count (optimal near 10 bits/key)
+BLOOM_DEFAULT_BITS = 1 << 15  # 4 KiB per (file, column)
+BLOOM_SIDECAR = "_blooms.json"
+
+_BLOOM_OK_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+
+
+def validate_bloom_cols(schema: T.StructType, bloom_cols: list[str]) -> None:
+    """Bloom columns must be integer or string — the point-lookup key
+    domains with an exact canonical rendering. Floats (ulp ambiguity)
+    and temporals (range queries, min/max already effective) stay on
+    the bounds path."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in bloom_cols:
+        if c not in by_name:
+            raise ValueError(f"bloom column {c!r} not in schema {sorted(by_name)}")
+        if not isinstance(by_name[c], _BLOOM_OK_TYPES):
+            raise ValueError(
+                f"bloom column {c!r} has type {by_name[c].simpleString()}; "
+                "bloom skipping supports integer and string key columns"
+            )
+
+
+def _bloom_domain(dt: T.DataType) -> str:
+    return "str" if isinstance(dt, T.StringType) else "int"
+
+
+def _bloom_canonical(value, domain: str) -> bytes | None:
+    """Exact canonical bytes for hashing, or None when the value can
+    never equal anything in the domain (⇒ a literal that proves a miss
+    without consulting the filter is still handled by the caller as
+    keep-unless-bloom-says-absent; None here means 'not representable',
+    so the caller must KEEP the file)."""
+    if domain == "int":
+        if isinstance(value, bool):
+            return None
+        if isinstance(value, int):
+            return str(value).encode()
+        if isinstance(value, float) and value.is_integer():
+            return str(int(value)).encode()
+        return None
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return None
+
+
+def _bloom_positions(key: bytes, m_bits: int):
+    import hashlib as _h
+
+    digest = int.from_bytes(_h.md5(key).digest(), "big")
+    h1 = digest & 0xFFFFFFFFFFFFFFFF
+    h2 = (digest >> 64) | 1  # odd: full-period double hashing
+    return [(h1 + i * h2) % m_bits for i in range(BLOOM_K)]
+
+
+def bloom_bytes_from_values(values, domain: str, m_bits: int = BLOOM_DEFAULT_BITS) -> bytes:
+    """Build one filter's bit array from an iterable of non-null values."""
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        key = _bloom_canonical(v, domain)
+        if key is None:
+            raise ValueError(f"value {v!r} not representable in bloom domain {domain}")
+        for pos in _bloom_positions(key, m_bits):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bytes(bits)
+
+
+def bloom_may_contain(bloom: dict, literal) -> bool:
+    """Membership test against a stored filter dict
+    ``{"b": base64 bits, "m": n_bits, "d": domain}``. Missing/unusable
+    information ⇒ True (keep)."""
+    import base64 as _b64
+
+    key = _bloom_canonical(literal, bloom.get("d", ""))
+    if key is None:
+        # literal not exactly representable in the column's domain: for
+        # an int column a fractional literal can never match — but that
+        # decision belongs to the range bounds; the FILTER just abstains
+        return True
+    try:
+        bits = _b64.b64decode(bloom["b"])
+        m = int(bloom["m"])
+    except (KeyError, ValueError, TypeError):
+        return True
+    if m <= 0 or len(bits) * 8 < m:
+        return True
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(key, m))
+
+
+def collect_bloom_filters(
+    spark: SparkSession,
+    table: str,
+    rel_files: list[str],
+    bloom_cols: list[str],
+    schema: T.StructType,
+    m_bits: int = BLOOM_DEFAULT_BITS,
+) -> dict[str, dict]:
+    """Per-(file, column) Bloom filters for a commit's just-written
+    files: ``{rel_file: {col: {"b","m","d"}}}``. One column-pruned scan
+    of only the new files; each Arrow batch emits a PARTIAL filter and
+    the driver OR-merges (no shuffle — a batch never leaves its scan
+    task, and the merge payload is #batches × 4 KiB, not data)."""
+    import base64 as _b64
+
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.sinks.logstore import get_log_store
+
+    if not rel_files or not bloom_cols:
+        return {}
+    validate_bloom_cols(schema, bloom_cols)
+    domains = {
+        c: _bloom_domain(next(f.dataType for f in schema.fields if f.name == c))
+        for c in bloom_cols
+    }
+    store = get_log_store(table)
+    rel_by_base = {os.path.basename(rel): rel for rel in rel_files}
+    df = spark.read.parquet(*[store.join(table, rel) for rel in rel_files]).select(
+        F.col("_metadata.file_path").alias("__path"), *bloom_cols
+    )
+    cols_b, dom_b, m_b = list(bloom_cols), dict(domains), int(m_bits)
+
+    def _partials(batches):
+        for pdf in batches:
+            out = []
+            for path, grp in pdf.groupby("__path"):
+                for c in cols_b:
+                    vals = grp[c].dropna()
+                    out.append(
+                        (
+                            path,
+                            c,
+                            _b64.b64encode(
+                                bloom_bytes_from_values(vals, dom_b[c], m_b)
+                            ).decode(),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["__path", "col", "bloom_b64"])
+
+    merged: dict[tuple[str, str], bytearray] = {}
+    for r in df.mapInPandas(_partials, "__path string, col string, bloom_b64 string").collect():
+        key = (os.path.basename(r["__path"]), r["col"])
+        part = _b64.b64decode(r["bloom_b64"])
+        if key in merged:
+            acc = merged[key]
+            for i, b in enumerate(part):
+                acc[i] |= b
+        else:
+            merged[key] = bytearray(part)
+    out: dict[str, dict] = {}
+    for (base, c), bits in merged.items():
+        rel = rel_by_base.get(base)
+        if rel is None:
+            continue
+        out.setdefault(rel, {})[c] = {
+            "b": _b64.b64encode(bytes(bits)).decode(),
+            "m": m_bits,
+            "d": domains[c],
+        }
+    # a file with zero rows never groups — give it an explicit all-zero
+    # filter so equality predicates prune it outright
+    for rel in rel_files:
+        for c in bloom_cols:
+            out.setdefault(rel, {}).setdefault(
+                c,
+                {
+                    "b": _b64.b64encode(bytes(m_bits // 8)).decode(),
+                    "m": m_bits,
+                    "d": domains[c],
+                },
+            )
+    return out
+
+
+def _bloom_eq_cols(node) -> set[str]:
+    """Columns named by ==/in leaves anywhere in a skip tree."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        return set().union(*[_bloom_eq_cols(c) for c in node[1]]) if node[1] else set()
+    return {node[1]} if node[2] in ("==", "in") else set()
+
+
+def _node_may_match_bloom(blooms: dict, node) -> bool:
+    """Skip-tree evaluation against one file's bloom dict ONLY: every
+    non-equality leaf abstains (True) — the min/max pass already ruled
+    on those — so this is a sound refinement, never a replacement."""
+    kind = node[0]
+    if kind == "and":
+        return all(_node_may_match_bloom(blooms, c) for c in node[1])
+    if kind == "or":
+        return any(_node_may_match_bloom(blooms, c) for c in node[1])
+    _, col, op, lit = node
+    bloom = blooms.get(col)
+    if bloom is None:
+        return True
+    if op == "==":
+        return bloom_may_contain(bloom, lit)
+    if op == "in":
+        return any(bloom_may_contain(bloom, e) for e in lit)
+    return True
+
+
+def prune_files_bloom(
+    store, table: str, files: list[str], stats: dict | None, predicates
+) -> tuple[list[str], int]:
+    """Refine a min/max-pruned file list with sidecar Bloom filters.
+    Loads each referenced ``_blooms.json`` at most once, and only when
+    the predicate tree actually contains an ``==``/``in`` leaf; any
+    missing/malformed sidecar keeps its files (conservative)."""
+    import json as _json
+
+    node = _normalize_node(predicates)
+    if not stats or not _bloom_eq_cols(node):
+        return list(files), 0
+    sidecars: dict[str, dict] = {}
+    kept = []
+    for f in files:
+        entry = stats.get(f) or {}
+        ref = entry.get("bloom")
+        if not ref:
+            kept.append(f)
+            continue
+        if ref not in sidecars:
+            try:
+                sidecars[ref] = _json.loads(store.read_text(store.join(table, ref)))
+            except Exception:
+                sidecars[ref] = {}
+        blooms = sidecars[ref].get(f)
+        if not blooms or _node_may_match_bloom(blooms, node):
+            kept.append(f)
+    return kept, len(files) - len(kept)
+
+
 def _node_condition(node):
     kind = node[0]
     if kind in ("and", "or"):

@@ -222,6 +222,8 @@ def write_table(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the
@@ -247,7 +249,19 @@ def write_table(
     pointless). ``cluster_files`` pins the range-partition count —
     without it AQE may coalesce a small commit into one file, which is
     optimal I/O but leaves nothing for per-file pruning to skip (at
-    cluster scale the range shuffle is naturally many files)."""
+    cluster scale the range shuffle is naturally many files).
+
+    ``bloom_cols`` additionally builds per-(file, column) Bloom filters
+    for these integer/string key columns (sinks/filestats.py bloom
+    section — the Delta bloom-index design): equality/IN predicates on
+    a high-cardinality key prune files even in the hash-distributed
+    layout where every file spans the full min/max range. Filters live
+    in a per-commit sidecar (``data/<commit>/_blooms.json``) inside the
+    commit's immutable data dir — the manifest carries only the sidecar
+    path per file, readers load it lazily for ``==``/``in`` reads, and
+    vacuum reclaims it with the commit. ``bloom_bits`` sizes each
+    filter (default 32768 bits = 4 KiB, ~1% false positives at 4k
+    distinct keys per file; false positives only ever KEEP a file)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
     if cluster_by:
@@ -269,6 +283,32 @@ def write_table(
 
         spark = df.sparkSession
         stats = filestats.collect_file_stats(spark, table, files, stats_cols, schema=df.schema)
+    if bloom_cols:
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        store = get_log_store(table)
+        blooms = filestats.collect_bloom_filters(
+            df.sparkSession,
+            table,
+            files,
+            list(bloom_cols),
+            df.schema,
+            bloom_bits or filestats.BLOOM_DEFAULT_BITS,
+        )
+        # one sidecar per commit data dir, written into the IMMUTABLE
+        # data tree BEFORE the manifest CAS: any reader that can see the
+        # commit can see its blooms, and vacuum reclaims both together
+        data_dir = files[0].rsplit("/", 1)[0] if files else None
+        if data_dir is not None:
+            store.publish_atomic(
+                store.join(table, data_dir), filestats.BLOOM_SIDECAR, json.dumps(blooms)
+            )
+            sidecar_rel = f"{data_dir}/{filestats.BLOOM_SIDECAR}"
+            stats = dict(stats or {})
+            for rel in files:
+                entry = dict(stats.get(rel) or {})
+                entry["bloom"] = sidecar_rel
+                stats[rel] = entry
     while True:
         cur = current_version(table)
         base_doc = (
@@ -369,6 +409,12 @@ def read_table(
     files = m["files"]
     if skip:
         files, _ = filestats.prune_files(files, m.get("stats"), skip)
+        # bloom refinement: equality/IN leaves consult the per-commit
+        # sidecar filters (loaded lazily, once each) — prunes the
+        # hash-distributed layouts min/max bounds cannot
+        files, _ = filestats.prune_files_bloom(
+            get_log_store(table), table, files, m.get("stats"), skip
+        )
     if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)

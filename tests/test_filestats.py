@@ -483,3 +483,116 @@ def test_cluster_by_validates_columns(spark, mk_table):
     df = spark.createDataFrame([(1, {"a": 1})], "id long, m map<string,int>")
     with pytest.raises(ValueError, match="unprunable type"):
         M.write_table(df, t, cluster_by=["m"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter skipping (round 8): point lookups where min/max cannot help
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_has_no_false_negatives_and_few_positives():
+    vals = [f"doc-{i}" for i in range(2000)]
+    bits = filestats.bloom_bytes_from_values(vals, "str", 1 << 15)
+    import base64
+
+    bloom = {"b": base64.b64encode(bits).decode(), "m": 1 << 15, "d": "str"}
+    assert all(filestats.bloom_may_contain(bloom, v) for v in vals)  # never a false negative
+    misses = sum(
+        1 for i in range(2000, 4000) if filestats.bloom_may_contain(bloom, f"doc-{i}")
+    )
+    assert misses < 40  # ~1% fp at this load, deterministic for md5
+
+
+def test_bloom_domain_coercion_is_exact():
+    bits = filestats.bloom_bytes_from_values([5, 900], "int", 1 << 12)
+    import base64
+
+    bloom = {"b": base64.b64encode(bits).decode(), "m": 1 << 12, "d": "int"}
+    assert filestats.bloom_may_contain(bloom, 5)
+    assert filestats.bloom_may_contain(bloom, 5.0)  # integral float == int 5
+    assert not filestats.bloom_may_contain(bloom, 6)
+    assert filestats.bloom_may_contain(bloom, 5.5)  # not representable -> abstain (keep)
+    assert filestats.bloom_may_contain(bloom, True)  # bools abstain, never alias 1
+
+
+def test_bloom_cols_validation(spark, mk_table):
+    t = mk_table()
+    df = spark.createDataFrame([(1, 2.5)], "id long, x double")
+    with pytest.raises(ValueError, match="integer and string"):
+        M.write_table(df, t, bloom_cols=["x"])
+    with pytest.raises(ValueError, match="not in schema"):
+        M.write_table(df, t, bloom_cols=["nope"])
+
+
+def test_bloom_pruning_on_hash_distributed_layout(spark, mk_table):
+    """8 hash-distributed files: every file spans the full key range, so
+    the range pass prunes nothing; the bloom pass must prune, and the
+    read must stay exact."""
+    t = mk_table()
+    df = spark.createDataFrame(
+        [(i, f"u{i:05d}") for i in range(4000)], "id long, s string"
+    ).repartition(8, "id")
+    M.write_table(df, t, stats_cols=["id"], bloom_cols=["id", "s"])
+    m = M.read_manifest(t, M.current_version(t))
+    store = M.get_log_store(t)
+    for skip in [("id", "==", 1234), ("s", "in", ["u00042", "u03999"])]:
+        ranged, range_skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+        assert range_skipped == 0  # bounds provably useless in this layout
+        kept, bloom_skipped = filestats.prune_files_bloom(
+            store, t, ranged, m.get("stats"), skip
+        )
+        assert bloom_skipped >= 1
+        assert len(kept) + bloom_skipped == len(m["files"])
+    got = M.read_table(spark, t, skip=("id", "==", 1234)).collect()
+    assert [(r.id, r.s) for r in got] == [(1234, "u01234")]
+    # absent key: every file prunes, empty result with the right schema
+    gone = M.read_table(spark, t, skip=("id", "==", 99999))
+    assert gone.count() == 0 and gone.columns == ["id", "s"]
+
+
+def test_bloom_refs_carry_forward_on_append_and_missing_sidecar_keeps(spark, mk_table):
+    t = mk_table()
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(100)], "id long, s string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in range(100, 200)], "id long, s string")
+    M.write_table(a.repartition(2, "id"), t, bloom_cols=["id"])
+    M.write_table(b.repartition(2, "id"), t, mode="append", bloom_cols=["id"])
+    m = M.read_manifest(t, M.current_version(t))
+    assert all("bloom" in (m["stats"].get(f) or {}) for f in m["files"])
+    store = M.get_log_store(t)
+    kept, skipped = filestats.prune_files_bloom(
+        store, t, m["files"], m["stats"], ("id", "==", 150)
+    )
+    assert skipped >= 2  # at least commit A's files prune (key 150 not in them)
+    assert M.read_table(spark, t, skip=("id", "==", 150)).count() == 1
+    # sidecar vanished (e.g. hand-vacuumed): conservative keep, exact read
+    ref = next(iter({(m["stats"][f] or {}).get("bloom") for f in m["files"]} - {None}))
+    store.delete_file(store.join(t, ref))
+    kept2, _ = filestats.prune_files_bloom(store, t, m["files"], m["stats"], ("id", "==", 150))
+    assert set(kept) <= set(kept2)
+    assert M.read_table(spark, t, skip=("id", "==", 150)).count() == 1
+
+
+def test_bloom_refinement_composes_with_range_pruning(spark, mk_table):
+    """Clustered commits: range pruning does its work first, bloom then
+    refines within the surviving range — both passes together on one
+    read path."""
+    t = mk_table()
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)], "id long, g long")
+    for lo in (0, 500):
+        M.write_table(
+            df.filter((F.col("id") >= lo) & (F.col("id") < lo + 500)).repartition(2, "g"),
+            t,
+            mode="append" if lo else "overwrite",
+            stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+    m = M.read_manifest(t, M.current_version(t))
+    skip = [("id", ">=", 500), ("id", "==", 750)]
+    ranged, range_skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+    assert range_skipped >= 2  # the first commit's files miss the range
+    kept, bloom_skipped = filestats.prune_files_bloom(
+        M.get_log_store(t), t, ranged, m.get("stats"), skip
+    )
+    assert bloom_skipped >= 1  # within the range, only one hash bucket holds 750
+    rows = M.read_table(spark, t, skip=skip).collect()
+    assert [(r.id, r.g) for r in rows] == [(750, 750 % 7)]
