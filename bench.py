@@ -124,6 +124,10 @@ HEADLINE = [
     "bm25_search",
     "indexed_bm25_search",
     "hybrid_search_rrf",
+    # round-8: streaming change-feed source (3-commit manifest build +
+    # full availableNow drain through the Python DataSource — the whole
+    # tail-a-table lifecycle in one number)
+    "streaming_manifest_cdf",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume
@@ -280,10 +284,45 @@ def make_skipping_samplers(spark, sf_dir: str, base: str):  # -> 2 samplers + cl
         ).write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    bloom_table = f"{base}/orders_bloom"
+    _bloom_keys: list[int] = []  # filled at table build (untimed)
+
+    def sample_bloom_point_read() -> float:
+        # round 8: the point-lookup serve path — a 3-key IN read on a
+        # hash-distributed key layout where min/max bounds prune nothing
+        # and the bloom sidecar pass opens only the admitting files.
+        # Build untimed, once; RAISES if the bloom pass pruned nothing.
+        from cashback_data_pipeline_spark.queries import read_testdata as _rt
+
+        if not os.path.exists(os.path.join(bloom_table, "_manifests")):
+            orders = _rt(spark, sf_dir, "orders")
+            M.write_table(
+                orders.repartition(16, "o_orderkey"),
+                bloom_table,
+                stats_cols=["o_orderkey"],
+                bloom_cols=["o_orderkey"],
+            )
+            _bloom_keys.extend(
+                int(q) for q in orders.stat.approxQuantile("o_orderkey", [0.25, 0.5, 0.75], 0)
+            )
+        skip_keys = ("o_orderkey", "in", _bloom_keys[:3])
+        m = M.read_manifest(bloom_table, M.current_version(bloom_table))
+        ranged, _ = filestats.prune_files(m["files"], m.get("stats"), skip_keys)
+        _, bloom_skipped = filestats.prune_files_bloom(
+            M.get_log_store(bloom_table), bloom_table, ranged, m.get("stats"), skip_keys
+        )
+        if bloom_skipped == 0:
+            raise RuntimeError("bloom pruning skipped nothing — sampler is mismeasuring")
+        t0 = time.time()
+        M.read_table(spark, bloom_table, skip=skip_keys).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
     def cleanup() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
-    return sample_skip_read, sample_changes_read, cleanup
+    return sample_skip_read, sample_changes_read, sample_bloom_point_read, cleanup
 
 
 def make_manifest_hadoop_sampler(spark, sf_dir: str, base: str):
@@ -457,11 +496,12 @@ def main() -> None:
     measure("index_search", sample_search)
     measure("index_delta", sample_delta)
     index_cleanup()
-    sample_skip_read, sample_changes_read, skip_cleanup = make_skipping_samplers(
-        spark, sf_dir, tempfile.mkdtemp(prefix="stats_skip_bench_")
+    sample_skip_read, sample_changes_read, sample_bloom_point, skip_cleanup = (
+        make_skipping_samplers(spark, sf_dir, tempfile.mkdtemp(prefix="stats_skip_bench_"))
     )
     measure("stats_skip_read", sample_skip_read)
     measure("changes_read", sample_changes_read)
+    measure("bloom_point_read", sample_bloom_point)
     skip_cleanup()
     sample_mrh, mrh_cleanup = make_manifest_hadoop_sampler(
         spark, sf_dir, tempfile.mkdtemp(prefix="manifest_hadoop_bench_")

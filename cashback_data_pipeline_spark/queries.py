@@ -6333,15 +6333,18 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window curation: the correctness harness checks registry slots
 # [0:50] in insertion order (verified against CORRECTNESS_r01-r04 keys).
 #
-# Round-8 rotation (VERDICT r7 item 8): the five new round-8 queries
-# (manifest_skip_disjunctive, manifest_changes_rows, multimodal_png_decode,
-# manifest_delete_where, manifest_update_where) lead the window; the other
-# 45 slots re-validate the STALEST
-# previously-green queries (all last driver-checked in round 4 — computed
-# from CORRECTNESS_r01-r07 latest-check rounds). Everything else stays
-# covered by the local gate (tools/check_correctness.py runs ALL
-# queries).
+# Round-8 rotation (VERDICT r7 item 8): the eight new round-8 queries
+# (bloom skipping, streaming CDF, WAV decode, and the five from the
+# first round-8 session) lead the window — never-driver-checked beats
+# re-validating stale-green; the remaining slots re-validate the
+# STALEST previously-green queries (last driver-checked in round 4 —
+# computed from CORRECTNESS_r01-r07 latest-check rounds). Everything
+# else stays covered by the local gate (tools/check_correctness.py
+# runs ALL queries).
 _ROUND8_WINDOW = [
+    "manifest_bloom_skipping",
+    "streaming_manifest_cdf",
+    "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
     "multimodal_png_decode",
@@ -6389,9 +6392,6 @@ _ROUND8_WINDOW = [
     "waiting_orders_suppliers",
     "benchmark_decontamination",
     "incremental_corpus_dedup",
-    "cross_doc_ngram_dup",
-    "retention_cohorts",
-    "corpus_health_by_source",
 ]
 
 

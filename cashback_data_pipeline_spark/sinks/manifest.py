@@ -86,6 +86,7 @@ def _try_commit(
     schema_json: str,
     meta: dict | None = None,
     stats: dict | None = None,
+    bloom_conf: dict | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -94,11 +95,16 @@ def _try_commit(
     — a reader or racing writer can never observe a half-written
     manifest, and a crash mid-commit leaves only a temp file (swept by
     vacuum), never a bricked version. ``meta`` rides in the manifest
-    (e.g. a streaming epoch id)."""
+    (e.g. a streaming epoch id). ``bloom_conf`` is the table's bloom
+    TABLE PROPERTY ``{"cols": [...], "bits": N}`` — carried by every
+    commit once set, so append/merge/compact paths keep regenerating
+    filters without the caller re-passing bloom_cols."""
     store = get_log_store(table)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
     if meta:
         doc["meta"] = meta
+    if bloom_conf:
+        doc["bloom_conf"] = bloom_conf
     if stats:
         # per-file column stats (sinks/filestats.py) — optional, additive:
         # readers treat a missing entry as "keep the file", so mixed
@@ -125,6 +131,56 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
 
 def new_commit_id() -> str:
     return uuid.uuid4().hex[:12]
+
+
+def _bloom_table_conf(m: dict | None) -> dict | None:
+    """The table's bloom TABLE PROPERTY as of manifest ``m`` (set by the
+    first write_table(bloom_cols=), carried by every later commit)."""
+    return (m or {}).get("bloom_conf")
+
+
+def _build_bloom_sidecar(
+    spark: SparkSession,
+    table: str,
+    new_files: list[str],
+    schema: T.StructType,
+    conf: dict | None,
+    stats: dict | None,
+) -> dict | None:
+    """Build Bloom filters for a commit's NEW files per the table's
+    bloom conf, publish the per-commit sidecar into the immutable data
+    dir, and return ``stats`` with the sidecar refs added. Conf columns
+    absent from this commit's schema (or no longer bloom-typed) are
+    skipped — those files simply stay unfiltered, which pruning treats
+    as keep (conservative, never wrong)."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    if not conf or not new_files:
+        return stats
+    by_name = {f.name: f.dataType for f in schema.fields}
+    cols = [
+        c
+        for c in conf.get("cols", [])
+        if isinstance(by_name.get(c), filestats._BLOOM_OK_TYPES)
+    ]
+    if not cols:
+        return stats
+    blooms = filestats.collect_bloom_filters(
+        spark, table, new_files, cols, schema,
+        int(conf.get("bits") or filestats.BLOOM_DEFAULT_BITS),
+    )
+    store = get_log_store(table)
+    data_dir = new_files[0].rsplit("/", 1)[0]
+    store.publish_atomic(
+        store.join(table, data_dir), filestats.BLOOM_SIDECAR, json.dumps(blooms)
+    )
+    sidecar_rel = f"{data_dir}/{filestats.BLOOM_SIDECAR}"
+    out = dict(stats or {})
+    for rel in new_files:
+        entry = dict(out.get(rel) or {})
+        entry["bloom"] = sidecar_rel
+        out[rel] = entry
+    return out
 
 
 def write_store_files(
@@ -286,29 +342,26 @@ def write_table(
     if bloom_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
-        store = get_log_store(table)
-        blooms = filestats.collect_bloom_filters(
-            df.sparkSession,
-            table,
-            files,
-            list(bloom_cols),
-            df.schema,
-            bloom_bits or filestats.BLOOM_DEFAULT_BITS,
+        filestats.validate_bloom_cols(df.schema, list(bloom_cols))
+        bloom_conf = {
+            "cols": sorted(bloom_cols),
+            "bits": int(bloom_bits or filestats.BLOOM_DEFAULT_BITS),
+        }
+    else:
+        # bloom is a TABLE PROPERTY: once set, every later write —
+        # append or overwrite — keeps building filters for its new
+        # files without the caller re-passing bloom_cols (the Delta
+        # table-property semantic; otherwise one plain append would
+        # silently erode the point-lookup path file by file)
+        cur0 = current_version(table)
+        bloom_conf = _bloom_table_conf(read_manifest(table, cur0)) if cur0 is not None else None
+    if bloom_conf:
+        # sidecar written into the IMMUTABLE data tree BEFORE the
+        # manifest CAS: any reader that can see the commit can see its
+        # blooms, and vacuum reclaims both together
+        stats = _build_bloom_sidecar(
+            df.sparkSession, table, files, df.schema, bloom_conf, stats
         )
-        # one sidecar per commit data dir, written into the IMMUTABLE
-        # data tree BEFORE the manifest CAS: any reader that can see the
-        # commit can see its blooms, and vacuum reclaims both together
-        data_dir = files[0].rsplit("/", 1)[0] if files else None
-        if data_dir is not None:
-            store.publish_atomic(
-                store.join(table, data_dir), filestats.BLOOM_SIDECAR, json.dumps(blooms)
-            )
-            sidecar_rel = f"{data_dir}/{filestats.BLOOM_SIDECAR}"
-            stats = dict(stats or {})
-            for rel in files:
-                entry = dict(stats.get(rel) or {})
-                entry["bloom"] = sidecar_rel
-                stats[rel] = entry
     while True:
         cur = current_version(table)
         base_doc = (
@@ -328,6 +381,7 @@ def write_table(
             schema_json,
             meta=meta,
             stats=merged_stats or None,
+            bloom_conf=bloom_conf,
         ):
             return (cur or 0) + 1
 
@@ -604,6 +658,7 @@ def compact_table(
         cur = current_version(table)
         if cur is None:
             raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
         snapshot = read_table(spark, table, cur)
         if cluster_by:
             from cashback_data_pipeline_spark.sinks import filestats
@@ -615,14 +670,31 @@ def compact_table(
         else:
             rewritten = snapshot.coalesce(n_files)
         files = _write_data_files(rewritten, table)
+        # inherit the parent's tracked stats columns when none are given:
+        # an OPTIMIZE must not erode data skipping (the rewritten files
+        # REPLACE every stats-carrying file at once)
+        eff_stats_cols = stats_cols or sorted(
+            {c for e in (m.get("stats") or {}).values() for c in (e.get("cols") or {})}
+        )
         stats = None
-        if stats_cols:
+        if eff_stats_cols:
             from cashback_data_pipeline_spark.sinks import filestats
 
             stats = filestats.collect_file_stats(
-                spark, table, files, stats_cols, schema=snapshot.schema
+                spark, table, files, eff_stats_cols, schema=snapshot.schema
             )
-        if _try_commit(table, cur + 1, files, cur, snapshot.schema.json(), stats=stats):
+        stats = _build_bloom_sidecar(
+            spark, table, files, snapshot.schema, _bloom_table_conf(m), stats
+        )
+        if _try_commit(
+            table,
+            cur + 1,
+            files,
+            cur,
+            snapshot.schema.json(),
+            stats=stats,
+            bloom_conf=_bloom_table_conf(m),
+        ):
             return cur + 1
 
 
@@ -662,7 +734,7 @@ _MERGE_IN_LIST_MAX = 1024
 
 
 def _merge_candidate_split(
-    spark: SparkSession, m: dict, key: str, incoming_unique: DataFrame
+    spark: SparkSession, table: str, m: dict, key: str, incoming_unique: DataFrame
 ) -> tuple[list[str], list[str], dict]:
     """Split a manifest's files into (candidates, carried) for a MERGE on
     ``key`` using the commit's per-file stats (the Delta MERGE
@@ -678,7 +750,8 @@ def _merge_candidate_split(
     files = m["files"]
     stats = m.get("stats") or {}
     tracked = any(key in (e.get("cols") or {}) for e in stats.values())
-    if not tracked:
+    bloomed = any(e.get("bloom") for e in stats.values())
+    if not (tracked or bloomed):
         return files, [], stats
     agg = incoming_unique.agg(
         F.min(key).alias("lo"),
@@ -695,6 +768,10 @@ def _merge_candidate_split(
     else:
         preds = [(key, ">=", agg["lo"]), (key, "<=", agg["hi"])]
     cand, _ = filestats.prune_files(files, stats, preds)
+    # bloom refinement (round 8): on a hash-distributed key layout every
+    # file's [min, max] covers every incoming key, so only the sidecar
+    # filters can prove a file collision-free
+    cand, _ = filestats.prune_files_bloom(get_log_store(table), table, cand, stats, preds)
     cand_set = set(cand)
     return cand, [f for f in files if f not in cand_set], stats
 
@@ -722,7 +799,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
                 return 1
             continue
         m = read_manifest(table, cur)
-        cand, carried, stats = _merge_candidate_split(spark, m, key, incoming_unique)
+        cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         store = get_log_store(table)
         if cand:
             target = spark.read.parquet(*[store.join(table, f) for f in cand])
@@ -734,6 +811,9 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             merged = incoming_unique  # every existing file provably collision-free
         new_files = _write_data_files(merged, table)
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        merged_stats = _build_bloom_sidecar(
+            spark, table, new_files, merged.schema, _bloom_table_conf(m), merged_stats
+        )
         if _try_commit(
             table,
             cur + 1,
@@ -741,6 +821,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             cur,
             merged.schema.json(),
             stats=merged_stats or None,
+            bloom_conf=_bloom_table_conf(m),
         ):
             return cur + 1
 
@@ -794,7 +875,7 @@ def append_table_if_absent(
             m = None
         else:
             m = read_manifest(table, cur)
-            cand, _, _ = _merge_candidate_split(spark, m, key, incoming_unique)
+            cand, _, _ = _merge_candidate_split(spark, table, m, key, incoming_unique)
             if cand:
                 store = get_log_store(table)
                 target_keys = (
@@ -814,6 +895,9 @@ def append_table_if_absent(
             base = [] if m is None else m["files"]
             stats = (m or {}).get("stats") or {}
             merged_stats = _refresh_stats(spark, table, stats, base, files)
+            merged_stats = _build_bloom_sidecar(
+                spark, table, files, fresh.schema, _bloom_table_conf(m), merged_stats
+            )
             if _try_commit(
                 table,
                 (cur or 0) + 1,
@@ -821,6 +905,7 @@ def append_table_if_absent(
                 cur,
                 fresh.schema.json(),
                 stats=merged_stats or None,
+                bloom_conf=_bloom_table_conf(m),
             ):
                 return n
             # CAS lost — a racing loader committed; recompute the
@@ -852,16 +937,27 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         m = read_manifest(table, cur)
         files = m["files"]
         stats = m.get("stats") or {}
+        store = get_log_store(table)
         cand, _ = filestats.prune_files(files, stats, predicates)
+        # bloom refinement: a keyed DELETE/UPDATE on a bloom-indexed
+        # table rewrites only the files whose filters admit the key
+        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, predicates)
         cand_set = set(cand)
         carried = [f for f in files if f not in cand_set]
         if not cand:
             return cur  # stats prove nothing matches — no version churn
-        store = get_log_store(table)
         snap = spark.read.parquet(*[store.join(table, f) for f in cand])
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
         new_files = _write_data_files(rewritten, table)
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        merged_stats = _build_bloom_sidecar(
+            spark,
+            table,
+            new_files,
+            T.StructType.fromJson(json.loads(m["schema"])),
+            _bloom_table_conf(m),
+            merged_stats,
+        )
         meta = dict(m.get("meta") or {})
         meta[meta_key] = {"rewritten": len(cand), "carried": len(carried)}
         if _try_commit(
@@ -872,6 +968,7 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
             m["schema"],
             meta=meta,
             stats=merged_stats or None,
+            bloom_conf=_bloom_table_conf(m),
         ):
             return cur + 1
 

@@ -596,3 +596,59 @@ def test_bloom_refinement_composes_with_range_pruning(spark, mk_table):
     assert bloom_skipped >= 1  # within the range, only one hash bucket holds 750
     rows = M.read_table(spark, t, skip=skip).collect()
     assert [(r.id, r.g) for r in rows] == [(750, 750 % 7)]
+
+
+def test_bloom_is_a_table_property_surviving_rewrites(spark, mk_table):
+    """bloom_cols on the first write becomes a table property: plain
+    appends, MERGE rewrites, and compaction all regenerate filters for
+    their new files without re-passing bloom_cols — an OPTIMIZE must
+    not erode the point-lookup path."""
+    t = mk_table()
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(2000)], "id long, s string")
+    M.write_table(
+        a.repartition(4, "id"), t, stats_cols=["id"], bloom_cols=["id"]
+    )
+    # plain append (no bloom_cols arg) inherits the property
+    b = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(2000, 4000)], "id long, s string"
+    )
+    M.write_table(b.repartition(4, "id"), t, mode="append")
+    # MERGE rewrite keeps it
+    upd = spark.createDataFrame([(7, "updated")], "id long, s string")
+    M.upsert_table(spark, upd, t, key="id")
+    # compaction (no stats_cols / bloom args at all) keeps BOTH stats
+    # and blooms
+    M.compact_table(spark, t, n_files=6)
+    m = M.read_manifest(t, M.current_version(t))
+    assert m.get("bloom_conf", {}).get("cols") == ["id"]
+    entries = [m["stats"].get(f) or {} for f in m["files"]]
+    assert all(e.get("bloom") for e in entries), "a rewrite dropped bloom refs"
+    assert all("id" in (e.get("cols") or {}) for e in entries), "compaction eroded stats"
+    # the point lookup still prunes and still reads exactly one row
+    ranged, _ = filestats.prune_files(m["files"], m["stats"], ("id", "==", 7))
+    kept, skipped = filestats.prune_files_bloom(
+        M.get_log_store(t), t, ranged, m["stats"], ("id", "==", 7)
+    )
+    assert skipped >= 1
+    assert [(r.id, r.s) for r in M.read_table(spark, t, skip=("id", "==", 7)).collect()] == [
+        (7, "updated")
+    ]
+
+
+def test_bloom_prunes_merge_candidates_on_hash_layout(spark, mk_table):
+    """A keyed MERGE into a hash-distributed bloom table rewrites only
+    the files whose filters admit the incoming keys (min/max covers
+    everything in this layout, so only blooms can prove files clean)."""
+    t = mk_table()
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4000)], "id long, s string")
+    M.write_table(df.repartition(8, "id"), t, stats_cols=["id"], bloom_cols=["id"])
+    n_before = len(M.read_manifest(t, M.current_version(t))["files"])
+    assert n_before == 8
+    upd = spark.createDataFrame([(123, "updated")], "id long, s string")
+    M.upsert_table(spark, upd, t, key="id")
+    m = M.read_manifest(t, M.current_version(t))
+    # 7 of the 8 original files must have carried forward untouched
+    prev = M.read_manifest(t, M.current_version(t) - 1)["files"]
+    assert len(set(prev) & set(m["files"])) >= 7
+    snap = {r.id: r.s for r in M.read_table(spark, t).collect()}
+    assert snap[123] == "updated" and len(snap) == 4000

@@ -432,7 +432,94 @@ class _ManifestUpsertPruned:
         return dt
 
 
+class _BloomPointRead:
+    """read_table(skip=(key,"==",lit)) on a GROWING hash-distributed
+    table with bloom_cols (round 8): min/max bounds are useless in this
+    layout (every file spans the full key range — asserted), so the
+    bloom sidecar pass does ALL the pruning and the read opens ~1 file
+    regardless of table size. Driver-side sidecar loading is O(#commit
+    sidecars) of 4 KiB JSON — the exponent should stay far below the
+    exponent-1 full scan this layout would otherwise force."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from cashback_data_pipeline_spark.sinks import filestats
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        n = docs.count()
+        table = tempfile.mkdtemp(prefix="scale_bloom_") + "/t"
+        M.write_table(
+            docs.repartition(max(8, n // 5000), "doc_id"),
+            table,
+            stats_cols=["doc_id"],
+            bloom_cols=["doc_id"],
+        )
+        # mid-range needle: inside every file's min/max hull at any scale
+        # (a low fixed id falls below the per-file sample minimum once
+        # files hold 5k draws from a 100x id space), so the range pass
+        # stays provably useless and the bloom pass does all the work
+        skip = ("doc_id", "==", n // 2)
+        m = M.read_manifest(table, M.current_version(table))
+        ranged, range_skipped = filestats.prune_files(m["files"], m.get("stats"), skip)
+        if range_skipped != 0:
+            raise RuntimeError("hash layout was range-prunable — sampler is mismeasuring")
+        _, bloom_skipped = filestats.prune_files_bloom(
+            M.get_log_store(table), table, ranged, m.get("stats"), skip
+        )
+        if bloom_skipped == 0:
+            raise RuntimeError("bloom pruning skipped nothing — sampler is mismeasuring")
+        t0 = time.time()
+        M.read_table(spark, table, skip=skip).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(table, ignore_errors=True)
+        return dt
+
+
+class _CdfTailCommit:
+    """Streaming change-feed tail (round 8, streaming/cdf_source.py):
+    drain ONLY the newest commit — FIXED at 2000 docs — of a history
+    whose earlier commits grow with the corpus. The version offset walks
+    straight to the tail, workers read just that commit's files, so the
+    cost tracks the COMMIT (plus fixed micro-batch startup), not the
+    table — exponent ≈ 0, the claim that makes tailing a 100 TB
+    warehouse table viable."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+        from cashback_data_pipeline_spark.streaming import cdf_source
+
+        docs = _docs(spark, sf_dir)
+        table = tempfile.mkdtemp(prefix="scale_cdf_tail_") + "/t"
+        M.write_table(docs.filter(F.col("doc_id") >= 2000), table)  # the grown history
+        M.write_table(
+            docs.filter(F.col("doc_id") < 2000), table, mode="append"
+        )  # fixed tail commit
+        start_at = M.current_version(table) - 1
+        t0 = time.time()
+        stream = cdf_source.read_manifest_stream(spark, table, startingVersion=start_at)
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", table + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+        return dt
+
+
 SPECIAL_OPS = {
+    "bloom_point_read": _BloomPointRead(),
+    "cdf_tail_commit": _CdfTailCommit(),
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
