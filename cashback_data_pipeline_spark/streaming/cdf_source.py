@@ -16,7 +16,9 @@ Semantics:
 
 - **Offset** = ``{"version": N}`` — monotone, JSON-checkpointable.
   ``startingVersion`` (default 0) makes the first batch replay the whole
-  table; pass the current version to tail only new commits.
+  table; pass the current version to tail only new commits, or
+  ``startingTimestamp`` (epoch seconds, Delta's option pair) to start
+  from the version visible at that instant (manifest.version_at).
 - **A micro-batch** covers manifest versions ``(start, end]``. Each
   ADDED data file becomes one :class:`InputPartition`, so executors read
   files in parallel and a batch's parallelism scales with the commit's
@@ -80,6 +82,22 @@ def _local_path(p: str) -> str:
     return p
 
 
+def _normalize_table(table: str) -> str:
+    """The source's offset/planning methods run in Spark's Python
+    data-source worker — a process with NO JVM, so the Hadoop-backed
+    LogStore a ``file://`` root would normally resolve to cannot exist
+    there. A file: URI is the same bytes as its plain path, so normalize
+    it up front and let the pure-Python LocalLogStore serve the log
+    (data correctness is unaffected: the manifest JSON and parquet files
+    are store-independent). True remote schemes keep their URI and fail
+    with the pyarrow-filesystem seam note above."""
+    if table.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(table).path or table
+    return table
+
+
 class ManifestFilePartition(InputPartition):
     """One added data file (absolute path) + the pinned reader schema."""
 
@@ -92,10 +110,18 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     def __init__(self, schema: T.StructType, options: dict):
         self._schema = schema
         self._schema_json = schema.json()
-        self._table = options.get("path") or options.get("table")
+        self._table = _normalize_table(options.get("path") or options.get("table") or "")
         if not self._table:
             raise ValueError("manifest_changes needs .option('path', <table root>)")
-        self._starting = int(options.get("startingversion", options.get("startingVersion", 0)))
+        ts = options.get("startingtimestamp", options.get("startingTimestamp"))
+        if ts is not None and ("startingversion" in options or "startingVersion" in options):
+            raise ValueError("pass startingVersion or startingTimestamp, not both")
+        if ts is not None:
+            # time-travel start (manifest.version_at): the first batch
+            # replays everything committed AFTER this instant
+            self._starting = mf.version_at(self._table, float(ts))
+        else:
+            self._starting = int(options.get("startingversion", options.get("startingVersion", 0)))
         self._skip_change = str(
             options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
         ).lower() in ("true", "1", "yes")
@@ -185,7 +211,7 @@ class ManifestChangesDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> T.StructType:
-        table = self.options.get("path") or self.options.get("table")
+        table = _normalize_table(self.options.get("path") or self.options.get("table") or "")
         if not table:
             raise ValueError("manifest_changes needs .option('path', <table root>)")
         cur = mf.current_version(table)

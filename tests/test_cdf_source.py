@@ -113,6 +113,32 @@ def test_schema_nullfill_for_older_commits(spark, tmp_path):
     assert all(rows[k] == "new" for k in range(10, 20))
 
 
+def test_file_uri_table_root_streams_without_a_jvm_store(spark, tmp_path):
+    """The offset/planning methods run in Spark's JVM-less Python
+    data-source worker; a file:// root must normalize to the pure-Python
+    LocalLogStore path instead of resolving to the Hadoop store."""
+    table = "file://" + str(tmp_path / "t")
+    mf.write_table(_rows(spark, 30), table, mode="append")
+    mf.write_table(_rows(spark, 20, start=30), table, mode="append")
+    got, _ = _drain(spark, table)
+    assert sorted(r.k for r in got.collect()) == list(range(50))
+
+
+def test_starting_timestamp_tails_from_the_visible_version(spark, tmp_path):
+    import time
+
+    table = str(tmp_path / "t")
+    mf.write_table(_rows(spark, 25), table, mode="append")
+    time.sleep(1.1)  # publication mtimes are the visibility clock
+    cut = time.time()
+    time.sleep(1.1)
+    mf.write_table(_rows(spark, 15, start=25), table, mode="append")
+    got, _ = _drain(spark, table, startingTimestamp=cut)
+    assert sorted(r.k for r in got.collect()) == list(range(25, 40))
+    with pytest.raises(Exception, match="startingVersion or startingTimestamp"):
+        _drain(spark, table, startingTimestamp=cut, startingVersion=0)
+
+
 def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     # the clamp applies on processing-time triggers (availableNow plans
     # against one latestOffset call in the Python-source wrapper, so it
