@@ -1889,6 +1889,54 @@ def streaming_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_manifest_sink",
+    sql="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM INTO a manifest table (streaming/manifest_sink.py — a
+    PySpark 4 Python DataSource stream WRITER, the sink twin of
+    streaming_manifest_cdf): a file-source stream over the events table
+    lands through ``writeStream.format("manifest")`` — each micro-batch
+    becomes ONE atomic manifest version via the two-phase commit
+    (executors stream Arrow batches into invisible parquet files;
+    the driver-side commit publishes the version with epoch-gate replay
+    detection), then the table is read back as a batch and must
+    hash-match the plain scan of the source. At 100 TB this is how a
+    pipeline's streaming stage feeds the warehouse: exactly-once by
+    construction, atomic visibility per batch, and readers never see a
+    torn write."""
+    import os
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming import manifest_sink
+    from cashback_data_pipeline_spark.streaming.jobs import read_events_stream
+
+    events = read_testdata(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="manifest_sink_")
+    src, table, ckpt = f"{base}/src", f"{base}/t", f"{base}/ck"
+    try:
+        events.repartition(6).write.parquet(src)
+        stream = read_events_stream(spark, src, max_files_per_trigger=2)
+        q = manifest_sink.write_manifest_stream(stream, table, ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination()
+        if (M.current_version(table) or 0) < 2:
+            raise ValueError("sink drained in one version — micro-batching broke")
+        back = M.read_table(spark, table).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+        rows = back.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "manifest_delete_where",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -6344,6 +6392,7 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUND8_WINDOW = [
     "manifest_bloom_skipping",
     "streaming_manifest_cdf",
+    "streaming_manifest_sink",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6391,7 +6440,6 @@ _ROUND8_WINDOW = [
     "promo_stock_suppliers",
     "waiting_orders_suppliers",
     "benchmark_decontamination",
-    "incremental_corpus_dedup",
 ]
 
 

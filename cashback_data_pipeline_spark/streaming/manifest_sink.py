@@ -1,0 +1,216 @@
+"""Structured-Streaming SINK into manifest tables — a PySpark 4 Python
+DataSource (``writeStream.format("manifest")``).
+
+The foreachBatch route (:func:`streaming.jobs.route_stream_to_manifest`)
+already gives exactly-once manifest commits, but it is a workaround
+shape: the user writes a callback, and Spark sees an opaque sink. This
+module makes the manifest table a FIRST-CLASS streaming sink with the
+same guarantees, via the Python DataSource write protocol's two-phase
+commit:
+
+- **Phase 1 (executors)**: each task streams its Arrow batches straight
+  into ONE parquet file under its own immutable ``data/<uuid>/`` dir —
+  written but INVISIBLE (no manifest references it). The task returns
+  the file's table-relative path, row count, and per-column footer-style
+  stats hook as its commit message. A failed/speculated task leaves only
+  unreferenced files, which ``vacuum`` sweeps by age.
+- **Phase 2 (driver-side commit)**: ``commit(messages, batchId)``
+  publishes ONE manifest version referencing exactly the files the
+  successful tasks reported, carrying the epoch-gate meta
+  (``epoch``/``max_epoch`` — the same convention as
+  ``route_batch_to_manifest``, so readers and tools compose). A REPLAYED
+  micro-batch (restart after a crash between sink-commit and checkpoint
+  advance) is detected by ``batchId <= max_epoch`` and SKIPPED — its
+  just-written files are deleted eagerly instead of waiting for vacuum.
+  ``abort()`` deletes the reported files best-effort.
+
+Data skipping stays alive under the streaming sink: when the parent
+version tracks stats columns, the commit reads the NEW files' parquet
+footers (pyarrow, metadata pages only — the same fold as
+``filestats.collect_file_stats``) and attaches min/max/null-count
+entries, so a table fed by a stream keeps pruning time-ranged reads.
+Bloom sidecars are NOT built here (they need a data scan and a Spark
+job; the commit phase runs in Spark's JVM-less Python worker) — new
+files are simply unfiltered, which bloom pruning treats as keep.
+
+The commit phase runs in the Python data-source worker: no JVM, so the
+table root must be a plain local path or ``file://`` URI (normalized,
+like the reader's); an object-store root would plug a pure-Python
+conditional-put client into the same seam. Output mode: append only —
+a manifest version IS an append; complete/update rewrites belong to
+batch ``write_table``/``upsert_table``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from cashback_data_pipeline_spark.sinks import manifest as mf
+from cashback_data_pipeline_spark.streaming.cdf_source import _normalize_table
+
+FORMAT_NAME = "manifest"
+
+
+@dataclass
+class ManifestWriteMessage(WriterCommitMessage):
+    files: List[str] = field(default_factory=list)  # table-relative
+    rows: int = 0
+
+
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, schema: T.StructType, options: dict):
+        self._table = _normalize_table(options.get("path") or options.get("table") or "")
+        if not self._table:
+            raise ValueError("manifest sink needs .option('path', <table root>)")
+        if "://" in self._table:
+            raise NotImplementedError(
+                "the manifest sink's commit phase runs without a JVM; plug a "
+                "pure-Python conditional-put client for remote table roots"
+            )
+        self._schema = schema
+
+    # -- phase 1: executors ------------------------------------------------
+    def write(self, iterator: Iterator) -> ManifestWriteMessage:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        rel_dir = f"data/{uuid.uuid4().hex[:12]}"
+        writer = None
+        path = None
+        rows = 0
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch]).cast(target)
+            if writer is None:
+                os.makedirs(os.path.join(self._table, rel_dir), exist_ok=True)
+                path = f"{rel_dir}/part-0.parquet"
+                writer = pq.ParquetWriter(os.path.join(self._table, path), target)
+            writer.write_table(tbl)
+            rows += len(tbl)
+        if writer is None:
+            return ManifestWriteMessage(files=[], rows=0)  # empty partition: no file
+        writer.close()
+        return ManifestWriteMessage(files=[path], rows=rows)
+
+    # -- phase 2: driver-side python worker ---------------------------------
+    @staticmethod
+    def _prev_max_epoch(table: str, cur: int | None) -> int:
+        v = cur or 0
+        while v >= 1:
+            meta = mf.read_manifest(table, v).get("meta", {})
+            if "max_epoch" in meta:
+                return meta["max_epoch"]
+            v -= 1
+        return -1
+
+    def _delete_files(self, messages) -> None:
+        for msg in messages:
+            for rel in getattr(msg, "files", None) or []:
+                try:
+                    os.unlink(os.path.join(self._table, rel))
+                except OSError:
+                    pass
+
+    def _footer_stats(self, new_files: list[str], stats_cols: list[str]) -> dict:
+        """min/max/null-count for the new files from their parquet
+        FOOTERS — pyarrow metadata pages only, no data I/O, no Spark
+        (the commit phase has neither a JVM nor executors)."""
+        import pyarrow.parquet as pq
+
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        out = {}
+        for rel in new_files:
+            md = pq.ParquetFile(os.path.join(self._table, rel)).metadata
+            rows, cols = filestats._fold_parquet_metadata(md, set(stats_cols))
+            out[rel] = {"rows": rows, "cols": cols}
+        return out
+
+    def commit(self, messages: List[Optional[WriterCommitMessage]], batchId: int) -> None:
+        new_files = [f for m in messages if m is not None for f in m.files]
+        while True:
+            cur = mf.current_version(self._table)
+            m = mf.read_manifest(self._table, cur) if cur is not None else None
+            prev_max = self._prev_max_epoch(self._table, cur)
+            if batchId <= prev_max:
+                # replayed epoch: its previous attempt's commit is the
+                # visible one — this attempt's files are orphans; reclaim
+                # them now instead of leaving them to vacuum
+                self._delete_files(messages)
+                return
+            base = m["files"] if m else []
+            stats = dict((m or {}).get("stats") or {})
+            tracked = sorted({c for e in stats.values() for c in (e.get("cols") or {})})
+            if tracked and new_files:
+                stats.update(self._footer_stats(new_files, tracked))
+            meta = {"epoch": int(batchId), "max_epoch": max(int(batchId), prev_max)}
+            if mf._try_commit(
+                self._table,
+                (cur or 0) + 1,
+                base + new_files,
+                cur,
+                self._schema.json(),
+                meta=meta,
+                stats=stats or None,
+                bloom_conf=mf._bloom_table_conf(m),
+            ):
+                return
+            # CAS lost to a concurrent writer — recompute against the
+            # winner's version (files are already on disk, write once)
+
+    def abort(self, messages: List[Optional[WriterCommitMessage]], batchId: int) -> None:
+        self._delete_files(messages)
+
+
+class ManifestSinkDataSource(DataSource):
+    """``df.writeStream.format("manifest").option("path", table)``.
+
+    Register once per session with :func:`register`.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:  # pragma: no cover - sinks get schemas from Spark
+        raise NotImplementedError("the manifest format is a streaming sink")
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> ManifestStreamWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "manifest sink is append-only (a manifest version IS an append); "
+                "complete/update modes belong to batch write_table/upsert_table"
+            )
+        return ManifestStreamWriter(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the sink on a session."""
+    spark.dataSource.register(ManifestSinkDataSource)
+
+
+def write_manifest_stream(df, table: str, checkpoint: str, **options):
+    """Convenience: start an append stream of ``df`` into ``table``."""
+    register(df.sparkSession)
+    writer = (
+        df.writeStream.format(FORMAT_NAME)
+        .option("path", table)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    for k, v in options.items():
+        writer = writer.option(k, str(v))
+    return writer
