@@ -1889,6 +1889,63 @@ def streaming_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_incremental_mv",
+    sql=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {sql_dsum2('value')} AS sum_value,
+           floor(min(value) * 100 + 0.5) / 100 AS min_value,
+           floor(max(value) * 100 + 0.5) / 100 AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED AGGREGATE VIEW (the lakehouse
+    materialized-view pattern — streaming.jobs.maintain_aggregate_*):
+    events arrive as a multi-epoch file stream; each micro-batch
+    collapses to per-key partials (count / exact micro-unit integer sum
+    / min / max — decomposable, so partials merge associatively) that
+    fold into a manifest-committed view via a NULL-SAFE keyed outer
+    join, gated by the epoch meta so a replayed batch can never
+    double-add. After the drain the view — GROUP-sized however long the
+    stream ran — must hash-match the one-shot batch aggregate the
+    oracle computes over the whole source. At 100 TB this is the
+    standing dashboard query: maintained at O(groups + batch) per
+    epoch, never recomputed over the history."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        maintain_aggregate_stream,
+        read_aggregate_view,
+        read_events_stream,
+    )
+
+    events = read_testdata(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="incr_mv_")
+    src, table, ckpt = f"{base}/src", f"{base}/mv", f"{base}/ck"
+    try:
+        events.repartition(8).write.parquet(src)
+        stream = read_events_stream(spark, src, max_files_per_trigger=3)
+        q = maintain_aggregate_stream(
+            stream, table, ckpt, keys=["event_type"], value_col="value"
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+        view = read_aggregate_view(spark, table).select(
+            "event_type",
+            "n",
+            "sum_value",
+            r2(F.col("min_value")).alias("min_value"),
+            r2(F.col("max_value")).alias("max_value"),
+        )
+        rows = view.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, view.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "streaming_manifest_sink",
     sql="""
     SELECT event_id, ts, user_id, event_type, value, props FROM events
@@ -6463,6 +6520,7 @@ _ROUND8_WINDOW = [
     "streaming_manifest_cdf",
     "streaming_manifest_sink",
     "streaming_medallion_pipeline",
+    "streaming_incremental_mv",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6508,7 +6566,6 @@ _ROUND8_WINDOW = [
     "top_revenue_supplier",
     "part_supplier_variety",
     "promo_stock_suppliers",
-    "waiting_orders_suppliers",
 ]
 
 

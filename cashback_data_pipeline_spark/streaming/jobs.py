@@ -482,6 +482,119 @@ def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str, key
     return scored.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
 
 
+# micro-unit accumulator: each value quantized to 6 dp and summed as an
+# integer DECIMAL — exact and ASSOCIATIVE, so per-epoch partials merge
+# into the running view in any replay/re-plan order (the dsum2
+# discipline from queries.py, stored at DECIMAL(28,0) so a 100 TB
+# group's running total cannot overflow)
+def _micro_sum(col: str):
+    return F.sum(F.floor(F.col(col) * 1_000_000 + 0.5).cast("decimal(18,0)")).cast(
+        "decimal(28,0)"
+    )
+
+
+def maintain_aggregate_batch(
+    batch: DataFrame, epoch_id: int, table: str, keys: list[str], value_col: str
+) -> bool:
+    """ONE micro-batch applied to an INCREMENTALLY MAINTAINED aggregate
+    view (the lakehouse materialized-view pattern): the batch collapses
+    to per-key partials (count / exact micro-unit sum / min / max — all
+    decomposable, so partial ⊕ running = running), which merge into the
+    manifest-committed view by one full-outer join keyed on ``keys``.
+    The view is GROUP-sized, not data-sized, so the overwrite commit
+    rewrites #groups rows however large the stream history grows.
+
+    Exactly-once: the same ``epoch``/``max_epoch`` gate as
+    :func:`route_batch_to_manifest` — a replayed epoch is SKIPPED, so a
+    crash between view-commit and checkpoint-advance cannot double-add
+    a batch's partials (the failure additive maintenance is most
+    vulnerable to). Returns True if this call committed."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    spark = batch.sparkSession
+    cur = M.current_version(table)
+    prev_max = -1
+    v = cur or 0
+    while v >= 1:
+        meta = M.read_manifest(table, v).get("meta", {})
+        if "max_epoch" in meta:
+            prev_max = meta["max_epoch"]
+            break
+        v -= 1
+    if epoch_id <= prev_max:
+        return False
+    delta = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        _micro_sum(value_col).alias("sum_micro"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    if cur is not None:
+        old = M.read_table(spark, table, cur)
+        d = delta.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.col("n").alias("__dn"),
+            F.col("sum_micro").alias("__dsum"),
+            F.col("min_value").alias("__dmin"),
+            F.col("max_value").alias("__dmax"),
+        )
+        # NULL-SAFE key equality: groupBy treats NULL as a group, so the
+        # merge must too — a plain equi-join would re-insert the NULL
+        # group every epoch instead of accumulating it
+        cond = None
+        for k in keys:
+            c = old[k].eqNullSafe(d[f"__k_{k}"])
+            cond = c if cond is None else (cond & c)
+        zero = F.lit(0).cast("decimal(28,0)")
+        merged = old.join(d, on=cond, how="full_outer").select(
+            *[F.coalesce(old[k], d[f"__k_{k}"]).alias(k) for k in keys],
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("sum_micro"), zero) + F.coalesce(F.col("__dsum"), zero)
+            ).cast("decimal(28,0)").alias("sum_micro"),
+            # Spark least/greatest skip NULLs (a key present on only one
+            # side of the outer join yields the side that exists)
+            F.least(F.col("min_value"), F.col("__dmin")).alias("min_value"),
+            F.greatest(F.col("max_value"), F.col("__dmax")).alias("max_value"),
+        )
+    else:
+        merged = delta
+    M.write_table(
+        merged,
+        table,
+        mode="overwrite",
+        meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
+    )
+    return True
+
+
+def maintain_aggregate_stream(
+    events: DataFrame, table: str, checkpoint: str, keys: list[str], value_col: str
+):
+    """foreachBatch → incrementally maintained aggregate view (see
+    :func:`maintain_aggregate_batch`). Returns the DataStreamWriter."""
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        maintain_aggregate_batch(batch, epoch_id, table, keys, value_col)
+
+    return events.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+
+
+def read_aggregate_view(spark: SparkSession, table: str) -> DataFrame:
+    """The maintained view with the exact micro-unit accumulator
+    rendered back to 2-dp money (``sum_value``) — the same IEEE op
+    sequence as the batch ``dsum2`` twin, so a drained view hash-matches
+    the one-shot batch aggregate."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    view = M.read_table(spark, table)
+    money = F.floor(F.col("sum_micro").cast("double") / 10_000 + 0.5) / 100
+    return view.select(
+        *[c for c in view.columns if c not in ("sum_micro",)],
+        money.alias("sum_value"),
+    )
+
+
 def index_ingest_stream(
     docs: DataFrame,
     table: str,

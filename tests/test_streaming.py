@@ -808,3 +808,32 @@ def test_read_epoch_table_drops_run_column(spark, tmp_path):
     near_dup_ingest_batch(b, 0, run_id="runA", **kw)
     out = read_epoch_table(spark, str(tmp_path / "out"))
     assert "__run" not in out.columns and "__epoch" not in out.columns
+
+
+def test_incremental_mv_replay_cannot_double_add(spark, tmp_path):
+    """maintain_aggregate_batch: the epoch gate must make a replayed
+    micro-batch a no-op — the failure additive maintenance is most
+    vulnerable to (a crash between view-commit and checkpoint-advance
+    re-delivers the batch)."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming.jobs import (
+        maintain_aggregate_batch,
+        read_aggregate_view,
+    )
+
+    table = str(tmp_path / "mv")
+    b0 = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), (None, 5.0)], "event_type string, value double"
+    )
+    assert maintain_aggregate_batch(b0, 0, table, ["event_type"], "value") is True
+    assert maintain_aggregate_batch(b0, 0, table, ["event_type"], "value") is False  # replay
+    b1 = spark.createDataFrame(
+        [("click", 4.0), (None, 1.0)], "event_type string, value double"
+    )
+    assert maintain_aggregate_batch(b1, 1, table, ["event_type"], "value") is True
+    view = {r["event_type"]: r for r in read_aggregate_view(spark, table).collect()}
+    assert view["click"]["n"] == 3 and view["click"]["sum_value"] == 7.0
+    assert view["click"]["min_value"] == 1.0 and view["click"]["max_value"] == 4.0
+    # the NULL group accumulates (null-safe merge), never re-inserts
+    assert view[None]["n"] == 2 and view[None]["sum_value"] == 6.0
+    assert M.current_version(table) == 2  # one version per applied epoch
