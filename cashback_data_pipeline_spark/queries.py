@@ -2116,6 +2116,65 @@ def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_delete_mor",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE NOT (o_orderkey < 10000 AND o_totalprice > 100000.0)
+      AND NOT (o_orderkey >= 50000)
+    GROUP BY 1
+    """,
+)
+def manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors
+    (manifest.delete_where(mode="merge_on_read") — the Delta DV
+    design): orders committed hash-distributed (no clustering — the
+    worst case for copy-on-write, where any delete rewrites every
+    file), then TWO MoR deletes stack: low keys above a price floor,
+    then the high-key tail. Each commit adds only a (file, row_index)
+    tombstone relation — the query RAISES unless the data file list is
+    BYTE-IDENTICAL across both deletes — and the snapshot read
+    anti-joins the vectors away. Oracle = the source under both
+    negated predicates. At 100 TB this is the GDPR point-delete path:
+    tombstone commits in seconds, zero rewrite, compaction amortizes
+    later."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_dv_")
+    try:
+        M.write_table(orders.repartition(8, "o_orderkey"), table, stats_cols=["o_orderkey"])
+        files_before = M.read_manifest(table, M.current_version(table))["files"]
+        M.delete_where(
+            spark,
+            table,
+            [("o_orderkey", "<", 10000), ("o_totalprice", ">", 100000.0)],
+            mode="merge_on_read",
+        )
+        v2 = M.delete_where(
+            spark, table, ("o_orderkey", ">=", 50000), mode="merge_on_read"
+        )
+        m = M.read_manifest(table, v2)
+        if m["files"] != files_before:
+            raise ValueError("merge-on-read delete touched the data file list")
+        if len(m.get("dv_files") or []) == 0:
+            raise ValueError("no deletion vectors committed")
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_update_where",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -6521,6 +6580,7 @@ _ROUND8_WINDOW = [
     "streaming_manifest_sink",
     "streaming_medallion_pipeline",
     "streaming_incremental_mv",
+    "manifest_delete_mor",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6565,7 +6625,6 @@ _ROUND8_WINDOW = [
     "important_part_values",
     "top_revenue_supplier",
     "part_supplier_variety",
-    "promo_stock_suppliers",
 ]
 
 

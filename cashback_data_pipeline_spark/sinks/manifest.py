@@ -87,6 +87,7 @@ def _try_commit(
     meta: dict | None = None,
     stats: dict | None = None,
     bloom_conf: dict | None = None,
+    dv_files: list[str] | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -105,6 +106,10 @@ def _try_commit(
         doc["meta"] = meta
     if bloom_conf:
         doc["bloom_conf"] = bloom_conf
+    if dv_files:
+        # merge-on-read deletion vectors (module functions below): the
+        # (file, row_index) tombstone relations in effect for this version
+        doc["dv_files"] = sorted(dv_files)
     if stats:
         # per-file column stats (sinks/filestats.py) — optional, additive:
         # readers treat a missing entry as "keep the file", so mixed
@@ -181,6 +186,53 @@ def _build_bloom_sidecar(
         entry["bloom"] = sidecar_rel
         out[rel] = entry
     return out
+
+
+def _rel_file_col() -> F.Column:
+    """Table-relative path of the file a row came from, recovered from
+    the scan's ``_metadata.file_path``: every manifest data file lives
+    under ``<table>/data/<commit>/``, so the segment after the LAST
+    ``/data/`` is the relative path (a ``/data/`` inside the table root
+    itself splits earlier and is discarded)."""
+    return F.concat(
+        F.lit("data/"), F.element_at(F.split(F.col("_metadata.file_path"), "/data/"), -1)
+    )
+
+
+def _read_files(
+    spark: SparkSession, table: str, rel_files: list[str], dv_files: list[str] | None
+) -> DataFrame:
+    """Scan a pinned file list with the version's DELETION VECTORS
+    applied (the Delta merge-on-read read path): rows whose
+    ``(file, row_index)`` appears in a tombstone relation are
+    anti-joined away. DV relations are row-count-sized for the deletes,
+    not the table, so AQE plans the anti-join as a broadcast for every
+    sane DV size; a table accumulating massive DVs should
+    ``compact_table`` (which materializes deletes and drops the DVs).
+    No DVs ⇒ the plain parquet scan, zero overhead."""
+    store = get_log_store(table)
+    out = spark.read.parquet(*[store.join(table, f) for f in rel_files])
+    if not dv_files:
+        return out
+    cols = out.columns
+    dv = spark.read.parquet(*[store.join(table, f) for f in dv_files]).select(
+        F.col("file").alias("__dv_file"), F.col("row_index").alias("__dv_ri")
+    )
+    tagged = out.select(
+        *cols,
+        _rel_file_col().alias("__row_file"),
+        F.col("_metadata.row_index").alias("__row_ri"),
+    )
+    kept = tagged.join(
+        dv,
+        (tagged["__row_file"] == dv["__dv_file"]) & (tagged["__row_ri"] == dv["__dv_ri"]),
+        "left_anti",
+    )
+    return kept.select(*cols)
+
+
+def _dv_set(m: dict | None) -> list[str]:
+    return list((m or {}).get("dv_files") or [])
 
 
 def write_store_files(
@@ -382,6 +434,9 @@ def write_table(
             meta=meta,
             stats=merged_stats or None,
             bloom_conf=bloom_conf,
+            # appends keep the parent's deletion vectors in effect;
+            # overwrite replaces the data, so its tombstones die with it
+            dv_files=_dv_set(base_doc),
         ):
             return (cur or 0) + 1
 
@@ -472,8 +527,7 @@ def read_table(
     if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    store = get_log_store(table)
-    out = spark.read.parquet(*[store.join(table, f) for f in files])
+    out = _read_files(spark, table, files, _dv_set(m))
     if skip:
         out = out.filter(filestats.skip_condition(skip))
     return out
@@ -506,7 +560,8 @@ def read_changes(
     if from_version > to_v:
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
     m_to = read_manifest(table, to_v)
-    old = set(read_manifest(table, from_version)["files"]) if from_version > 0 else set()
+    m_from = read_manifest(table, from_version) if from_version > 0 else None
+    old = set(m_from["files"]) if m_from else set()
     new = set(m_to["files"])
     removed = sorted(old - new)
     if removed:
@@ -515,6 +570,12 @@ def read_changes(
             f"{len(removed)} file(s) were rewritten/removed (e.g. {removed[0]!r}); "
             "the file diff is not the row diff — use read_changes_rows(key=...) "
             "or restart from a snapshot"
+        )
+    if set(_dv_set(m_from)) != set(_dv_set(m_to)):
+        raise ValueError(
+            f"{table} gained deletion vectors between v{from_version} and v{to_v}: "
+            "a merge-on-read DELETE changes rows without changing the file list — "
+            "use read_changes_rows(key=...) or restart from a snapshot"
         )
     added = sorted(new - old)
     if not added:
@@ -555,8 +616,15 @@ def read_changes_rows(
     if from_version > to_v:
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
     m_to = read_manifest(table, to_v)
-    old_files = set(read_manifest(table, from_version)["files"]) if from_version > 0 else set()
+    m_from = read_manifest(table, from_version) if from_version > 0 else None
+    old_files = set(m_from["files"]) if m_from else set()
     removed = sorted(old_files - set(m_to["files"]))
+    # a merge-on-read DELETE changes rows without touching the file list:
+    # a changed DV set disqualifies the append-only fast path exactly
+    # like a rewrite (the keyed diff below reads DV-applied snapshots,
+    # so it emits those deletes correctly)
+    if set(_dv_set(m_from)) != set(_dv_set(m_to)):
+        removed = removed or ["<deletion vectors changed>"]
     schema = T.StructType.fromJson(json.loads(m_to["schema"]))
     if not removed:
         # append-only fast path: the file diff IS the row diff
@@ -800,9 +868,8 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             continue
         m = read_manifest(table, cur)
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
-        store = get_log_store(table)
         if cand:
-            target = spark.read.parquet(*[store.join(table, f) for f in cand])
+            target = _read_files(spark, table, cand, _dv_set(m))
             survivors = target.join(
                 incoming_unique.select(key).distinct(), on=key, how="left_anti"
             )
@@ -822,6 +889,10 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             merged.schema.json(),
             stats=merged_stats or None,
             bloom_conf=_bloom_table_conf(m),
+            # carried files keep their tombstones; entries referencing the
+            # rewritten (now-unreferenced) files match nothing — harmless,
+            # reclaimed at the next compaction
+            dv_files=_dv_set(m),
         ):
             return cur + 1
 
@@ -877,11 +948,11 @@ def append_table_if_absent(
             m = read_manifest(table, cur)
             cand, _, _ = _merge_candidate_split(spark, table, m, key, incoming_unique)
             if cand:
-                store = get_log_store(table)
+                # DV-applied key screen: a merge-on-read-DELETEd key is
+                # absent, so the NOT-EXISTS load re-admits it (ghost keys
+                # must not block re-insertion)
                 target_keys = (
-                    spark.read.parquet(*[store.join(table, f) for f in cand])
-                    .select(key)
-                    .distinct()
+                    _read_files(spark, table, cand, _dv_set(m)).select(key).distinct()
                 )
                 fresh = incoming_unique.join(target_keys, on=key, how="left_anti")
             else:
@@ -906,6 +977,7 @@ def append_table_if_absent(
                 fresh.schema.json(),
                 stats=merged_stats or None,
                 bloom_conf=_bloom_table_conf(m),
+                dv_files=_dv_set(m),
             ):
                 return n
             # CAS lost — a racing loader committed; recompute the
@@ -946,7 +1018,7 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         carried = [f for f in files if f not in cand_set]
         if not cand:
             return cur  # stats prove nothing matches — no version churn
-        snap = spark.read.parquet(*[store.join(table, f) for f in cand])
+        snap = _read_files(spark, table, cand, _dv_set(m))
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
         new_files = _write_data_files(rewritten, table)
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
@@ -969,22 +1041,100 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
             meta=meta,
             stats=merged_stats or None,
             bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
         ):
             return cur + 1
 
 
-def delete_where(spark: SparkSession, table: str, predicates) -> int:
+def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_on_write") -> int:
     """``DELETE FROM table WHERE <predicates>`` as ONE manifest commit,
-    FILE-PRUNED (the Delta/Iceberg copy-on-write DELETE shape, round 8
-    — see :func:`_rewrite_where` for the shared machinery): at 100 TB a
-    keyed/ranged delete over a clustered or time-correlated history
-    touches the handful of files that straddle the predicate, never the
-    table. ``predicates`` use the same tree language as
+    FILE-PRUNED (see :func:`_rewrite_where` for the shared machinery):
+    at 100 TB a keyed/ranged delete over a clustered or time-correlated
+    history touches the handful of files that straddle the predicate,
+    never the table. ``predicates`` use the same tree language as
     ``read_table(skip=)``; SQL DELETE null semantics (a row whose
-    predicate evaluates NULL survives)."""
-    return _rewrite_where(
-        spark, table, predicates, lambda snap, matched: snap.filter(~matched), "delete"
-    )
+    predicate evaluates NULL survives).
+
+    Two execution modes, the Delta pair:
+
+    - ``copy_on_write`` (default): candidate files are REWRITTEN without
+      the matching rows — reads stay plain scans, the delete pays the
+      rewrite.
+    - ``merge_on_read``: candidate files are left untouched; the commit
+      adds a DELETION VECTOR — a ``(file, row_index)`` tombstone
+      relation written as ordinary immutable parquet under the commit's
+      data dir — and every reader anti-joins it away (:func:`_read_files`).
+      The delete pays one pruned scan of the candidates' MATCHING rows
+      and writes only tombstones — the right trade when deletes are
+      small or frequent relative to file sizes (GDPR point deletes into
+      a 100 TB history). Reads carry the (AQE-broadcast) anti-join until
+      :func:`compact_table` materializes the deletes and drops the DVs.
+      Carried per-file stats become upper bounds (pruning stays sound —
+      it can only keep extra files); the change feed treats a DV change
+      like a rewrite (keyed diff, never a silent miss)."""
+    if mode == "copy_on_write":
+        return _rewrite_where(
+            spark, table, predicates, lambda snap, matched: snap.filter(~matched), "delete"
+        )
+    if mode != "merge_on_read":
+        raise ValueError(f"unknown DELETE mode {mode!r}: copy_on_write or merge_on_read")
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    cond = filestats.skip_condition(predicates)
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        stats = m.get("stats") or {}
+        store = get_log_store(table)
+        cand, _ = filestats.prune_files(m["files"], stats, predicates)
+        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, predicates)
+        if not cand:
+            return cur  # stats prove nothing matches — no version churn
+        # tombstones = (file, row_index) of the matching rows. The scan
+        # projects ONLY the predicate columns + file metadata (column
+        # pruning reaches the parquet reader); the anti-join against the
+        # existing vectors keeps already-deleted rows out (idempotent
+        # re-delete adds nothing).
+        matches = (
+            spark.read.parquet(*[store.join(table, f) for f in cand])
+            .filter(cond.eqNullSafe(F.lit(True)))
+            .select(
+                _rel_file_col().alias("file"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+        )
+        prior = _dv_set(m)
+        if prior:
+            dv_rel = spark.read.parquet(*[store.join(table, f) for f in prior])
+            matches = matches.join(dv_rel, ["file", "row_index"], "left_anti")
+        matches = matches.persist()
+        try:
+            n_deleted = matches.count()
+            if n_deleted == 0:
+                return cur  # candidates held no matching rows — no commit
+            dv_new = _write_data_files(matches, table)
+        finally:
+            matches.unpersist()
+        meta = dict(m.get("meta") or {})
+        meta["delete"] = {
+            "mode": "merge_on_read",
+            "rows_deleted": n_deleted,
+            "files_scanned": len(cand),
+        }
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            m["schema"],
+            meta=meta,
+            stats=stats or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m) + dv_new,
+        ):
+            return cur + 1
 
 
 def update_where(spark: SparkSession, table: str, assignments: dict, predicates) -> int:
@@ -1059,7 +1209,9 @@ def vacuum(
         except FileNotFoundError:
             continue
         referenced |= {
-            f.replace(os.sep, "/").split("/")[1] for f in m["files"] if f.startswith("data")
+            f.replace(os.sep, "/").split("/")[1]
+            for f in m["files"] + _dv_set(m)
+            if f.startswith("data")
         }
     now = time.time()
     removed = []

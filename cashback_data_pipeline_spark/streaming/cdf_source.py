@@ -150,23 +150,35 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start_v, end_v = int(start["version"]), int(end["version"])
         store = mf.get_log_store(self._table)
-        prev = (
-            set(mf.read_manifest(self._table, start_v)["files"]) if start_v > 0 else set()
-        )
+        if start_v > 0:
+            m0 = mf.read_manifest(self._table, start_v)
+            prev, prev_dv = set(m0["files"]), set(m0.get("dv_files") or [])
+        else:
+            prev, prev_dv = set(), set()
         added: list[str] = []
         for v in range(start_v + 1, end_v + 1):
-            files = set(mf.read_manifest(self._table, v)["files"])
+            mdoc = mf.read_manifest(self._table, v)
+            files = set(mdoc["files"])
+            dv = set(mdoc.get("dv_files") or [])
             removed = prev - files
-            if removed and not self._skip_change:
-                raise ValueError(
-                    f"{self._table} v{v} removed {len(removed)} file(s) (upsert/"
-                    "compaction/overwrite): the file diff is not the row diff. "
-                    "Restart the stream from a snapshot, or set "
-                    ".option('skipChangeCommits', 'true') to skip rewrite commits."
+            # a changed deletion-vector set modifies rows without touching
+            # the file list (merge-on-read DELETE) — a change commit,
+            # exactly like a rewrite
+            changed = bool(removed) or dv != prev_dv
+            if changed and not self._skip_change:
+                what = (
+                    f"removed {len(removed)} file(s) (upsert/compaction/overwrite)"
+                    if removed
+                    else "changed its deletion vectors (merge-on-read DELETE)"
                 )
-            if not removed:
+                raise ValueError(
+                    f"{self._table} v{v} {what}: the file diff is not the row "
+                    "diff. Restart the stream from a snapshot, or set "
+                    ".option('skipChangeCommits', 'true') to skip change commits."
+                )
+            if not changed:
                 added.extend(sorted(files - prev))
-            prev = files
+            prev, prev_dv = files, dv
         return [
             ManifestFilePartition(store.join(self._table, f), self._schema_json)
             for f in added

@@ -166,6 +166,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 meta=meta,
                 stats=stats or None,
                 bloom_conf=mf._bloom_table_conf(m),
+                dv_files=mf._dv_set(m),  # streamed appends keep tombstones in effect
             ):
                 return
             # CAS lost to a concurrent writer — recompute against the
