@@ -517,9 +517,42 @@ class _CdfTailCommit:
         return dt
 
 
+class _MorDeleteFixed:
+    """Merge-on-read DELETE of a FIXED key window from a GROWING
+    key-clustered table (round 8, deletion vectors): stats prune the
+    candidate scan to the straddling files, and the commit writes only
+    the (file, row_index) tombstones — no data rewrite at any size, so
+    the cost tracks the WINDOW, not the table (exponent ≈ 0). The same
+    delete as copy-on-write pays the candidate REWRITE — already
+    covered by manifest-family ops; this pins the tombstone path."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        table = tempfile.mkdtemp(prefix="scale_mor_") + "/t"
+        M.write_table(docs, table, cluster_by=["doc_id"], cluster_files=max(16, n // 5000))
+        t0 = time.time()
+        v = M.delete_where(
+            spark, table, [("doc_id", ">=", 100), ("doc_id", "<", 200)],
+            mode="merge_on_read",
+        )
+        dt = round(time.time() - t0, 3)
+        m = M.read_manifest(table, v)
+        shutil.rmtree(table, ignore_errors=True)
+        if not m.get("dv_files"):
+            raise RuntimeError("no deletion vector committed — sampler is mismeasuring")
+        return dt
+
+
 SPECIAL_OPS = {
     "bloom_point_read": _BloomPointRead(),
     "cdf_tail_commit": _CdfTailCommit(),
+    "mor_delete_fixed": _MorDeleteFixed(),
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
