@@ -2175,6 +2175,107 @@ def manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_restore",
+    sql="""
+    SELECT o_orderkey, floor(o_totalprice) AS o_totalprice
+    FROM orders
+    """,
+)
+def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION (manifest.restore_table — the Delta
+    RESTORE shape): v1 = whole-dollar orders, then an upsert AND a
+    delete damage the table, then ``restore_table(version=1)`` publishes
+    a FORWARD metadata-only commit whose files/stats/schema are exactly
+    v1's — the query RAISES unless the restored file list is
+    byte-identical to v1's (zero data movement proven), and the read
+    must hash-match the v1 content the oracle recomputes. The damaged
+    history stays time-travelable; change-feed consumers see the
+    restore as a rewrite, never a silent rewind. At 100 TB this is the
+    bad-deploy undo: one JSON commit, no copy."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    table = tempfile.mkdtemp(prefix="manifest_restore_")
+    try:
+        M.write_table(orders, table, stats_cols=["o_orderkey"])
+        damage = orders.filter(F.pmod("o_orderkey", F.lit(10)) >= 5).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+        M.upsert_table(spark, damage, table, key="o_orderkey")
+        M.delete_where(spark, table, ("o_orderkey", "<", 1000))
+        v = M.restore_table(table, version=1)
+        if M.read_manifest(table, v)["files"] != M.read_manifest(table, 1)["files"]:
+            raise ValueError("restore moved data — it must be a metadata-only commit")
+        back = M.read_table(spark, table)
+        rows = back.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "manifest_apply_changes",
+    sql="""
+    WITH o AS (
+      SELECT o_orderkey,
+             floor(o_totalprice) AS p1,
+             floor(o_totalprice * 100 + 0.5) / 100 AS p2
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 < 4 THEN p1 ELSE p2 END AS o_totalprice
+    FROM o WHERE o_orderkey % 10 <> 7
+    """,
+)
+def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO (manifest.apply_changes — the DLT / CDC-merge
+    shape): the SAME source history as manifest_changes_rows (v1
+    whole-dollar keys %10<8, v2 upsert of %10>=4 at exact prices, v3
+    overwrite dropping %10==7), a follower table seeded from the v1
+    snapshot, then ONE apply_changes call folds the whole change window
+    in: inserts/update-postimages upsert by key, deletes remove by key
+    through the relation-driven file-pruned delete (no driver key
+    list). The follower must then hash-match the source's CURRENT
+    state, which the oracle recomputes from the base table. At 100 TB
+    this is table-follows-table: the feed is delta-sized and both merge
+    legs rewrite only straddling files."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    mod = F.pmod("o_orderkey", F.lit(10))
+    v1 = orders.filter(mod < 8).select(
+        "o_orderkey", F.floor("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    batch = orders.filter(mod >= 4).select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("o_totalprice")
+    )
+    base = tempfile.mkdtemp(prefix="manifest_cdc_apply_")
+    src, tgt = f"{base}/src", f"{base}/tgt"
+    try:
+        M.write_table(v1, src, stats_cols=["o_orderkey"])
+        M.write_table(M.read_table(spark, src, 1), tgt, stats_cols=["o_orderkey"])
+        M.upsert_table(spark, batch, src, key="o_orderkey")
+        snap = M.read_table(spark, src)
+        M.write_table(snap.filter(F.pmod("o_orderkey", F.lit(10)) != 7), src)
+        counts = M.apply_changes(spark, src, tgt, key="o_orderkey", from_version=1)
+        if not counts["deletes"] or not counts["upserts"]:
+            raise ValueError(f"apply_changes folded nothing: {counts}")
+        back = M.read_table(spark, tgt)
+        rows = back.collect()  # materialize before the temp tables are deleted
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "manifest_update_where",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -6581,6 +6682,8 @@ _ROUND8_WINDOW = [
     "streaming_medallion_pipeline",
     "streaming_incremental_mv",
     "manifest_delete_mor",
+    "manifest_restore",
+    "manifest_apply_changes",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6623,8 +6726,6 @@ _ROUND8_WINDOW = [
     "nation_market_share",
     "product_type_profit",
     "important_part_values",
-    "top_revenue_supplier",
-    "part_supplier_variety",
 ]
 
 

@@ -441,6 +441,123 @@ def write_table(
             return (cur or 0) + 1
 
 
+def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -> int:
+    """Keyed DELETE driven by a RELATION (no driver-side key list):
+    files whose key stats/blooms provably miss every delete key carry
+    forward untouched (the :func:`_merge_candidate_split` pruning),
+    candidates rewrite via one distributed anti-join. The scalable twin
+    of ``delete_where((key, "in", [...]))`` for key sets too large to
+    be predicate literals — e.g. a CDC batch's delete keys. Returns the
+    committed version (unchanged if no file could hold a delete key)."""
+    keys_only = keys_df.select(key).distinct()
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        cand, carried, stats = _merge_candidate_split(spark, table, m, key, keys_only)
+        if not cand:
+            return cur  # no file can hold any delete key — no version churn
+        survivors = _read_files(spark, table, cand, _dv_set(m)).join(
+            keys_only, on=key, how="left_anti"
+        )
+        new_files = _write_data_files(survivors, table)
+        merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        merged_stats = _build_bloom_sidecar(
+            spark, table, new_files, survivors.schema, _bloom_table_conf(m), merged_stats
+        )
+        meta = dict(m.get("meta") or {})
+        meta["delete"] = {"mode": "keyed", "rewritten": len(cand), "carried": len(carried)}
+        if _try_commit(
+            table,
+            cur + 1,
+            carried + new_files,
+            cur,
+            m["schema"],
+            meta=meta,
+            stats=merged_stats or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
+        ):
+            return cur + 1
+
+
+def apply_changes(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """APPLY CHANGES INTO (the Delta Live Tables / CDC-merge shape):
+    consume ``source``'s row-level change feed over the window and fold
+    it into ``target`` — inserts and update POSTIMAGES upsert by key,
+    deletes remove by key (file-pruned on both legs). One call per
+    consumer cursor advance; re-applying the same window is idempotent
+    (same upsert values, already-absent delete keys). Preimages are
+    informational in the feed and skipped here. Returns
+    ``{"upserts": n, "deletes": n}``. At 100 TB this is how a
+    downstream table follows an upstream one without rescans: the feed
+    is delta-sized, and both merge legs rewrite only straddling files."""
+    delta = read_changes_rows(spark, source, from_version, to_version, key=key)
+    delta = delta.persist()
+    try:
+        ups = delta.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        dels = delta.filter(F.col("_change_type") == "delete").select(key)
+        n_up, n_del = ups.count(), dels.count()
+        if n_up:
+            upsert_table(spark, ups, target, key=key)
+        if n_del:
+            delete_keys(spark, dels, target, key=key)
+        return {"upserts": n_up, "deletes": n_del}
+    finally:
+        delta.unpersist()
+
+
+def restore_table(table: str, version: int | None = None, as_of_ts: float | None = None) -> int:
+    """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` (the Delta
+    RESTORE shape): publish a NEW version whose file list, schema,
+    stats, deletion vectors, and bloom property are exactly the target
+    version's — a metadata-only commit, zero data movement, and the bad
+    history stays inspectable (time travel still reaches it; RESTORE is
+    a forward commit, never a rewind of the log). Restored files become
+    referenced again, so a vacuum AFTER the restore keeps them; a vacuum
+    that already reclaimed the target's data dirs makes that version
+    unrestorable (the Delta retention trade) — the restore itself
+    succeeds on metadata, so callers restoring near the retention
+    horizon should verify with a read. Change-feed consumers see the
+    restore as a rewrite (files reappear ⇒ keyed diff), never a silent
+    rewind. Returns the new version."""
+    if (version is None) == (as_of_ts is None):
+        raise ValueError("pass exactly one of version= or as_of_ts=")
+    if as_of_ts is not None:
+        version = version_at(table, as_of_ts)
+    cur0 = current_version(table)
+    if cur0 is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    if version > cur0:
+        raise ValueError(f"cannot restore {table} to future version {version} (current {cur0})")
+    target = read_manifest(table, version)
+    while True:
+        cur = current_version(table)
+        meta = {"restore": {"of_version": version}}
+        if _try_commit(
+            table,
+            cur + 1,
+            target["files"],
+            cur,
+            target["schema"],
+            meta=meta,
+            stats=target.get("stats") or None,
+            bloom_conf=_bloom_table_conf(target),
+            dv_files=_dv_set(target),
+        ):
+            return cur + 1
+
+
 def committed_meta_values(table: str, key: str) -> set:
     """All values of ``meta[key]`` across committed manifests — e.g. the
     set of streaming epochs already committed (replay detection)."""
