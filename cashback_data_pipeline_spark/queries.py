@@ -2175,6 +2175,70 @@ def manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_zorder_skipping",
+    sql=f"""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey >= 20000 AND o_orderkey < 30000 AND o_totalprice > 250000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def manifest_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout (manifest.write_table(zorder_by=) — the Delta
+    OPTIMIZE ZORDER idea via sinks/writers.zorder_column): orders land
+    Morton-interleaved on (o_orderkey, o_totalprice), so each file is
+    ≈ a RECTANGLE in both dimensions and min/max pruning is selective
+    on EITHER column — the query RAISES unless a key-only skip AND a
+    price-only skip EACH prune files (a lexicographic layout prunes
+    only its leading column; proven impossible here by construction).
+    The read then combines both predicates; oracle = the plain filtered
+    aggregate. At 100 TB this is the multi-dimension dashboard-filter
+    path: one layout shuffle bought at write time, every (key × price ×
+    ...) slice repaid through file pruning."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_zorder_")
+    try:
+        M.write_table(
+            orders, table, zorder_by=["o_orderkey", "o_totalprice"], cluster_files=16
+        )
+        m = M.read_manifest(table, M.current_version(table))
+        for dim_skip in (
+            [("o_orderkey", ">=", 20000), ("o_orderkey", "<", 30000)],
+            [("o_totalprice", ">", 250000.0)],
+        ):
+            _, skipped = filestats.prune_files(m["files"], m.get("stats"), dim_skip)
+            if skipped == 0:
+                raise ValueError(
+                    f"z-order pruned nothing on {dim_skip[0][0]} — the layout is "
+                    "not multi-dimensional"
+                )
+        back = M.read_table(
+            spark,
+            table,
+            skip=[
+                ("o_orderkey", ">=", 20000),
+                ("o_orderkey", "<", 30000),
+                ("o_totalprice", ">", 250000.0),
+            ],
+        )
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price")
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_restore",
     sql="""
     SELECT o_orderkey, floor(o_totalprice) AS o_totalprice
@@ -6684,6 +6748,7 @@ _ROUND8_WINDOW = [
     "manifest_delete_mor",
     "manifest_restore",
     "manifest_apply_changes",
+    "manifest_zorder_skipping",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6725,7 +6790,6 @@ _ROUND8_WINDOW = [
     "regional_min_supplier",
     "nation_market_share",
     "product_type_profit",
-    "important_part_values",
 ]
 
 

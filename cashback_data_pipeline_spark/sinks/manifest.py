@@ -138,6 +138,42 @@ def new_commit_id() -> str:
     return uuid.uuid4().hex[:12]
 
 
+_ZORDER_OK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _zorder_layout(df: DataFrame, cols: list[str], n_files: int | None) -> DataFrame:
+    """Range-partition + sort the commit on the Morton code of ``cols``
+    (sinks/writers.zorder_column): file boundaries become z-contiguous
+    ≈ hyper-rectangles in every named dimension. Columns must scale to
+    a numeric axis (numeric/timestamp); strings/dates would silently
+    degrade to plane 0, so they are rejected loudly."""
+    from cashback_data_pipeline_spark.sinks.writers import zorder_column
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"zorder column {c!r} not in schema {sorted(by_name)}")
+        if not isinstance(by_name[c], _ZORDER_OK_TYPES):
+            raise ValueError(
+                f"zorder column {c!r} has type {by_name[c].simpleString()}; "
+                "z-ordering needs a numeric/timestamp axis"
+            )
+    zdf = zorder_column(df, cols)
+    zdf = (
+        zdf.repartitionByRange(n_files, "__z") if n_files else zdf.repartitionByRange("__z")
+    )
+    return zdf.sortWithinPartitions("__z").drop("__z")
+
+
 def _bloom_table_conf(m: dict | None) -> dict | None:
     """The table's bloom TABLE PROPERTY as of manifest ``m`` (set by the
     first write_table(bloom_cols=), carried by every later commit)."""
@@ -332,6 +368,7 @@ def write_table(
     cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
     list; ``append`` unions with the current version's. Returns the
@@ -369,9 +406,24 @@ def write_table(
     path per file, readers load it lazily for ``==``/``in`` reads, and
     vacuum reclaims it with the commit. ``bloom_bits`` sizes each
     filter (default 32768 bits = 4 KiB, ~1% false positives at 4k
-    distinct keys per file; false positives only ever KEEP a file)."""
+    distinct keys per file; false positives only ever KEEP a file).
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``) lays the
+    commit out on the MORTON interleaving of the named numeric/temporal
+    columns (sinks/writers.zorder_column — the Delta OPTIMIZE ZORDER
+    idea): each file covers ≈ a hyper-rectangle in ALL the columns, so
+    min/max pruning stays selective for a predicate on ANY of them — a
+    lexicographic ``cluster_by`` clusters only its leading column.
+    Implies ``stats_cols=zorder_by`` unless given; ``cluster_files``
+    pins the file count as for ``cluster_by``."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if zorder_by:
+        if cluster_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
+        df = _zorder_layout(df, list(zorder_by), cluster_files)
+        if stats_cols is None:
+            stats_cols = list(zorder_by)
     if cluster_by:
         from cashback_data_pipeline_spark.sinks import filestats
 
@@ -820,6 +872,7 @@ def compact_table(
     n_files: int = 4,
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current version's files into ``n_files`` larger ones
     as a NEW version (small-file compaction). Multi-writer safe: the
@@ -835,10 +888,20 @@ def compact_table(
     default = cluster_by) ride in the new manifest — an append history
     whose files straddle the cluster key becomes maximally ``skip=``
     prunable in one atomic version. Note a compaction is a REWRITE:
-    :func:`read_changes` windows spanning it refuse, by design."""
+    :func:`read_changes` windows spanning it refuse, by design.
+
+    ``zorder_by`` is the true ``OPTIMIZE ZORDER``: the snapshot re-lays
+    on the Morton interleaving of the named columns
+    (:func:`_zorder_layout`), making min/max pruning selective on EVERY
+    named dimension at once — where ``cluster_by`` helps only its
+    leading column."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by or zorder_by, not both")
     if cluster_by:
         if stats_cols is None:
             stats_cols = list(cluster_by)
+    if zorder_by and stats_cols is None:
+        stats_cols = list(zorder_by)
     while True:
         cur = current_version(table)
         if cur is None:
@@ -852,6 +915,8 @@ def compact_table(
             rewritten = snapshot.repartitionByRange(n_files, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
+        elif zorder_by:
+            rewritten = _zorder_layout(snapshot, list(zorder_by), n_files)
         else:
             rewritten = snapshot.coalesce(n_files)
         files = _write_data_files(rewritten, table)

@@ -652,3 +652,36 @@ def test_bloom_prunes_merge_candidates_on_hash_layout(spark, mk_table):
     assert len(set(prev) & set(m["files"])) >= 7
     snap = {r.id: r.s for r in M.read_table(spark, t).collect()}
     assert snap[123] == "updated" and len(snap) == 4000
+
+
+def test_zorder_layout_prunes_every_dimension(spark, mk_table):
+    """write_table(zorder_by=[a, b]): a skip on EITHER column must prune
+    files — the property a lexicographic cluster_by only gives its
+    leading column — and reads stay exact. compact_table(zorder_by=)
+    re-lays an unclustered history the same way."""
+    t = mk_table()
+    df = spark.createDataFrame(
+        [(i, float((i * 7919) % 1000)) for i in range(8000)], "x long, y double"
+    )
+    M.write_table(df, t, zorder_by=["x", "y"], cluster_files=16)
+    m = M.read_manifest(t, M.current_version(t))
+    for skip in ([("x", "<", 500)], [("y", "<", 60.0)]):
+        kept, skipped = filestats.prune_files(m["files"], m["stats"], skip)
+        assert skipped >= 4, f"z-order did not prune on {skip[0][0]}"
+    got = M.read_table(spark, t, skip=[("x", "<", 500), ("y", "<", 60.0)]).collect()
+    want = [(i, float((i * 7919) % 1000)) for i in range(500) if (i * 7919) % 1000 < 60]
+    assert sorted((r.x, r.y) for r in got) == sorted(want)
+    # the maintenance twin: hash-scattered history, OPTIMIZE ZORDER re-lays it
+    t2 = mk_table("t2")
+    M.write_table(df.repartition(8), t2, stats_cols=["x", "y"])
+    m2 = M.read_manifest(t2, M.current_version(t2))
+    _, skipped_before = filestats.prune_files(m2["files"], m2["stats"], [("y", "<", 60.0)])
+    assert skipped_before == 0  # scattered: nothing prunable
+    M.compact_table(spark, t2, n_files=16, zorder_by=["x", "y"])
+    m2 = M.read_manifest(t2, M.current_version(t2))
+    _, skipped_after = filestats.prune_files(m2["files"], m2["stats"], [("y", "<", 60.0)])
+    assert skipped_after >= 4
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        M.write_table(spark.createDataFrame([(1, "s")], "x long, s string"), mk_table("t3"), zorder_by=["s"])
+    with pytest.raises(ValueError, match="not both"):
+        M.write_table(df, mk_table("t4"), zorder_by=["x"], cluster_by=["y"])
