@@ -28,6 +28,26 @@ Delta's transaction log + LogStore, Iceberg's metadata pointer):
 This is the 100 TB-safe shape: the manifest is O(#files) metadata, the
 commit is O(1), compaction/upserts rewrite only their own new files,
 and nothing ever blocks readers.
+
+On top of the commit protocol the module carries the full lakehouse
+table surface (each feature's own docstring cites the public design it
+follows): file-level data skipping from per-file min/max/null stats
+(``stats_cols=``/``skip=``), Bloom-filter point-lookup pruning as a
+rewrite-proof table property (``bloom_cols=``, per-commit sidecars),
+clustered and Z-ordered layouts (``cluster_by=``/``zorder_by=``, plus
+``compact_table`` as OPTIMIZE / OPTIMIZE ZORDER), DML — file-pruned
+MERGE (``upsert_table``), idempotent NOT-EXISTS loads
+(``append_table_if_absent``), copy-on-write DELETE/UPDATE
+(``delete_where``/``update_where``) and merge-on-read DELETE via
+deletion vectors (``delete_where(mode="merge_on_read")``) — version
+and timestamp time travel (``read_table(version=/as_of_ts=)``),
+RESTORE as a forward metadata-only commit (``restore_table``), file-
+and row-level change feeds (``read_changes``/``read_changes_rows``)
+with CDC apply into follower tables (``apply_changes``), and retention
+(``vacuum``, optional manifest-log pruning). The streaming halves live
+in :mod:`streaming.cdf_source` (version-offset readStream source) and
+:mod:`streaming.manifest_sink` (epoch-gated two-phase writeStream
+sink).
 """
 
 from __future__ import annotations
