@@ -267,11 +267,15 @@ def decode_audio_real(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"truncated WAV fmt chunk ({len(fmt)} bytes, need 16)")
     audio_format, channels, sample_rate, _rate, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
     if audio_format != 1:
         raise ValueError(f"unsupported WAV format code {audio_format} (integer PCM only)")
+    if channels < 1:
+        raise ValueError(f"invalid WAV channel count {channels}")
     if bits not in (8, 16):
         raise ValueError(f"unsupported WAV bit depth {bits} (8/16-bit only)")
     width = bits // 8

@@ -403,6 +403,13 @@ def collect_bloom_filters(
     }
     store = get_log_store(table)
     rel_by_base = {os.path.basename(rel): rel for rel in rel_files}
+    if len(rel_by_base) != len(rel_files):
+        # scan results key by basename below, and an UNMATCHED file falls
+        # into the all-zero default — which PRUNES. A basename collision
+        # (partitioned layouts repeat part-00000-<uuid> per dir) must
+        # fail loudly, never silently drop rows. (collect_file_stats has
+        # the same guard; its miss direction is merely keep.)
+        raise ValueError("duplicate basenames in one commit's bloom file list")
     df = spark.read.parquet(*[store.join(table, rel) for rel in rel_files]).select(
         F.col("_metadata.file_path").alias("__path"), *bloom_cols
     )

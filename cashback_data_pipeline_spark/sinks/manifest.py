@@ -488,15 +488,18 @@ def write_table(
         )
     while True:
         cur = current_version(table)
-        base_doc = (
-            None if (mode == "overwrite" or cur is None) else read_manifest(table, cur)
-        )
+        cur_doc = read_manifest(table, cur) if cur is not None else None
+        base_doc = None if mode == "overwrite" else cur_doc
         base = [] if base_doc is None else base_doc["files"]
         merged_stats = dict(stats or {})
         if base_doc is not None:
             for f, st in (base_doc.get("stats") or {}).items():
                 if f in set(base):
                     merged_stats.setdefault(f, st)
+        # re-resolve the table property against the version this commit
+        # will actually sit on: a CAS-losing retry must carry a bloom
+        # property a concurrent writer just set, not its pre-race view
+        commit_conf = bloom_conf or _bloom_table_conf(cur_doc)
         if _try_commit(
             table,
             (cur or 0) + 1,
@@ -505,7 +508,7 @@ def write_table(
             schema_json,
             meta=meta,
             stats=merged_stats or None,
-            bloom_conf=bloom_conf,
+            bloom_conf=commit_conf,
             # appends keep the parent's deletion vectors in effect;
             # overwrite replaces the data, so its tombstones die with it
             dv_files=_dv_set(base_doc),
@@ -628,6 +631,26 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             dv_files=_dv_set(target),
         ):
             return cur + 1
+
+
+def latest_meta_value(table: str, key: str, cur: int | None = None):
+    """Newest committed ``meta[key]`` walking DOWN from ``cur`` (default
+    current), or None if no commit carries it. GAP-TOLERANT like
+    :func:`committed_meta_values`: manifests pruned by
+    ``vacuum(prune_manifests=True)`` are skipped, never a crash — this
+    is the walk every epoch-gated writer (streaming sink, foreachBatch
+    router, incremental MV) shares."""
+    v = current_version(table) if cur is None else (cur or 0)
+    while v and v >= 1:
+        try:
+            meta = read_manifest(table, v).get("meta", {})
+        except FileNotFoundError:
+            v -= 1
+            continue
+        if key in meta:
+            return meta[key]
+        v -= 1
+    return None
 
 
 def committed_meta_values(table: str, key: str) -> set:
@@ -827,6 +850,10 @@ def read_changes_rows(
         return spark.read.parquet(*[store.join(table, f) for f in added]).withColumn(
             "_change_type", F.lit("insert")
         )
+    if from_version == 0:
+        # snapshot bootstrap: everything visible at to_v is an insert —
+        # DV-applied via read_table, no key needed even over rewrites
+        return read_table(spark, table, to_v).withColumn("_change_type", F.lit("insert"))
     if key is None:
         raise ValueError(
             f"{table} was rewritten between v{from_version} and v{to_v} "
@@ -834,8 +861,6 @@ def read_changes_rows(
             "diff — pass key=<unique key column>"
         )
     new_df = read_table(spark, table, to_v)
-    if from_version == 0:
-        return new_df.withColumn("_change_type", F.lit("insert"))
     old_df = read_table(spark, table, from_version)
     if set(old_df.columns) != set(new_df.columns):
         raise ValueError(
@@ -940,12 +965,15 @@ def compact_table(
         else:
             rewritten = snapshot.coalesce(n_files)
         files = _write_data_files(rewritten, table)
-        # inherit the parent's tracked stats columns when none are given:
-        # an OPTIMIZE must not erode data skipping (the rewritten files
-        # REPLACE every stats-carrying file at once)
-        eff_stats_cols = stats_cols or sorted(
-            {c for e in (m.get("stats") or {}).values() for c in (e.get("cols") or {})}
-        )
+        # UNION the requested/layout stats columns with everything the
+        # parent tracked: an OPTIMIZE must not erode data skipping (the
+        # rewritten files REPLACE every stats-carrying file at once, so
+        # compact_table(cluster_by=[k]) dropping the parent's other
+        # tracked columns would kill their pruning in one commit)
+        parent_tracked = {
+            c for e in (m.get("stats") or {}).values() for c in (e.get("cols") or {})
+        }
+        eff_stats_cols = sorted(set(stats_cols or []) | parent_tracked)
         stats = None
         if eff_stats_cols:
             from cashback_data_pipeline_spark.sinks import filestats
@@ -1020,8 +1048,11 @@ def _merge_candidate_split(
     files = m["files"]
     stats = m.get("stats") or {}
     tracked = any(key in (e.get("cols") or {}) for e in stats.values())
-    bloomed = any(e.get("bloom") for e in stats.values())
+    conf = _bloom_table_conf(m)
+    bloomed = bool(conf and key in (conf.get("cols") or []))
     if not (tracked or bloomed):
+        # no stat source COVERS the merge key: skip the agg + key collect
+        # outright — everything would be a candidate anyway
         return files, [], stats
     agg = incoming_unique.agg(
         F.min(key).alias("lo"),

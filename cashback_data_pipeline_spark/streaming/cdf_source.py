@@ -36,9 +36,14 @@ Semantics:
   fails loudly — narrowing mid-stream needs a restart.
 - ``maxVersionsPerTrigger`` bounds how many commits one micro-batch
   drains (backlog catch-up without one giant batch). Best-effort, like
-  Delta's maxFilesPerTrigger, and applies on PROCESSING-TIME triggers:
-  ``availableNow`` in the Python-source wrapper plans against a single
-  ``latestOffset`` call, so it drains the backlog in one batch.
+  Delta's maxFilesPerTrigger, on PROCESSING-TIME triggers, and it
+  engages from a run's SECOND trigger: the first ``latestOffset``
+  arrives before the reader can learn a restarted query's checkpointed
+  offset, and clamping it against ``startingVersion`` would hand Spark
+  an offset BELOW the checkpoint — re-delivering old versions. The
+  first batch of a run is therefore unclamped (``availableNow``, which
+  plans against one latestOffset call, drains in one batch for the
+  same reason).
 
 Worker-side reads go through pyarrow (the Python DataSource contract —
 ``read`` yields Arrow record batches, Spark's vectorized path). Plain
@@ -137,10 +142,15 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         cur = mf.current_version(self._table)
         if cur is None:
             raise FileNotFoundError(f"no committed version in {self._table}")
-        if self._max_versions:
-            anchor = self._starting if self._anchor is None else self._anchor
-            cur = min(cur, anchor + self._max_versions)
-        self._anchor = cur
+        # rate-limit clamp ONLY once an anchor is known from this run's
+        # partitions()/commit() calls. On a checkpoint RESTART the first
+        # latestOffset arrives before any of those, and clamping against
+        # startingVersion would return an offset BELOW the checkpointed
+        # one — Spark would then re-plan already-delivered versions
+        # (duplicate rows). Unclamped-first-batch is the safe direction.
+        if self._max_versions and self._anchor is not None:
+            cur = min(cur, self._anchor + self._max_versions)
+        self._anchor = max(cur, self._anchor or 0)
         return {"version": cur}
 
     def commit(self, end: dict) -> None:
@@ -149,6 +159,10 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     # -- planning (driver) -------------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start_v, end_v = int(start["version"]), int(end["version"])
+        # a restarted query replays its pending batch through here before
+        # any commit() — learn the true progress so the clamp never
+        # regresses below the checkpointed offsets
+        self._anchor = max(self._anchor or 0, end_v)
         store = mf.get_log_store(self._table)
         if start_v > 0:
             m0 = mf.read_manifest(self._table, start_v)

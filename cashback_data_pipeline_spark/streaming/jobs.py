@@ -447,16 +447,11 @@ def route_batch_to_manifest(
         return M.append_table_if_absent(batch.sparkSession, batch, table, key=key) > 0
 
     cur = M.current_version(table)
-    prev_max = -1
-    v = cur or 0
-    while v >= 1:
-        # normally the latest manifest carries max_epoch (O(1)); walk
-        # past any interleaved non-epoch commit (e.g. a compaction)
-        meta = M.read_manifest(table, v).get("meta", {})
-        if "max_epoch" in meta:
-            prev_max = meta["max_epoch"]
-            break
-        v -= 1
+    # normally the latest manifest carries max_epoch (O(1)); the shared
+    # walk skips interleaved non-epoch commits (compactions) and
+    # tolerates a pruned manifest log
+    prev = M.latest_meta_value(table, "max_epoch", cur)
+    prev_max = -1 if prev is None else prev
     if epoch_id <= prev_max:
         return False
     M.write_table(
@@ -513,14 +508,8 @@ def maintain_aggregate_batch(
 
     spark = batch.sparkSession
     cur = M.current_version(table)
-    prev_max = -1
-    v = cur or 0
-    while v >= 1:
-        meta = M.read_manifest(table, v).get("meta", {})
-        if "max_epoch" in meta:
-            prev_max = meta["max_epoch"]
-            break
-        v -= 1
+    prev = M.latest_meta_value(table, "max_epoch", cur)
+    prev_max = -1 if prev is None else prev
     if epoch_id <= prev_max:
         return False
     delta = batch.groupBy(*keys).agg(

@@ -108,13 +108,8 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
     # -- phase 2: driver-side python worker ---------------------------------
     @staticmethod
     def _prev_max_epoch(table: str, cur: int | None) -> int:
-        v = cur or 0
-        while v >= 1:
-            meta = mf.read_manifest(table, v).get("meta", {})
-            if "max_epoch" in meta:
-                return meta["max_epoch"]
-            v -= 1
-        return -1
+        prev = mf.latest_meta_value(table, "max_epoch", cur)
+        return -1 if prev is None else prev
 
     def _delete_files(self, messages) -> None:
         for msg in messages:

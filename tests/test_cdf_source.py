@@ -140,14 +140,15 @@ def test_starting_timestamp_tails_from_the_visible_version(spark, tmp_path):
 
 
 def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
-    # the clamp applies on processing-time triggers (availableNow plans
-    # against one latestOffset call in the Python-source wrapper, so it
-    # drains in a single batch regardless — documented in the module)
+    # the clamp engages from the SECOND trigger of a run: the first
+    # latestOffset arrives before the reader can know a restart's
+    # checkpointed offset, so clamping it against startingVersion would
+    # regress offsets (the review finding) — the first batch takes the
+    # backlog, everything after is bounded
     import time
 
     table = str(tmp_path / "t")
-    for i in range(4):
-        mf.write_table(_rows(spark, 10, start=i * 10), table, mode="append")
+    mf.write_table(_rows(spark, 10), table, mode="append")
     stream = cdf_source.read_manifest_stream(spark, table, maxVersionsPerTrigger=1)
     name = f"cdf_{uuid.uuid4().hex[:8]}"
     q = (
@@ -159,12 +160,48 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     )
     try:
         deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 10:
+            time.sleep(0.5)
+        # backlog drained; now 3 more commits land while the query runs —
+        # the clamp must spread them over ≥3 bounded batches
+        for i in range(1, 4):
+            mf.write_table(_rows(spark, 10, start=i * 10), table, mode="append")
         while time.time() < deadline and spark.table(name).count() < 40:
             time.sleep(0.5)
         assert spark.table(name).count() == 40
-        # a 1-version clamp must have taken at least 4 separate batches
         batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        assert len(batches) >= 4
-        assert max(p["numInputRows"] for p in batches) <= 10
+        post_backlog = [p for p in batches[1:]]
+        assert len(post_backlog) >= 3
+        assert max(p["numInputRows"] for p in post_backlog) <= 10
     finally:
         q.stop()
+
+
+def test_rate_limited_restart_never_regresses_offsets(spark, tmp_path):
+    """Review finding: with maxVersionsPerTrigger, a restarted query's
+    first latestOffset used to clamp against startingVersion and return
+    an offset BELOW the checkpoint — re-delivering old versions. The
+    restarted drain must emit exactly the new commits, once."""
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    for i in range(5):
+        mf.write_table(_rows(spark, 10, start=i * 10), table, mode="append")
+
+    def drain():
+        stream = cdf_source.read_manifest_stream(spark, table, maxVersionsPerTrigger=1)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # checkpoints at v5
+    mf.write_table(_rows(spark, 10, start=50), table, mode="append")
+    drain()  # restart: anchor unknown — must NOT replay v1..v5
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select(F.countDistinct("k")).first()[0] == 60

@@ -154,3 +154,13 @@ def test_vacuum_keeps_dv_dirs_alive(spark, tmp_path):
     m = M.read_manifest(t, M.current_version(t))
     dv_dirs = {f.split("/")[1] for f in m["dv_files"]}
     assert all(d.rsplit("/", 1)[-1] not in dv_dirs for d in removed)
+
+
+def test_changes_rows_snapshot_bootstrap_needs_no_key_on_dv_table(spark, tmp_path):
+    """Review finding: from_version=0 used to demand key= once the table
+    carried deletion vectors, though the bootstrap path never uses it."""
+    t = _table(spark, tmp_path, n=100, files=2)
+    M.delete_where(spark, t, ("g", "==", 0), mode="merge_on_read")
+    snap = M.read_changes_rows(spark, t, from_version=0)  # no key
+    assert snap.filter(F.col("_change_type") != "insert").count() == 0
+    assert snap.count() == 100 - 15  # DV applied in the bootstrap

@@ -152,3 +152,20 @@ def test_complete_mode_is_refused(spark, tmp_path):
     )
     with pytest.raises(Exception, match="append-only"):
         q.start().awaitTermination()
+
+
+def test_epoch_walk_tolerates_pruned_manifest_log(spark, tmp_path):
+    """Review finding: the max_epoch walk crashed with FileNotFoundError
+    on a vacuum-pruned log; it must treat gaps like committed_meta_values
+    does and keep committing."""
+    table = str(tmp_path / "t")
+    for i in range(5):  # batch commits carry NO max_epoch meta
+        M.write_table(_events(spark, 10, start=i * 10), table, mode="append")
+    M.vacuum(table, keep_last=2, min_age_s=0.0, prune_manifests=True)
+    writer = manifest_sink.ManifestStreamWriter(
+        _events(spark, 1).schema, {"path": table}
+    )
+    assert writer._prev_max_epoch(table, M.current_version(table)) == -1
+    writer.commit([], batchId=0)  # must not raise; commits an empty epoch
+    m = M.read_manifest(table, M.current_version(table))
+    assert m["meta"]["max_epoch"] == 0
