@@ -2239,6 +2239,116 @@ def manifest_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_wap_publish",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 10 NOT IN (5, 6)
+    GROUP BY 1
+    """,
+)
+def manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (manifest.stage_commit / read_staged /
+    publish_staged / discard_staged — the Iceberg WAP pattern): a BAD
+    batch (keys ≡5,6 mod 10 with their dates nulled) is staged,
+    audited, and REJECTED — the query RAISES if the staged rows were
+    ever visible to a plain read, or if the audit misses the nulls; a
+    GOOD batch (keys ≡7,8,9) stages and publishes as one atomic
+    metadata commit. The final table must hash-match base ∪ good — the
+    bad batch left no trace. At 100 TB this is the data-quality gate:
+    the expensive write happens once, staged invisibly; publish/reject
+    is metadata-only."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    mod = F.pmod("o_orderkey", F.lit(10))
+    table = tempfile.mkdtemp(prefix="manifest_wap_")
+    try:
+        M.write_table(orders.filter(mod < 5), table, stats_cols=["o_orderkey"])
+        base_n = M.read_table(spark, table).count()
+        bad = orders.filter(mod.isin(5, 6)).withColumn(
+            "o_orderdate", F.lit(None).cast("date")
+        )
+        tok_bad = M.stage_commit(bad, table)
+        if M.read_table(spark, table).count() != base_n:
+            raise ValueError("staged rows leaked into a plain read")
+        n_bad = M.read_staged(spark, table, tok_bad).filter(
+            F.col("o_orderdate").isNull()
+        ).count()
+        if n_bad == 0:
+            raise ValueError("audit read missed the staged batch's null dates")
+        M.discard_staged(table, tok_bad)
+        tok = M.stage_commit(orders.filter(mod >= 7), table, stats_cols=["o_orderkey"])
+        M.publish_staged(table, tok)
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "manifest_history",
+    sql="""
+    SELECT * FROM (VALUES
+      (1, 'overwrite'), (2, 'append'), (3, 'merge'), (4, 'delete'),
+      (5, 'update'), (6, 'compact'), (7, 'restore'), (8, 'append_if_absent'),
+      (9, 'wap_publish')
+    ) t(version, operation)
+    """,
+)
+def manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (manifest.table_history — the Delta shape):
+    every writer stamps its operation into the commit's meta, and the
+    history surfaces one row per version from metadata alone. The
+    scripted history below exercises EVERY writer in a fixed order; the
+    oracle is the literal expected audit log — so a writer that forgot
+    (or mislabeled) its stamp hash-fails, and the audit trail is pinned
+    as part of the contract."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", r2(F.col("o_totalprice")).alias("price")
+    )
+    table = tempfile.mkdtemp(prefix="manifest_hist_")
+    try:
+        M.write_table(orders.filter(F.col("o_orderkey") < 30000), table, stats_cols=["o_orderkey"])
+        M.write_table(orders.filter(F.col("o_orderkey") >= 30000), table, mode="append")
+        M.upsert_table(
+            spark,
+            orders.filter(F.col("o_orderkey") < 100).withColumn("price", F.lit(1.0)),
+            table,
+            key="o_orderkey",
+        )
+        M.delete_where(spark, table, ("o_orderkey", "<", 50), mode="merge_on_read")
+        M.update_where(spark, table, {"price": "price + 1"}, [("o_orderkey", "<", 200)])
+        M.compact_table(spark, table, n_files=2)
+        M.restore_table(table, version=2)
+        fresh_keys = orders.filter(F.col("o_orderkey") < 10).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 90_000_000  # absent: a commit must land
+        )
+        M.append_table_if_absent(spark, fresh_keys, table, key="o_orderkey")
+        tok = M.stage_commit(orders.filter(F.col("o_orderkey") < 5), table)
+        M.publish_staged(table, tok)
+        hist = M.table_history(spark, table).select("version", "operation")
+        rows = hist.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, hist.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_restore",
     sql="""
     SELECT o_orderkey, floor(o_totalprice) AS o_totalprice
@@ -6749,6 +6859,8 @@ _ROUND8_WINDOW = [
     "manifest_restore",
     "manifest_apply_changes",
     "manifest_zorder_skipping",
+    "manifest_wap_publish",
+    "manifest_history",
     "multimodal_wav_decode",
     "manifest_skip_disjunctive",
     "manifest_changes_rows",
@@ -6788,8 +6900,6 @@ _ROUND8_WINDOW = [
     "embedding_lsh_near_dups",
     "streaming_interval_join",
     "regional_min_supplier",
-    "nation_market_share",
-    "product_type_profit",
 ]
 
 

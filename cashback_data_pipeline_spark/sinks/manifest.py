@@ -108,6 +108,7 @@ def _try_commit(
     stats: dict | None = None,
     bloom_conf: dict | None = None,
     dv_files: list[str] | None = None,
+    operation: str | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -122,6 +123,13 @@ def _try_commit(
     filters without the caller re-passing bloom_cols."""
     store = get_log_store(table)
     doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
+    if operation:
+        # the audit-log entry every writer stamps (surfaced by
+        # table_history — the DESCRIBE HISTORY shape). It OVERRIDES any
+        # "operation" already in meta: several writers carry the
+        # parent's meta forward (epoch gates), and a stale parent
+        # operation must not masquerade as this commit's
+        meta = {**(meta or {}), "operation": operation}
     if meta:
         doc["meta"] = meta
     if bloom_conf:
@@ -512,6 +520,7 @@ def write_table(
             # appends keep the parent's deletion vectors in effect;
             # overwrite replaces the data, so its tombstones die with it
             dv_files=_dv_set(base_doc),
+            operation=mode,
         ):
             return (cur or 0) + 1
 
@@ -553,6 +562,7 @@ def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -
             stats=merged_stats or None,
             bloom_conf=_bloom_table_conf(m),
             dv_files=_dv_set(m),
+            operation="delete",
         ):
             return cur + 1
 
@@ -629,8 +639,136 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             stats=target.get("stats") or None,
             bloom_conf=_bloom_table_conf(target),
             dv_files=_dv_set(target),
+            operation="restore",
         ):
             return cur + 1
+
+
+def table_history(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` (the Delta shape): one row per surviving
+    manifest version — version, parent, the operation every writer
+    stamps (``append``/``overwrite``/``merge``/``append_if_absent``/
+    ``delete``/``update``/``compact``/``restore``/``streaming_append``;
+    None for pre-audit-log commits), file/tombstone counts, and the
+    commit's visibility timestamp (publication mtime, the same clock
+    time travel uses). Gap-tolerant over a pruned log. Metadata-only:
+    O(#versions) small JSON reads, never a data file."""
+    store = get_log_store(table)
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    rows = []
+    for v in range(1, cur + 1):
+        try:
+            m = read_manifest(table, v)
+        except FileNotFoundError:
+            continue  # pruned by vacuum(prune_manifests=True)
+        meta = m.get("meta") or {}
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                meta.get("operation"),
+                len(m["files"]),
+                len(_dv_set(m)),
+                float(store.mtime(_manifest_path(table, v))),
+                json.dumps(meta, sort_keys=True) if meta else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, operation string, n_files int, "
+        "n_dv_files int, committed_at double, meta string",
+    )
+
+
+_STAGED_DIR = "_staged"
+
+
+def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None) -> str:
+    """WRITE-AUDIT-PUBLISH, phase 1 (the Iceberg WAP pattern): write
+    ``df``'s data files into the table's immutable data tree and a
+    STAGED manifest under ``_staged/`` — INVISIBLE to every reader (no
+    version references it). Returns the stage token. Audit the staged
+    rows with :func:`read_staged`; then :func:`publish_staged` appends
+    them as a real version atomically, or :func:`discard_staged` drops
+    them. A live stage marker PINS its data dirs against vacuum (an
+    audit may legitimately take hours); a crashed auditor's stage is
+    reclaimed by an explicit ``discard_staged``. At 100 TB this is the
+    data-quality gate: the expensive write happens once, the
+    publish/reject decision is metadata-only."""
+    files = _write_data_files(df, table)
+    stats = None
+    if stats_cols:
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        stats = filestats.collect_file_stats(
+            df.sparkSession, table, files, stats_cols, schema=df.schema
+        )
+    token = uuid.uuid4().hex[:12]
+    store = get_log_store(table)
+    doc = {"files": files, "schema": df.schema.json()}
+    if stats:
+        doc["stats"] = stats
+    store.publish_atomic(store.join(table, _STAGED_DIR), f"{token}.json", json.dumps(doc))
+    return token
+
+
+def _read_stage(table: str, token: str) -> dict:
+    store = get_log_store(table)
+    return json.loads(store.read_text(store.join(table, _STAGED_DIR, f"{token}.json")))
+
+
+def read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
+    """The staged rows, for the audit step — reads ONLY the stage's own
+    files; the table's visible versions are untouched."""
+    stage = _read_stage(table, token)
+    store = get_log_store(table)
+    if not stage["files"]:
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(stage["schema"])))
+    return spark.read.parquet(*[store.join(table, f) for f in stage["files"]])
+
+
+def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
+    """WAP phase 2: append the staged files as a real version — one
+    metadata CAS, zero data movement (the files are already in the data
+    tree). The stage marker is consumed, so a token publishes AT MOST
+    ONCE (a replayed publisher finds it gone and gets FileNotFoundError
+    rather than double-appending). Returns the committed version."""
+    stage = _read_stage(table, token)
+    store = get_log_store(table)
+    while True:
+        cur = current_version(table)
+        cur_doc = read_manifest(table, cur) if cur is not None else None
+        base = cur_doc["files"] if cur_doc else []
+        merged_stats = dict(stage.get("stats") or {})
+        for f, st in ((cur_doc or {}).get("stats") or {}).items():
+            if f in set(base):
+                merged_stats.setdefault(f, st)
+        if _try_commit(
+            table,
+            (cur or 0) + 1,
+            base + stage["files"],
+            cur,
+            stage["schema"],
+            meta={**(meta or {}), "wap_token": token},
+            stats=merged_stats or None,
+            bloom_conf=_bloom_table_conf(cur_doc),
+            dv_files=_dv_set(cur_doc),
+            operation="wap_publish",
+        ):
+            store.delete_file(store.join(table, _STAGED_DIR, f"{token}.json"))
+            return (cur or 0) + 1
+
+
+def discard_staged(table: str, token: str) -> None:
+    """WAP rejection: drop the stage marker and its data files — the
+    audited-bad batch never becomes visible anywhere."""
+    stage = _read_stage(table, token)
+    store = get_log_store(table)
+    store.delete_file(store.join(table, _STAGED_DIR, f"{token}.json"))
+    for d in {f.rsplit("/", 1)[0] for f in stage["files"]}:
+        store.delete_recursive(store.join(table, d))
 
 
 def latest_meta_value(table: str, key: str, cur: int | None = None):
@@ -992,6 +1130,7 @@ def compact_table(
             snapshot.schema.json(),
             stats=stats,
             bloom_conf=_bloom_table_conf(m),
+            operation="compact",
         ):
             return cur + 1
 
@@ -1096,7 +1235,9 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         cur = current_version(table)
         if cur is None:
             files = _write_data_files(incoming_unique, table)
-            if _try_commit(table, 1, files, None, incoming_unique.schema.json()):
+            if _try_commit(
+                table, 1, files, None, incoming_unique.schema.json(), operation="merge"
+            ):
                 return 1
             continue
         m = read_manifest(table, cur)
@@ -1126,6 +1267,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             # rewritten (now-unreferenced) files match nothing — harmless,
             # reclaimed at the next compaction
             dv_files=_dv_set(m),
+            operation="merge",
         ):
             return cur + 1
 
@@ -1211,6 +1353,7 @@ def append_table_if_absent(
                 stats=merged_stats or None,
                 bloom_conf=_bloom_table_conf(m),
                 dv_files=_dv_set(m),
+                operation="append_if_absent",
             ):
                 return n
             # CAS lost — a racing loader committed; recompute the
@@ -1275,6 +1418,7 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
             stats=merged_stats or None,
             bloom_conf=_bloom_table_conf(m),
             dv_files=_dv_set(m),
+            operation=meta_key,
         ):
             return cur + 1
 
@@ -1366,6 +1510,7 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
             stats=stats or None,
             bloom_conf=_bloom_table_conf(m),
             dv_files=_dv_set(m) + dv_new,
+            operation="delete",
         ):
             return cur + 1
 
@@ -1444,6 +1589,24 @@ def vacuum(
         referenced |= {
             f.replace(os.sep, "/").split("/")[1]
             for f in m["files"] + _dv_set(m)
+            if f.startswith("data")
+        }
+    # a LIVE stage marker (write-audit-publish, awaiting its audit) pins
+    # its data dirs; discard_staged/publish_staged release them
+    try:
+        staged_names = store.list_names(store.join(table, _STAGED_DIR))
+    except FileNotFoundError:
+        staged_names = []
+    for name in staged_names:
+        if not name.endswith(".json"):
+            continue
+        try:
+            stage = json.loads(store.read_text(store.join(table, _STAGED_DIR, name)))
+        except FileNotFoundError:
+            continue  # raced a concurrent publish/discard
+        referenced |= {
+            f.replace(os.sep, "/").split("/")[1]
+            for f in stage.get("files", [])
             if f.startswith("data")
         }
     now = time.time()

@@ -162,6 +162,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 stats=stats or None,
                 bloom_conf=mf._bloom_table_conf(m),
                 dv_files=mf._dv_set(m),  # streamed appends keep tombstones in effect
+                operation="streaming_append",
             ):
                 return
             # CAS lost to a concurrent writer — recompute against the

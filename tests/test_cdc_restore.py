@@ -79,3 +79,59 @@ def test_apply_changes_folds_a_cdc_window_into_the_target(spark, tmp_path):
     M.apply_changes(spark, src, tgt, key="k", from_version=1)
     got2 = sorted(tuple(r) for r in M.read_table(spark, tgt).collect())
     assert got2 == want
+
+
+def test_table_history_records_every_operation(spark, tmp_path):
+    t = str(tmp_path / "t")
+    M.write_table(_df(spark, [(i, f"v{i}") for i in range(100)]), t, stats_cols=["k"])
+    M.write_table(_df(spark, [(100, "x")]), t, mode="append")
+    M.upsert_table(spark, _df(spark, [(5, "V5")]), t, key="k")
+    M.delete_where(spark, t, ("k", "==", 7))
+    M.delete_where(spark, t, ("k", "==", 8), mode="merge_on_read")
+    M.update_where(spark, t, {"v": "'u'"}, [("k", "==", 9)])
+    M.compact_table(spark, t, n_files=2)
+    M.restore_table(t, version=2)
+    M.append_table_if_absent(spark, _df(spark, [(200, "y")]), t, key="k")
+    hist = M.table_history(spark, t).orderBy("version").collect()
+    assert [r.operation for r in hist] == [
+        "overwrite", "append", "merge", "delete", "delete", "update",
+        "compact", "restore", "append_if_absent",
+    ]
+    assert hist[4].n_dv_files >= 1  # the MoR delete's tombstones
+    assert all(r.committed_at > 0 for r in hist)
+    # gap-tolerant over a pruned log
+    M.vacuum(t, keep_last=2, min_age_s=0.0, prune_manifests=True)
+    hist2 = M.table_history(spark, t).collect()
+    assert 0 < len(hist2) < len(hist)
+
+
+def test_wap_stage_audit_publish_and_discard(spark, tmp_path):
+    t = str(tmp_path / "t")
+    M.write_table(_df(spark, [(i, f"v{i}") for i in range(50)]), t, stats_cols=["k"])
+    v_before = M.current_version(t)
+    # bad batch: staged, audited, rejected — never visible
+    bad = _df(spark, [(1000, None)])
+    tok_bad = M.stage_commit(bad, t)
+    assert M.read_table(spark, t).count() == 50  # invisible while staged
+    audited = M.read_staged(spark, t, tok_bad)
+    assert audited.filter(F.col("v").isNull()).count() == 1  # audit catches it
+    M.discard_staged(t, tok_bad)
+    with pytest.raises(FileNotFoundError):
+        M.read_staged(spark, t, tok_bad)
+    # good batch: staged, audited, published atomically
+    good = _df(spark, [(1000, "ok"), (1001, "ok")])
+    tok = M.stage_commit(good, t, stats_cols=["k"])
+    # a live stage pins its files against vacuum
+    removed = M.vacuum(t, keep_last=1, min_age_s=0.0)
+    assert M.read_staged(spark, t, tok).count() == 2
+    v = M.publish_staged(t, tok)
+    assert v == v_before + 1  # discard/vacuum never burned a version
+    got = M.read_table(spark, t)
+    assert got.count() == 52
+    hist = {r.version: r.operation for r in M.table_history(spark, t).collect()}
+    assert hist[v] == "wap_publish"
+    # the token is consumed: replayed publisher cannot double-append
+    with pytest.raises(FileNotFoundError):
+        M.publish_staged(t, tok)
+    # published stage's stats merged in: skipping works on the new files
+    assert M.read_table(spark, t, skip=("k", "==", 1001)).count() == 1

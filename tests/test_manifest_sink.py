@@ -83,7 +83,11 @@ def test_replayed_epoch_is_skipped_and_orphans_reclaimed(spark, tmp_path):
     msg1 = make_message(100)
     writer.commit([msg1, None], batchId=7)  # None = empty partition
     v_after = M.current_version(table)
-    assert M.read_manifest(table, v_after)["meta"] == {"epoch": 7, "max_epoch": 7}
+    assert M.read_manifest(table, v_after)["meta"] == {
+        "epoch": 7,
+        "max_epoch": 7,
+        "operation": "streaming_append",
+    }
     # the replay: same batchId, fresh attempt files — must skip AND reclaim
     msg2 = make_message(100)
     orphan = os.path.join(table, msg2.files[0])
