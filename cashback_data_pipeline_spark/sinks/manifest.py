@@ -542,8 +542,13 @@ def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, keys_only)
         if not cand:
             return cur  # no file can hold any delete key — no version churn
-        survivors = _read_files(spark, table, cand, _dv_set(m)).join(
-            keys_only, on=key, how="left_anti"
+        # NULL-SAFE key matching (ADVICE r8): a NULL delete key must
+        # remove the NULL-keyed row — the one-row-per-key invariant
+        # treats NULL as a key group, so the DML surface must too
+        target = _read_files(spark, table, cand, _dv_set(m))
+        dk = keys_only.select(F.col(key).alias("__del_key"))
+        survivors = target.join(
+            dk, on=target[key].eqNullSafe(dk["__del_key"]), how="left_anti"
         )
         new_files = _write_data_files(survivors, table)
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
@@ -732,13 +737,31 @@ def read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
 def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
     """WAP phase 2: append the staged files as a real version — one
     metadata CAS, zero data movement (the files are already in the data
-    tree). The stage marker is consumed, so a token publishes AT MOST
-    ONCE (a replayed publisher finds it gone and gets FileNotFoundError
-    rather than double-appending). Returns the committed version."""
+    tree). A token publishes AT MOST ONCE even under CONCURRENT
+    publishers (ADVICE r8): every commit stamps its ``wap_token``, and
+    the CAS loop re-checks the committed-token walk after each loss —
+    two racers both reading the stage marker still serialize through the
+    CAS, and the loser sees the winner's token in the log and raises
+    FileNotFoundError instead of double-appending the staged files. A
+    sequentially replayed publisher finds the marker gone and gets the
+    same FileNotFoundError. Returns the committed version."""
     stage = _read_stage(table, token)
     store = get_log_store(table)
     while True:
         cur = current_version(table)
+        if token in committed_meta_values(table, "wap_token"):
+            # a concurrent publisher of the same token won the CAS: its
+            # commit is the one publication this token gets. Consume the
+            # marker (best-effort — the winner may have already) and
+            # surface the same signal a sequential replay sees.
+            try:
+                store.delete_file(store.join(table, _STAGED_DIR, f"{token}.json"))
+            except (FileNotFoundError, OSError):
+                pass
+            raise FileNotFoundError(
+                f"stage token {token!r} was already published to {table} "
+                "by a concurrent publisher"
+            )
         cur_doc = read_manifest(table, cur) if cur is not None else None
         base = cur_doc["files"] if cur_doc else []
         merged_stats = dict(stage.get("stats") or {})
@@ -1219,7 +1242,11 @@ def _merge_candidate_split(
 def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str) -> int:
     """MERGE-by-key as a manifest commit: current-version rows whose key
     collides are replaced, new keys appended, one row per key kept
-    deterministically (lowest full tuple). Optimistic concurrency: on
+    deterministically (lowest full tuple). Key matching is NULL-SAFE:
+    the NULL group is one key like any other (SQL MERGE's ``ON t.k =
+    s.k`` would never match it — here the one-row-per-key invariant
+    holds for NULL too, matching the docstring's contract and
+    ``groupBy``'s treatment of NULL). Optimistic concurrency: on
     CAS loss the merge recomputes against the winner's version, so
     concurrent upserts SERIALIZE instead of last-writer-wins.
 
@@ -1244,8 +1271,14 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         if cand:
             target = _read_files(spark, table, cand, _dv_set(m))
+            # NULL-SAFE key collision (ADVICE r8): the NULL group is a
+            # key like any other (matching _one_row_per_key's window
+            # partitioning) — a NULL-keyed incoming row REPLACES the
+            # previous NULL-keyed row instead of accumulating duplicates
+            # across repeated upserts
+            ik = incoming_unique.select(F.col(key).alias("__merge_key")).distinct()
             survivors = target.join(
-                incoming_unique.select(key).distinct(), on=key, how="left_anti"
+                ik, on=target[key].eqNullSafe(ik["__merge_key"]), how="left_anti"
             )
             merged = survivors.unionByName(incoming_unique)
         else:
@@ -1327,9 +1360,18 @@ def append_table_if_absent(
                 # absent, so the NOT-EXISTS load re-admits it (ghost keys
                 # must not block re-insertion)
                 target_keys = (
-                    _read_files(spark, table, cand, _dv_set(m)).select(key).distinct()
+                    _read_files(spark, table, cand, _dv_set(m))
+                    .select(F.col(key).alias("__seen_key"))
+                    .distinct()
                 )
-                fresh = incoming_unique.join(target_keys, on=key, how="left_anti")
+                # NULL-SAFE screen (ADVICE r8): an existing NULL-keyed
+                # row blocks re-insertion of NULL-keyed incoming rows —
+                # without it every replay appends another NULL-key copy
+                fresh = incoming_unique.join(
+                    target_keys,
+                    on=incoming_unique[key].eqNullSafe(target_keys["__seen_key"]),
+                    how="left_anti",
+                )
             else:
                 fresh = incoming_unique  # no existing file can hold these keys
         fresh = fresh.cache()

@@ -446,21 +446,48 @@ def route_batch_to_manifest(
     if key is not None:
         return M.append_table_if_absent(batch.sparkSession, batch, table, key=key) > 0
 
-    cur = M.current_version(table)
-    # normally the latest manifest carries max_epoch (O(1)); the shared
-    # walk skips interleaved non-epoch commits (compactions) and
-    # tolerates a pruned manifest log
-    prev = M.latest_meta_value(table, "max_epoch", cur)
-    prev_max = -1 if prev is None else prev
-    if epoch_id <= prev_max:
-        return False
-    M.write_table(
-        batch,
-        table,
-        mode="append",
-        meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
-    )
-    return True
+    # The epoch gate lives INSIDE the commit retry loop (ADVICE r8): a
+    # check-then-act gate followed by write_table's own CAS loop lets a
+    # concurrent/zombie driver of the same query commit this epoch
+    # between the check and the CAS — the loser's retry would then
+    # double-append the batch. Re-reading prev_max after every CAS loss
+    # makes the gate and the commit one serialized decision (the
+    # ManifestStreamWriter.commit discipline).
+    files: list[str] | None = None
+    schema_json = None
+    while True:
+        cur = M.current_version(table)
+        # normally the latest manifest carries max_epoch (O(1)); the
+        # shared walk skips interleaved non-epoch commits (compactions)
+        # and tolerates a pruned manifest log
+        prev = M.latest_meta_value(table, "max_epoch", cur)
+        prev_max = -1 if prev is None else prev
+        if epoch_id <= prev_max:
+            # already committed (by this driver's crashed attempt or a
+            # concurrent one); any files this attempt wrote are
+            # unreferenced orphans — vacuum fodder, never visible
+            return False
+        if files is None:
+            files = M._write_data_files(batch, table)
+            schema_json = batch.schema.json()
+        m = M.read_manifest(table, cur) if cur is not None else None
+        base = m["files"] if m else []
+        stats = dict((m or {}).get("stats") or {})
+        if M._try_commit(
+            table,
+            (cur or 0) + 1,
+            base + files,
+            cur,
+            schema_json,
+            meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
+            stats=stats or None,
+            bloom_conf=M._bloom_table_conf(m),
+            dv_files=M._dv_set(m),
+            operation="streaming_append",
+        ):
+            return True
+        # CAS lost — re-check the gate against the winner's version
+        # before recommitting (data files are already on disk, write once)
 
 
 def route_stream_to_manifest(scored: DataFrame, table: str, checkpoint: str, key: str | None = None):
@@ -504,20 +531,55 @@ def maintain_aggregate_batch(
     crash between view-commit and checkpoint-advance cannot double-add
     a batch's partials (the failure additive maintenance is most
     vulnerable to). Returns True if this call committed."""
-    from cashback_data_pipeline_spark.sinks import manifest as M
-
     spark = batch.sparkSession
-    cur = M.current_version(table)
-    prev = M.latest_meta_value(table, "max_epoch", cur)
-    prev_max = -1 if prev is None else prev
-    if epoch_id <= prev_max:
-        return False
     delta = batch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         _micro_sum(value_col).alias("sum_micro"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
     )
+    return _merge_aggregate_delta(spark, delta, epoch_id, table, keys)
+
+
+def _merge_aggregate_delta(
+    spark: SparkSession, delta: DataFrame, epoch_id: int, table: str, keys: list[str]
+) -> bool:
+    """Fold per-key partials into the maintained view under ONE
+    serialized gate-and-commit loop (ADVICE r8): the epoch gate AND the
+    merge base are re-resolved after every CAS loss, so a concurrent or
+    zombie driver committing the same epoch (or any interleaved commit
+    moving the view) can never cause a double-apply or a lost update —
+    the losing attempt re-reads, re-gates, re-merges. Orphaned rewrite
+    files from lost attempts are invisible (vacuum fodder)."""
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    while True:
+        cur = M.current_version(table)
+        prev = M.latest_meta_value(table, "max_epoch", cur)
+        prev_max = -1 if prev is None else prev
+        if epoch_id <= prev_max:
+            return False
+        merged = _merge_view(spark, delta, table, cur, keys)
+        files = M._write_data_files(merged, table)
+        if M._try_commit(
+            table,
+            (cur or 0) + 1,
+            files,
+            cur,
+            merged.schema.json(),
+            meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
+            operation="overwrite",
+        ):
+            return True
+        # CAS lost: the merge base at `cur` is stale — loop re-reads the
+        # winner's view, re-checks the gate, and recomputes the merge
+
+
+def _merge_view(
+    spark: SparkSession, delta: DataFrame, table: str, cur: int | None, keys: list[str]
+) -> DataFrame:
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
     if cur is not None:
         old = M.read_table(spark, table, cur)
         d = delta.select(
@@ -548,13 +610,7 @@ def maintain_aggregate_batch(
         )
     else:
         merged = delta
-    M.write_table(
-        merged,
-        table,
-        mode="overwrite",
-        meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
-    )
-    return True
+    return merged
 
 
 def maintain_aggregate_stream(

@@ -134,11 +134,37 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
             out[rel] = {"rows": rows, "cols": cols}
         return out
 
+    def _check_schema_compatible(self, m: Optional[dict]) -> None:
+        """The sink's schema must not NARROW the table's (ADVICE r8):
+        publishing the stream's schema wholesale would silently drop a
+        wider/evolved column from the recorded table schema — changing
+        empty-read results and the CDF source's pinned schema on
+        restart. Additive evolution (stream carries NEW columns) passes;
+        a missing or retyped existing column fails loudly, like the CDF
+        reader's narrowing check."""
+        if m is None:
+            return
+        current = T.StructType.fromJson(json.loads(m["schema"]))
+        incoming = {f.name: f.dataType for f in self._schema.fields}
+        missing = [f.name for f in current.fields if f.name not in incoming]
+        retyped = [
+            f.name
+            for f in current.fields
+            if f.name in incoming and incoming[f.name] != f.dataType
+        ]
+        if missing or retyped:
+            raise ValueError(
+                f"stream schema would narrow table {self._table}: "
+                f"missing columns {missing}, retyped columns {retyped}; "
+                "restart the sink with a schema carrying every table column"
+            )
+
     def commit(self, messages: List[Optional[WriterCommitMessage]], batchId: int) -> None:
         new_files = [f for m in messages if m is not None for f in m.files]
         while True:
             cur = mf.current_version(self._table)
             m = mf.read_manifest(self._table, cur) if cur is not None else None
+            self._check_schema_compatible(m)
             prev_max = self._prev_max_epoch(self._table, cur)
             if batchId <= prev_max:
                 # replayed epoch: its previous attempt's commit is the
