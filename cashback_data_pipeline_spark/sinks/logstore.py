@@ -127,7 +127,14 @@ class LocalLogStore:
         with open(path) as fh:
             return fh.read()
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
     def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        return self.publish_atomic_bytes(directory, name, content.encode("utf-8"))
+
+    def publish_atomic_bytes(self, directory: str, name: str, content: bytes) -> bool:
         """The commit CAS: write the FULL content to a hidden temp file,
         fsync, then ``os.link`` it to the target name — link(2) both
         fails if the target exists and makes the complete content appear
@@ -135,7 +142,7 @@ class LocalLogStore:
         temp file (swept by vacuum), never a torn target."""
         os.makedirs(directory, exist_ok=True)
         tmp = os.path.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
+        with open(tmp, "wb") as fh:
             fh.write(content)
             fh.flush()
             os.fsync(fh.fileno())
@@ -146,6 +153,20 @@ class LocalLogStore:
             return False
         finally:
             os.unlink(tmp)
+
+    def write_overwrite(self, directory: str, name: str, content: bytes) -> None:
+        """Atomic last-writer-wins overwrite (NOT a CAS) — for
+        advisory/hint files like the manifest log's ``_last_checkpoint``
+        pointer, where any committed value is valid and readers tolerate
+        staleness. temp + ``os.replace`` so a reader never sees a torn
+        file."""
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(directory, name))
 
     def list_files_recursive(self, directory: str, suffix: str = "") -> list[str]:
         return [
@@ -242,6 +263,9 @@ class HadoopFsLogStore:
         return [s.getPath().getName() for s in statuses]
 
     def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
         from py4j.protocol import Py4JJavaError
 
         fs = self._fs(path)
@@ -253,7 +277,7 @@ class HadoopFsLogStore:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         finally:
             stream.close()
-        return bytes(data).decode("utf-8")
+        return bytes(data)
 
     def _write_bytes(self, path: str, content: bytes) -> None:
         out = self._fs(path).create(self._jpath(path), False)
@@ -264,6 +288,9 @@ class HadoopFsLogStore:
             out.close()
 
     def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        return self.publish_atomic_bytes(directory, name, content.encode("utf-8"))
+
+    def publish_atomic_bytes(self, directory: str, name: str, content: bytes) -> bool:
         """The commit CAS: write the FULL content to a hidden temp file,
         then ``FileContext.rename(..., Options.Rename.NONE)`` it to the
         target — on HDFS one atomic NameNode op that fails when the
@@ -276,7 +303,7 @@ class HadoopFsLogStore:
         jdir = self._jpath(directory)
         fs.mkdirs(jdir)
         tmp = self.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
-        self._write_bytes(tmp, content.encode("utf-8"))
+        self._write_bytes(tmp, content)
         fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(jdir.toUri(), self._conf)
         rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
         opts = self._gateway.new_array(rename_enum, 1)
@@ -291,6 +318,22 @@ class HadoopFsLogStore:
                     fs.delete(self._jpath(tmp), False)
                     return False
                 raise
+
+    def write_overwrite(self, directory: str, name: str, content: bytes) -> None:
+        """Atomic last-writer-wins overwrite for hint files (see
+        LocalLogStore.write_overwrite): temp + ``FileContext.rename(...,
+        Options.Rename.OVERWRITE)`` — one atomic replace on HDFS-class
+        stores, never a torn read."""
+        fs = self._fs(directory)
+        jdir = self._jpath(directory)
+        fs.mkdirs(jdir)
+        tmp = self.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
+        self._write_bytes(tmp, content)
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(jdir.toUri(), self._conf)
+        rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc.rename(self._jpath(tmp), self._jpath(self.join(directory, name)), opts)
 
     def list_files_recursive(self, directory: str, suffix: str = "") -> list[str]:
         from py4j.protocol import Py4JJavaError
@@ -353,8 +396,17 @@ class ObjectStoreLogStore(HadoopFsLogStore):
         return self._client
 
     def publish_atomic(self, directory: str, name: str, content: str) -> bool:
+        return self.publish_atomic_bytes(directory, name, content.encode("utf-8"))
+
+    def publish_atomic_bytes(self, directory: str, name: str, content: bytes) -> bool:
         target = self.join(directory, name)
-        return self._resolve_client(target).put_if_absent(target, content.encode("utf-8"))
+        return self._resolve_client(target).put_if_absent(target, content)
+
+    def write_overwrite(self, directory: str, name: str, content: bytes) -> None:
+        # hint files take an UNCONDITIONAL full-object put — an object
+        # PUT is all-or-nothing, so readers never see a torn hint
+        target = self.join(directory, name)
+        self._resolve_client(target).put(target, content)
 
 
 class S3ConditionalPutClient:
@@ -403,6 +455,10 @@ class S3ConditionalPutClient:
                 return False
             raise
 
+    def put(self, uri: str, content: bytes) -> None:
+        bucket, key = self._bucket_key(uri)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=content)
+
 
 class GcsConditionalPutClient:
     """GCS conditional create: upload with ``if_generation_match=0``
@@ -432,6 +488,10 @@ class GcsConditionalPutClient:
                 return False
             raise
 
+    def put(self, uri: str, content: bytes) -> None:
+        bucket_name, _, key = uri.split("://", 1)[1].partition("/")
+        self._gcs.bucket(bucket_name).blob(key).upload_from_string(content)
+
 
 class EmulatedConditionalPutClient:
     """Conditional-put semantics over local ``file:``/plain paths — the
@@ -442,20 +502,28 @@ class EmulatedConditionalPutClient:
     creator wins), emulated with the same fsync+link(2) primitive
     LocalLogStore's CAS uses."""
 
-    def put_if_absent(self, uri: str, content: bytes) -> bool:
+    @staticmethod
+    def _local_path(uri: str) -> str:
         from urllib.parse import urlparse
 
         u = urlparse(uri)
         if u.scheme not in ("", "file"):
             raise ValueError(f"EmulatedConditionalPutClient is local-only, got {uri!r}")
-        path = u.path if u.scheme else uri
-        directory, name = os.path.split(path)
+        return u.path if u.scheme else uri
+
+    @staticmethod
+    def _stage_tmp(directory: str, content: bytes) -> str:
         os.makedirs(directory, exist_ok=True)
         tmp = os.path.join(directory, f"{TMP_PREFIX}{uuid.uuid4().hex}")
         with open(tmp, "wb") as fh:
             fh.write(content)
             fh.flush()
             os.fsync(fh.fileno())
+        return tmp
+
+    def put_if_absent(self, uri: str, content: bytes) -> bool:
+        directory, name = os.path.split(self._local_path(uri))
+        tmp = self._stage_tmp(directory, content)
         try:
             os.link(tmp, os.path.join(directory, name))
             return True
@@ -463,3 +531,10 @@ class EmulatedConditionalPutClient:
             return False
         finally:
             os.unlink(tmp)
+
+    def put(self, uri: str, content: bytes) -> None:
+        """Unconditional full-object put (hint files, last-writer-wins):
+        the complete content appears atomically via ``os.replace``."""
+        directory, name = os.path.split(self._local_path(uri))
+        tmp = self._stage_tmp(directory, content)
+        os.replace(tmp, os.path.join(directory, name))

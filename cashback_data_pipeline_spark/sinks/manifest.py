@@ -10,9 +10,19 @@ Delta's transaction log + LogStore, Iceberg's metadata pointer):
 
 - Data files are IMMUTABLE and write-once, under ``<table>/data/<commit
   uuid>/``. A commit never mutates or deletes a data file.
-- A table VERSION is a JSON manifest ``<table>/_manifests/v<N>.json``
-  listing exactly the data files that make up that version (plus the
-  schema, for empty tables and reader validation).
+- A table VERSION is an ACTION RECORD ``<table>/_manifests/v<N>.json``
+  — the files this commit added/removed vs its parent plus its
+  schema/meta/properties, O(the change), never O(table files). Every
+  CHECKPOINT_INTERVAL-th commit also writes a consolidated parquet
+  checkpoint ``ckpt_v<N>.parquet`` of the full snapshot and advances
+  the ``_last_checkpoint`` pointer; readers reconstruct any version
+  from the nearest checkpoint plus a bounded action replay, and
+  version discovery probes forward from the pointer instead of listing
+  every version ever written. (The Delta log-of-actions + checkpoint +
+  ``_last_checkpoint`` design; pre-checkpoint "full snapshot per
+  version" records are still read transparently as self-anchoring.)
+  This is what keeps a trickle-append into a 10⁵–10⁶-file table from
+  serializing tens of MB of metadata on the driver per commit.
 - Publishing version N+1 is ONE atomic create-if-absent, provided by a
   pluggable :mod:`logstore` (Delta's LogStore contract): O_EXCL link on
   local paths, FileContext no-overwrite rename on ``scheme://`` paths
@@ -25,9 +35,10 @@ Delta's transaction log + LogStore, Iceberg's metadata pointer):
   references are never touched. ``vacuum`` deletes only data dirs
   unreferenced by the last ``keep_last`` versions.
 
-This is the 100 TB-safe shape: the manifest is O(#files) metadata, the
-commit is O(1), compaction/upserts rewrite only their own new files,
-and nothing ever blocks readers.
+This is the 100 TB-safe shape: a commit writes O(its own change)
+metadata behind one CAS, snapshot state is consolidated off the hot
+path in periodic columnar checkpoints, compaction/upserts rewrite only
+their own new files, and nothing ever blocks readers.
 
 On top of the commit protocol the module carries the full lakehouse
 table surface (each feature's own docstring cites the public design it
@@ -64,9 +75,22 @@ from cashback_data_pipeline_spark.sinks.logstore import TMP_PREFIX, get_log_stor
 
 _MANIFEST_DIR = "_manifests"
 
+# Every CHECKPOINT_INTERVAL-th commit also writes a consolidated parquet
+# checkpoint of the full snapshot, and moves the `_last_checkpoint`
+# pointer. Between checkpoints, a commit is O(its own change) — the
+# Delta log design (actions + checkpoints + _last_checkpoint), which is
+# what keeps trickle-appends into a 10⁵–10⁶-file table from serializing
+# the whole file list on the driver at every commit.
+CHECKPOINT_INTERVAL = 10
+_LAST_CKPT = "_last_checkpoint"
+
 
 def _version_name(version: int) -> str:
     return f"v{version:020d}.json"
+
+
+def _ckpt_name(version: int) -> str:
+    return f"ckpt_v{version:020d}.parquet"
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -74,18 +98,64 @@ def _manifest_path(table: str, version: int) -> str:
     return store.join(table, _MANIFEST_DIR, _version_name(version))
 
 
+def _read_pointer(store, table: str) -> int | None:
+    """The `_last_checkpoint` hint: version of the newest checkpoint a
+    committer recorded. ADVISORY — may lag (pointer moves are
+    best-effort overwrites), may name a checkpoint vacuum later pruned;
+    every reader verifies against real files. Never ahead of the
+    committed maximum (it is written only after its commit)."""
+    try:
+        doc = json.loads(
+            store.read_text(store.join(table, _MANIFEST_DIR, _LAST_CKPT))
+        )
+        return int(doc["version"])
+    except FileNotFoundError:
+        return None
+    except (ValueError, KeyError, TypeError):
+        return None  # corrupt hint: a hint, not a source of truth
+
+
+def _probe_up(store, table: str, v: int) -> int:
+    mdir = store.join(table, _MANIFEST_DIR)
+    while store.exists(store.join(mdir, _version_name(v + 1))):
+        v += 1
+    return v
+
+
 def current_version(table: str) -> int | None:
     """Highest committed version, or None for a not-yet-created table.
 
-    Discovery is a raw directory listing, never a glob: a transient FS
-    error must PROPAGATE (for screening-critical readers like the
-    streaming near-dup ingest it fails the micro-batch, which the
-    checkpoint replays) rather than silently read as "table does not
-    exist" and admit every duplicate. Only a true FileNotFoundError
-    means not-yet-created."""
+    Fast path: start from the `_last_checkpoint` hint and probe FORWARD
+    by existence checks — O(commits since the last checkpoint), never a
+    listing of every version ever written (the r8 verdict's design
+    item; versions above the newest checkpoint are dense because the
+    CAS assigns cur+1 and vacuum prunes only below the horizon). If the
+    probe raced a log prune (the hint was read before the pruner moved
+    it), the re-read pointer is ahead of the probe result and the probe
+    restarts from it — the pruner moves the pointer BEFORE deleting
+    anything, so on a read-after-write-consistent store the restart
+    sees a valid anchor.
+
+    Fallback (no/duff pointer, legacy tables): a raw directory listing,
+    never a glob — a transient FS error must PROPAGATE (for
+    screening-critical readers like the streaming near-dup ingest it
+    fails the micro-batch, which the checkpoint replays) rather than
+    silently read as "table does not exist" and admit every duplicate.
+    Only a true FileNotFoundError means not-yet-created."""
     store = get_log_store(table)
+    mdir = store.join(table, _MANIFEST_DIR)
+    hint = _read_pointer(store, table)
+    if hint is not None and (
+        store.exists(store.join(mdir, _version_name(hint)))
+        or store.exists(store.join(mdir, _ckpt_name(hint)))
+    ):
+        v = _probe_up(store, table, hint)
+        hint2 = _read_pointer(store, table)
+        if hint2 is not None and hint2 > v:
+            v = _probe_up(store, table, hint2)
+        return v
     try:
-        names = store.list_names(store.join(table, _MANIFEST_DIR))
+        names = store.list_names(mdir)
     except FileNotFoundError:
         return None
     versions = [
@@ -94,8 +164,282 @@ def current_version(table: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_manifest(table: str, version: int) -> dict:
+def _read_commit_doc(table: str, version: int) -> dict:
+    """The RAW commit record for one version: either a format-2 action
+    record (``add``/``remove`` + properties) or a legacy full-snapshot
+    document (``files``). Meta/operation live here either way, so
+    history walkers pay O(1) per version."""
     return json.loads(get_log_store(table).read_text(_manifest_path(table, version)))
+
+
+def _encode_checkpoint(snap: dict) -> bytes:
+    """Serialize a full snapshot as a parquet checkpoint: one row per
+    data file (with its stats entry as JSON), one per deletion-vector
+    file, one table row carrying schema/meta/properties. Parquet (via
+    pyarrow, in memory) so a million-file checkpoint stays columnar,
+    compressed, and cheap to decode — the Delta checkpoint shape."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stats = snap.get("stats") or {}
+    kinds, paths, payloads = [], [], []
+    for f in snap["files"]:
+        kinds.append("file")
+        paths.append(f)
+        e = stats.get(f)
+        payloads.append(json.dumps(e) if e is not None else None)
+    for f in snap.get("dv_files") or []:
+        kinds.append("dv")
+        paths.append(f)
+        payloads.append(None)
+    table_row = {
+        k: snap[k]
+        for k in ("version", "parent", "schema", "meta", "bloom_conf", "column_mapping")
+        if snap.get(k) is not None
+    }
+    table_row.setdefault("version", snap["version"])
+    kinds.append("table")
+    paths.append(None)
+    payloads.append(json.dumps(table_row))
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "path": pa.array(paths, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.string()),
+            }
+        ),
+        buf,
+    )
+    return buf.getvalue()
+
+
+def _decode_checkpoint(data: bytes) -> dict:
+    import io
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(io.BytesIO(data))
+    files: list[str] = []
+    dv: list[str] = []
+    stats: dict = {}
+    table_row: dict = {}
+    for kind, path, payload in zip(
+        t.column("kind").to_pylist(),
+        t.column("path").to_pylist(),
+        t.column("payload").to_pylist(),
+    ):
+        if kind == "file":
+            files.append(path)
+            if payload is not None:
+                stats[path] = json.loads(payload)
+        elif kind == "dv":
+            dv.append(path)
+        elif kind == "table":
+            table_row = json.loads(payload)
+    snap = {
+        "version": table_row["version"],
+        "parent": table_row.get("parent"),
+        "files": sorted(files),
+        "schema": table_row["schema"],
+    }
+    if table_row.get("meta"):
+        snap["meta"] = table_row["meta"]
+    if table_row.get("bloom_conf"):
+        snap["bloom_conf"] = table_row["bloom_conf"]
+    if table_row.get("column_mapping"):
+        snap["column_mapping"] = table_row["column_mapping"]
+    if dv:
+        snap["dv_files"] = sorted(dv)
+    if stats:
+        snap["stats"] = stats
+    return snap
+
+
+_EMPTY_SNAPSHOT = {"version": 0, "parent": None, "files": [], "schema": None}
+
+
+def _apply_action(base: dict, doc: dict) -> dict:
+    """Fold one format-2 action record onto a snapshot: removed files
+    drop (with their stats), added files join (with their add_stats),
+    deletion vectors likewise; schema/meta/properties are the record's
+    own (every commit states them — meta is per-commit, never merged).
+    Stats for CARRIED files persist from the parent, which is exactly
+    the setdefault-carry every write path has always performed — an
+    action record therefore costs O(changed files), not O(table)."""
+    removed = set(doc.get("remove") or [])
+    files = sorted((set(base["files"]) - removed) | set(doc.get("add") or []))
+    stats = {
+        f: e for f, e in (base.get("stats") or {}).items() if f not in removed
+    }
+    stats.update(doc.get("add_stats") or {})
+    dv = (set(base.get("dv_files") or []) - set(doc.get("dv_remove") or [])) | set(
+        doc.get("dv_add") or []
+    )
+    snap = {
+        "version": doc["version"],
+        "parent": doc.get("parent"),
+        "files": files,
+        "schema": doc["schema"],
+    }
+    if doc.get("meta"):
+        snap["meta"] = doc["meta"]
+    if doc.get("bloom_conf"):
+        snap["bloom_conf"] = doc["bloom_conf"]
+    if doc.get("column_mapping"):
+        snap["column_mapping"] = doc["column_mapping"]
+    if dv:
+        snap["dv_files"] = sorted(dv)
+    if stats:
+        snap["stats"] = {f: stats[f] for f in files if f in stats}
+    return snap
+
+
+# In-process snapshot cache (the Delta Snapshot-caching idea): a
+# committed version's content is IMMUTABLE, so a sequential committer
+# (streaming sink, trickle loader, CAS retry loop) reconstructs version
+# N from the cached N-1 plus one action record — O(the change) instead
+# of a checkpoint decode per commit. Entries validate against the
+# commit record's mtime on every hit (one stat), which also catches a
+# table deleted and recreated at the same path.
+_SNAPSHOT_CACHE: dict[tuple[str, int], tuple[float, dict]] = {}
+_SNAPSHOT_CACHE_MAX = 8
+
+
+def _copy_snapshot(snap: dict) -> dict:
+    out = dict(snap)
+    out["files"] = list(snap["files"])
+    if "stats" in out:
+        out["stats"] = dict(out["stats"])
+    if "dv_files" in out:
+        out["dv_files"] = list(out["dv_files"])
+    return out
+
+
+def _cache_lookup(store, table: str, version: int) -> dict | None:
+    hit = _SNAPSHOT_CACHE.get((table, version))
+    if hit is None:
+        return None
+    mt, snap = hit
+    try:
+        if store.mtime(_manifest_path(table, version)) == mt:
+            return snap
+    except FileNotFoundError:
+        pass  # record pruned (or table recreated): revalidate via the walk
+    _SNAPSHOT_CACHE.pop((table, version), None)
+    return None
+
+
+def _cache_store(store, table: str, version: int, snap: dict) -> None:
+    try:
+        mt = store.mtime(_manifest_path(table, version))
+    except FileNotFoundError:
+        return  # anchored at a checkpoint of a pruned record: skip caching
+    _SNAPSHOT_CACHE[(table, version)] = (mt, _copy_snapshot(snap))
+    while len(_SNAPSHOT_CACHE) > _SNAPSHOT_CACHE_MAX:
+        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+
+
+def read_manifest(table: str, version: int) -> dict:
+    """The full SNAPSHOT at ``version`` — same shape as ever (files,
+    schema, meta, stats, dv_files, properties), reconstructed from the
+    nearest anchor at or below it: the in-process cache, a parquet
+    checkpoint, a legacy full-snapshot document, or the table's
+    beginning. The walk is bounded by CHECKPOINT_INTERVAL in steady
+    state (and is usually one cached step for a sequential committer);
+    a pruned intermediate record cannot strand a retained version
+    because ``vacuum(prune_manifests=True)`` writes a checkpoint at the
+    horizon before deleting anything below it."""
+    store = get_log_store(table)
+    mdir = store.join(table, _MANIFEST_DIR)
+    chain: list[dict] = []
+    v = version
+    snap = None
+    while v > 0:
+        cached = _cache_lookup(store, table, v)
+        if cached is not None:
+            snap = cached
+            break
+        if store.exists(store.join(mdir, _ckpt_name(v))):
+            snap = _decode_checkpoint(store.read_bytes(store.join(mdir, _ckpt_name(v))))
+            break
+        doc = _read_commit_doc(table, v)
+        if "files" in doc:  # legacy full-snapshot record: self-anchoring
+            snap = doc
+            break
+        chain.append(doc)
+        v -= 1
+    if snap is None:
+        snap = dict(_EMPTY_SNAPSHOT)
+    for doc in reversed(chain):
+        snap = _apply_action(snap, doc)
+    if chain or snap.get("version") == version:
+        _cache_store(store, table, version, snap)
+    return _copy_snapshot(snap)
+
+
+def version_changes(table: str, version: int) -> dict:
+    """What ONE commit changed: ``{"added": [...], "removed": [...],
+    "dv_changed": bool}`` — for incremental consumers (the streaming CDF
+    source's per-version planning). Format-2 action records answer from
+    the record alone, O(1); legacy full-snapshot records fall back to a
+    parent-snapshot diff."""
+    doc = _read_commit_doc(table, version)
+    if "files" not in doc:
+        return {
+            "added": sorted(doc.get("add") or []),
+            "removed": sorted(doc.get("remove") or []),
+            "dv_changed": bool(doc.get("dv_add") or doc.get("dv_remove")),
+        }
+    prev = read_manifest(table, version - 1) if version > 1 else dict(_EMPTY_SNAPSHOT)
+    old, new = set(prev["files"]), set(doc["files"])
+    return {
+        "added": sorted(new - old),
+        "removed": sorted(old - new),
+        "dv_changed": set(_dv_set(prev)) != set(_dv_set(doc)),
+    }
+
+
+def _write_checkpoint(table: str, version: int) -> bool:
+    """Publish the parquet checkpoint for ``version`` (create-if-absent
+    — concurrent checkpointers of the same version write identical
+    content, one wins, both outcomes are fine) and move the
+    `_last_checkpoint` pointer forward. Returns True if the checkpoint
+    exists when we're done."""
+    store = get_log_store(table)
+    mdir = store.join(table, _MANIFEST_DIR)
+    if not store.exists(store.join(mdir, _ckpt_name(version))):
+        data = _encode_checkpoint(read_manifest(table, version))
+        store.publish_atomic_bytes(mdir, _ckpt_name(version), data)
+        if not store.exists(store.join(mdir, _ckpt_name(version))):
+            return False
+    prev = _read_pointer(store, table)
+    if prev is None or prev < version:
+        store.write_overwrite(
+            mdir, _LAST_CKPT, json.dumps({"version": version}).encode("utf-8")
+        )
+    return True
+
+
+def _maybe_checkpoint(table: str, version: int) -> None:
+    """Best-effort interval checkpoint after a successful commit: a
+    failed checkpoint must never fail the commit — readers simply keep
+    replaying the action chain until the next committer succeeds."""
+    if version % CHECKPOINT_INTERVAL != 0:
+        return
+    try:
+        _write_checkpoint(table, version)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint at {table} v{version} failed; log replay continues",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _try_commit(
@@ -109,20 +453,33 @@ def _try_commit(
     bloom_conf: dict | None = None,
     dv_files: list[str] | None = None,
     operation: str | None = None,
+    column_mapping: dict | None = None,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
     Publication is the LogStore's create-if-absent (logstore module
-    docstring): the complete manifest content appears in one atomic op
-    — a reader or racing writer can never observe a half-written
-    manifest, and a crash mid-commit leaves only a temp file (swept by
-    vacuum), never a bricked version. ``meta`` rides in the manifest
-    (e.g. a streaming epoch id). ``bloom_conf`` is the table's bloom
-    TABLE PROPERTY ``{"cols": [...], "bits": N}`` — carried by every
-    commit once set, so append/merge/compact paths keep regenerating
-    filters without the caller re-passing bloom_cols."""
+    docstring): the complete record appears in one atomic op — a reader
+    or racing writer can never observe a half-written record, and a
+    crash mid-commit leaves only a temp file (swept by vacuum), never a
+    bricked version. The record is an ACTION (format 2): the files
+    added/removed vs the parent snapshot plus this commit's
+    schema/meta/properties — O(the commit's own change), never O(table
+    files); full snapshots materialize only in interval checkpoints.
+    ``meta`` rides in the record (e.g. a streaming epoch id).
+    ``bloom_conf`` is the table's bloom TABLE PROPERTY ``{"cols": [...],
+    "bits": N}`` — carried by every commit once set, so
+    append/merge/compact paths keep regenerating filters without the
+    caller re-passing bloom_cols. ``column_mapping`` (logical→physical
+    column names) is a table property too, and — unlike bloom_conf,
+    whose callers all thread it explicitly — is auto-carried from the
+    parent when not given, so rename/drop survive every write path
+    without touching each one."""
     store = get_log_store(table)
-    doc = {"version": version, "parent": parent, "files": sorted(files), "schema": schema_json}
+    parent_snap = read_manifest(table, parent) if parent is not None else None
+    parent_files = set(parent_snap["files"]) if parent_snap else set()
+    parent_dv = set(_dv_set(parent_snap))
+    file_set = set(files)
+    dv_set = set(dv_files or [])
     if operation:
         # the audit-log entry every writer stamps (surfaced by
         # table_history — the DESCRIBE HISTORY shape). It OVERRIDES any
@@ -130,22 +487,45 @@ def _try_commit(
         # parent's meta forward (epoch gates), and a stale parent
         # operation must not masquerade as this commit's
         meta = {**(meta or {}), "operation": operation}
+    if column_mapping is None and parent_snap is not None:
+        column_mapping = parent_snap.get("column_mapping")
+    doc = {
+        "format": 2,
+        "version": version,
+        "parent": parent,
+        "schema": schema_json,
+        "add": sorted(file_set - parent_files),
+        "remove": sorted(parent_files - file_set),
+    }
     if meta:
         doc["meta"] = meta
     if bloom_conf:
         doc["bloom_conf"] = bloom_conf
-    if dv_files:
+    if column_mapping:
+        doc["column_mapping"] = column_mapping
+    dv_add = sorted(dv_set - parent_dv)
+    dv_remove = sorted(parent_dv - dv_set)
+    if dv_add:
         # merge-on-read deletion vectors (module functions below): the
         # (file, row_index) tombstone relations in effect for this version
-        doc["dv_files"] = sorted(dv_files)
+        doc["dv_add"] = dv_add
+    if dv_remove:
+        doc["dv_remove"] = dv_remove
     if stats:
         # per-file column stats (sinks/filestats.py) — optional, additive:
         # readers treat a missing entry as "keep the file", so mixed
-        # stats/no-stats histories stay correct
-        doc["stats"] = {f: stats[f] for f in sorted(stats) if f in set(files)}
-    return store.publish_atomic(
+        # stats/no-stats histories stay correct. Only ADDED files'
+        # entries ride in the record; carried files keep the parent's
+        # (the setdefault-carry discipline, now structural).
+        add_stats = {f: stats[f] for f in doc["add"] if f in stats}
+        if add_stats:
+            doc["add_stats"] = add_stats
+    ok = store.publish_atomic(
         store.join(table, _MANIFEST_DIR), _version_name(version), json.dumps(doc)
     )
+    if ok:
+        _maybe_checkpoint(table, version)
+    return ok
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
@@ -499,10 +879,11 @@ def write_table(
         cur_doc = read_manifest(table, cur) if cur is not None else None
         base_doc = None if mode == "overwrite" else cur_doc
         base = [] if base_doc is None else base_doc["files"]
+        base_set = set(base)
         merged_stats = dict(stats or {})
         if base_doc is not None:
             for f, st in (base_doc.get("stats") or {}).items():
-                if f in set(base):
+                if f in base_set:
                     merged_stats.setdefault(f, st)
         # re-resolve the table property against the version this commit
         # will actually sit on: a CAS-losing retry must carry a bloom
@@ -663,19 +1044,27 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table}")
     rows = []
+    snap = None  # incremental fold: O(total versions), not O(V × chain)
     for v in range(1, cur + 1):
         try:
-            m = read_manifest(table, v)
+            doc = _read_commit_doc(table, v)
         except FileNotFoundError:
-            continue  # pruned by vacuum(prune_manifests=True)
-        meta = m.get("meta") or {}
+            snap = None  # pruned by vacuum(prune_manifests=True): gap
+            continue
+        if "files" in doc:  # legacy full-snapshot record
+            snap = doc
+        elif snap is not None and snap["version"] == v - 1:
+            snap = _apply_action(snap, doc)
+        else:
+            snap = read_manifest(table, v)  # first record after a gap
+        meta = doc.get("meta") or {}
         rows.append(
             (
                 v,
-                m.get("parent"),
+                doc.get("parent"),
                 meta.get("operation"),
-                len(m["files"]),
-                len(_dv_set(m)),
+                len(snap["files"]),
+                len(_dv_set(snap)),
                 float(store.mtime(_manifest_path(table, v))),
                 json.dumps(meta, sort_keys=True) if meta else None,
             )
@@ -764,9 +1153,10 @@ def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
             )
         cur_doc = read_manifest(table, cur) if cur is not None else None
         base = cur_doc["files"] if cur_doc else []
+        base_set = set(base)
         merged_stats = dict(stage.get("stats") or {})
         for f, st in ((cur_doc or {}).get("stats") or {}).items():
-            if f in set(base):
+            if f in base_set:
                 merged_stats.setdefault(f, st)
         if _try_commit(
             table,
@@ -804,7 +1194,9 @@ def latest_meta_value(table: str, key: str, cur: int | None = None):
     v = current_version(table) if cur is None else (cur or 0)
     while v and v >= 1:
         try:
-            meta = read_manifest(table, v).get("meta", {})
+            # raw commit record: meta lives in the record itself, so the
+            # walk costs O(1) per version — never a snapshot replay
+            meta = _read_commit_doc(table, v).get("meta", {})
         except FileNotFoundError:
             v -= 1
             continue
@@ -823,7 +1215,7 @@ def committed_meta_values(table: str, key: str) -> set:
         return out
     for v in range(1, cur + 1):
         try:
-            m = read_manifest(table, v)
+            m = _read_commit_doc(table, v)
         except FileNotFoundError:
             continue
         if "meta" in m and key in m["meta"]:
@@ -1672,21 +2064,55 @@ def vacuum(
     except FileNotFoundError:
         manifest_names = []
     horizon = min(keep_versions)
+
+    def _aged(name: str) -> bool:
+        return now - store.mtime(store.join(manifest_dir, name)) >= min_age_s
+
+    def _parse_version(name: str) -> int | None:
+        if name.startswith("v") and name.endswith(".json"):
+            s = name[1:-5]
+        elif name.startswith("ckpt_v") and name.endswith(".parquet"):
+            s = name[6:-8]
+        else:
+            return None
+        try:
+            return int(s)
+        except ValueError:
+            return None
+
+    prunable = (
+        [
+            n
+            for n in manifest_names
+            if not n.startswith(TMP_PREFIX)
+            and (v := _parse_version(n)) is not None
+            and v < horizon
+            and _aged(n)
+        ]
+        if prune_manifests
+        else []
+    )
+    if prunable:
+        # ANCHOR the horizon before deleting anything below it: a
+        # format-2 action record reconstructs by replaying its chain,
+        # and pruning that chain without a checkpoint at (or above) the
+        # horizon would strand every retained version. A legacy
+        # full-snapshot record is self-anchoring. The pointer moves
+        # BEFORE any deletion (inside _write_checkpoint), so a reader's
+        # probe racing this prune re-reads a valid anchor.
+        try:
+            horizon_doc = _read_commit_doc(table, horizon)
+        except FileNotFoundError:
+            horizon_doc = None
+        needs_anchor = horizon_doc is not None and "files" not in horizon_doc
+        if needs_anchor and not _write_checkpoint(table, horizon):
+            prunable = []  # no anchor, no pruning — never strand the horizon
     for name in manifest_names:
         if name.startswith(TMP_PREFIX):
-            t = store.join(manifest_dir, name)
-            if now - store.mtime(t) >= min_age_s:
-                store.delete_file(t)
+            if _aged(name):
+                store.delete_file(store.join(manifest_dir, name))
             continue
-        if not prune_manifests or not (name.startswith("v") and name.endswith(".json")):
-            continue
-        try:
-            v = int(name[1:-5])
-        except ValueError:
-            continue
-        if v >= horizon:
-            continue
-        t = store.join(manifest_dir, name)
-        if now - store.mtime(t) >= min_age_s:
-            store.delete_file(t)
+    if prune_manifests:
+        for name in prunable:
+            store.delete_file(store.join(manifest_dir, name))
     return removed

@@ -164,25 +164,21 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         # regresses below the checkpointed offsets
         self._anchor = max(self._anchor or 0, end_v)
         store = mf.get_log_store(self._table)
-        if start_v > 0:
-            m0 = mf.read_manifest(self._table, start_v)
-            prev, prev_dv = set(m0["files"]), set(m0.get("dv_files") or [])
-        else:
-            prev, prev_dv = set(), set()
         added: list[str] = []
         for v in range(start_v + 1, end_v + 1):
-            mdoc = mf.read_manifest(self._table, v)
-            files = set(mdoc["files"])
-            dv = set(mdoc.get("dv_files") or [])
-            removed = prev - files
+            # per-commit planning reads ONE action record (O(1) for
+            # format-2 logs — the commit literally lists its adds and
+            # removes), never a snapshot reconstruction per version
+            delta = mf.version_changes(self._table, v)
             # a changed deletion-vector set modifies rows without touching
             # the file list (merge-on-read DELETE) — a change commit,
             # exactly like a rewrite
-            changed = bool(removed) or dv != prev_dv
+            changed = bool(delta["removed"]) or delta["dv_changed"]
             if changed and not self._skip_change:
                 what = (
-                    f"removed {len(removed)} file(s) (upsert/compaction/overwrite)"
-                    if removed
+                    f"removed {len(delta['removed'])} file(s) "
+                    "(upsert/compaction/overwrite)"
+                    if delta["removed"]
                     else "changed its deletion vectors (merge-on-read DELETE)"
                 )
                 raise ValueError(
@@ -191,8 +187,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                     ".option('skipChangeCommits', 'true') to skip change commits."
                 )
             if not changed:
-                added.extend(sorted(files - prev))
-            prev, prev_dv = files, dv
+                added.extend(delta["added"])
         return [
             ManifestFilePartition(store.join(self._table, f), self._schema_json)
             for f in added
