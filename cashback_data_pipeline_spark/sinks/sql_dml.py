@@ -1,0 +1,414 @@
+"""SQL entry points for the manifest DML surface (VERDICT r8 item 2).
+
+The reference's single hand-written query is SQL — the NOT-EXISTS load
+in its serving lambda (ref: load_to_redshift_lambda.py:88-98) — and a
+user coming from that serving layer writes SQL for the WRITE side too.
+``sql_api_order_stats`` already proves the read side through
+``spark.sql``; this module gives the write side the same front door:
+Delta-SQL-shaped statements dispatched onto the existing manifest DML
+APIs (sinks/manifest.py), so every statement inherits their optimistic
+concurrency, file pruning, and audit-log stamping unchanged.
+
+Supported statements (case-insensitive keywords)::
+
+    DELETE FROM <t> WHERE <predicate>
+    UPDATE <t> SET col = <spark sql expr> [, ...] WHERE <predicate>
+    MERGE INTO <t> [AS a] USING <temp view> [AS b] ON a.k = b.k
+        [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
+    RESTORE TABLE <t> TO VERSION AS OF <n>
+    RESTORE TABLE <t> TO TIMESTAMP AS OF <epoch seconds | 'ISO-8601'>
+    DESCRIBE HISTORY <t>
+    VACUUM <t> [RETAIN <n> VERSIONS]
+
+``<t>`` resolves through the caller's ``catalog`` (name → manifest table
+root); a name containing ``/`` or a URI scheme is taken as a direct
+path. DELETE/UPDATE WHERE clauses compile to the sinks/filestats
+predicate-tree language, so the SQL front door gets the SAME file-level
+pruning as the Python API — the predicate reaches the manifest's
+min/max/bloom stats before any data file opens. The WHERE grammar is
+exactly the prunable surface: comparisons (``= < <= > >=``), ``IN``
+lists, ``IS [NOT] NULL``, ``AND``/``OR``, parentheses; ``!=``/``NOT``
+are rejected loudly (the skip-tree language has no sound file-pruning
+negation) rather than silently unpruned. UPDATE assignment right-hand
+sides pass through to ``F.expr`` untouched, so any Spark SQL scalar
+expression works there.
+
+MERGE is the upsert_table shape — replace matched keys, insert new
+ones, one row per key — i.e. ``WHEN MATCHED THEN UPDATE SET * WHEN NOT
+MATCHED THEN INSERT *``; that clause pair is accepted (and validated)
+explicitly, any other WHEN form is rejected. VACUUM RETAIN counts
+VERSIONS, not hours: the manifest's retention unit is the version
+horizon (manifest.vacuum keep_last), stated here so the divergence from
+Delta's RETAIN .. HOURS is explicit, not a surprise.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cashback_data_pipeline_spark.sinks import manifest as M
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<number>-?\d+\.\d+|-?\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)
+      | (?P<op><=|>=|<>|!=|==|=|<|>|\(|\)|,|\*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str, int]]:
+    """(kind, value, start_offset) triples; raises on any stray char so
+    an unsupported construct fails loudly, never half-parses."""
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"cannot tokenize SQL at: {text[pos:pos + 30]!r}")
+        kind = m.lastgroup
+        out.append((kind, m.group(kind), m.start(kind)))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None, len(self.text))
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def at_keyword(self, *words: str) -> bool:
+        for k, w in enumerate(words):
+            kind, val, _ = self.peek(k)
+            if kind != "ident" or val.upper() != w:
+                return False
+        return True
+
+    def expect_keyword(self, *words: str) -> None:
+        if not self.at_keyword(*words):
+            kind, val, off = self.peek()
+            raise ValueError(
+                f"expected {' '.join(words)} at offset {off}, got {val!r} "
+                f"in: {self.text!r}"
+            )
+        self.i += len(words)
+
+    def expect_op(self, op: str) -> None:
+        kind, val, off = self.peek()
+        if kind != "op" or val != op:
+            raise ValueError(f"expected {op!r} at offset {off}, got {val!r}")
+        self.i += 1
+
+    def ident(self) -> str:
+        kind, val, off = self.peek()
+        if kind != "ident":
+            raise ValueError(f"expected identifier at offset {off}, got {val!r}")
+        self.i += 1
+        return val.strip("`")
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+    # -- literals ---------------------------------------------------------
+    def literal(self):
+        kind, val, off = self.peek()
+        if kind == "number":
+            self.i += 1
+            return float(val) if "." in val else int(val)
+        if kind == "string":
+            self.i += 1
+            return val[1:-1].replace("''", "'")
+        if kind == "ident" and val.upper() in ("TRUE", "FALSE"):
+            self.i += 1
+            return val.upper() == "TRUE"
+        raise ValueError(f"expected literal at offset {off}, got {val!r}")
+
+    # -- WHERE → skip-tree --------------------------------------------------
+    # grammar: or := and (OR and)* ; and := primary (AND primary)* ;
+    # primary := '(' or ')' | leaf
+    def where_tree(self):
+        node = self._or()
+        return node
+
+    def _or(self):
+        parts = [self._and()]
+        while self.at_keyword("OR"):
+            self.i += 1
+            parts.append(self._and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _and(self):
+        parts = [self._primary()]
+        while self.at_keyword("AND"):
+            self.i += 1
+            parts.append(self._primary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _primary(self):
+        kind, val, _ = self.peek()
+        if self.at_keyword("NOT"):
+            raise ValueError(
+                "NOT is not supported in DML WHERE clauses: the file-skipping "
+                "predicate tree has no sound pruning negation — rewrite the "
+                "predicate in positive form (e.g. ranges, IN, IS NULL)"
+            )
+        if kind == "op" and val == "(":
+            self.i += 1
+            node = self._or()
+            self.expect_op(")")
+            return node
+        return self._leaf()
+
+    def _leaf(self):
+        col = self.ident()
+        if self.at_keyword("IS", "NOT", "NULL"):
+            self.i += 3
+            return (col, "is_not_null")
+        if self.at_keyword("IS", "NULL"):
+            self.i += 2
+            return (col, "is_null")
+        if self.at_keyword("IN"):
+            self.i += 1
+            self.expect_op("(")
+            lits = [self.literal()]
+            while self.peek()[0] == "op" and self.peek()[1] == ",":
+                self.i += 1
+                lits.append(self.literal())
+            self.expect_op(")")
+            return (col, "in", lits)
+        kind, op, off = self.peek()
+        if kind != "op" or op not in ("=", "==", "<", "<=", ">", ">=", "!=", "<>"):
+            raise ValueError(f"expected comparison operator at offset {off}, got {op!r}")
+        if op in ("!=", "<>"):
+            raise ValueError(
+                "!=/<> is not supported in DML WHERE clauses: min/max file "
+                "stats cannot soundly prune inequality — rewrite as disjoint "
+                "ranges or IN"
+            )
+        self.i += 1
+        lit = self.literal()
+        return (col, "==" if op in ("=", "==") else op, lit)
+
+
+def _resolve_table(name: str, catalog: dict | None) -> str:
+    if catalog and name in catalog:
+        return catalog[name]
+    if "/" in name or "://" in name:
+        return name
+    raise ValueError(
+        f"unknown table {name!r}: not in the catalog and not a path "
+        f"(catalog keys: {sorted(catalog) if catalog else []})"
+    )
+
+
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside string literals — for
+    SET lists whose right-hand sides may contain commas/parens."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(text)
+    in_str = False
+    while i < n:
+        c = text[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+_KEYWORD_SPLIT_CACHE: dict[str, re.Pattern] = {}
+
+
+def _find_keyword(text: str, word: str) -> int:
+    """Offset of the first top-level (depth-0, outside strings) keyword
+    occurrence, or -1."""
+    pat = _KEYWORD_SPLIT_CACHE.get(word)
+    if pat is None:
+        pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+        _KEYWORD_SPLIT_CACHE[word] = pat
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _merge_when_clauses_ok(tail: str) -> bool:
+    """Accept only the upsert pair (in either explicit or elided form)."""
+    norm = re.sub(r"\s+", " ", tail).strip().upper()
+    return norm in (
+        "",
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+
+
+def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
+    """Dispatch one SQL DML/utility statement onto the manifest APIs.
+
+    Returns what the underlying API returns: the committed version
+    (int) for DELETE/UPDATE/MERGE/RESTORE, a DataFrame for DESCRIBE
+    HISTORY, the removed-dirs list for VACUUM."""
+    text = statement.strip().rstrip(";").strip()
+    head = text.split(None, 2)
+    if not head:
+        raise ValueError("empty statement")
+    kw = head[0].upper()
+
+    if kw == "DELETE":
+        p = _Parser(text)
+        p.expect_keyword("DELETE", "FROM")
+        table = _resolve_table(p.ident(), catalog)
+        p.expect_keyword("WHERE")
+        tree = p.where_tree()
+        if not p.done():
+            raise ValueError(f"trailing tokens after WHERE in: {text!r}")
+        return M.delete_where(spark, table, tree)
+
+    if kw == "UPDATE":
+        m = re.match(r"(?is)^UPDATE\s+(\S+)\s+SET\s+(.*)$", text)
+        if not m:
+            raise ValueError(f"malformed UPDATE: {text!r}")
+        table = _resolve_table(m.group(1).strip("`"), catalog)
+        rest = m.group(2)
+        w = _find_keyword(rest, "WHERE")
+        if w < 0:
+            raise ValueError(
+                "UPDATE requires a WHERE clause (a full-table update should "
+                "be an explicit overwrite, not an implicit one)"
+            )
+        set_text, where_text = rest[:w], rest[w + len("WHERE"):]
+        assignments = {}
+        for part in _split_top_level(set_text, ","):
+            eq = part.find("=")
+            if eq < 0:
+                raise ValueError(f"malformed SET assignment: {part.strip()!r}")
+            col = part[:eq].strip().strip("`")
+            expr = part[eq + 1:].strip()
+            if not col or not expr:
+                raise ValueError(f"malformed SET assignment: {part.strip()!r}")
+            assignments[col] = expr
+        p = _Parser(where_text)
+        tree = p.where_tree()
+        if not p.done():
+            raise ValueError(f"trailing tokens after WHERE in: {text!r}")
+        return M.update_where(spark, table, assignments, tree)
+
+    if kw == "MERGE":
+        m = re.match(
+            r"(?is)^MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+USING\s+(\S+)"
+            r"(?:\s+AS\s+(\w+))?\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*(.*)$",
+            text,
+        )
+        if not m:
+            raise ValueError(
+                f"malformed MERGE (expected MERGE INTO t USING view ON a.k = b.k): {text!r}"
+            )
+        target_name, t_alias, source_name, s_alias, q1, k1, q2, k2, tail = m.groups()
+        target_name = target_name.strip("`")
+        t_alias = t_alias or target_name
+        s_alias = s_alias or source_name
+        if k1 != k2:
+            raise ValueError(
+                f"MERGE ON must equate the SAME key column on both sides "
+                f"(got {q1}.{k1} = {q2}.{k2})"
+            )
+        quals = {q1, q2}
+        if quals != {t_alias, s_alias} and len(quals) == 2:
+            raise ValueError(
+                f"MERGE ON qualifiers {sorted(quals)} do not match the "
+                f"target/source aliases {[t_alias, s_alias]}"
+            )
+        if not _merge_when_clauses_ok(tail):
+            raise ValueError(
+                "only the upsert MERGE is supported: WHEN MATCHED THEN UPDATE "
+                "SET * WHEN NOT MATCHED THEN INSERT * (or elide the WHEN "
+                f"clauses entirely); got: {tail.strip()!r}"
+            )
+        table = _resolve_table(target_name, catalog)
+        source = spark.table(source_name)
+        return M.upsert_table(spark, source, table, key=k1)
+
+    if kw == "RESTORE":
+        m = re.match(
+            r"(?is)^RESTORE\s+TABLE\s+(\S+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+)$",
+            text,
+        )
+        if not m:
+            raise ValueError(f"malformed RESTORE: {text!r}")
+        table = _resolve_table(m.group(1).strip("`"), catalog)
+        what, lit = m.group(2).upper(), m.group(3).strip()
+        if what == "VERSION":
+            return M.restore_table(table, version=int(lit))
+        if lit.startswith("'"):
+            import datetime as dt
+
+            ts = dt.datetime.fromisoformat(lit.strip("'"))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=dt.timezone.utc)
+            return M.restore_table(table, as_of_ts=ts.timestamp())
+        return M.restore_table(table, as_of_ts=float(lit))
+
+    if kw == "DESCRIBE":
+        m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+(\S+)$", text)
+        if not m:
+            raise ValueError(f"malformed DESCRIBE (only DESCRIBE HISTORY t): {text!r}")
+        return M.table_history(spark, _resolve_table(m.group(1).strip("`"), catalog))
+
+    if kw == "VACUUM":
+        m = re.match(r"(?is)^VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", text)
+        if not m:
+            raise ValueError(f"malformed VACUUM: {text!r}")
+        table = _resolve_table(m.group(1).strip("`"), catalog)
+        keep = int(m.group(2)) if m.group(2) else 2
+        return M.vacuum(table, keep_last=keep)
+
+    raise ValueError(
+        f"unsupported statement {kw!r}; supported: DELETE FROM, UPDATE, "
+        "MERGE INTO, RESTORE TABLE, DESCRIBE HISTORY, VACUUM"
+    )
