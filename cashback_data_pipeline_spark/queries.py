@@ -2507,6 +2507,58 @@ def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_column_rename",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def manifest_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING schema evolution (manifest.rename_column, VERDICT
+    r8 item 3 — the Delta/Iceberg column-mapping idea, name mode): seed
+    a clustered table with the EVEN order keys, rename
+    ``o_totalprice`` → ``total_price`` (the query RAISES unless the
+    rename commit's file list is BYTE-IDENTICAL to its parent's — zero
+    data rewrite), append the ODD keys under the new name, and read the
+    whole history back: pre-rename files resolve through the frozen
+    physical name, time travel to v1 must still answer under the OLD
+    name. Oracle = the same aggregate over the full source table."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_rename_")
+    try:
+        seed = orders.filter(F.col("o_orderkey") % 2 == 0)
+        M.write_table(seed, table, cluster_by=["o_orderkey"], cluster_files=8)
+        files_v1 = M.read_manifest(table, 1)["files"]
+        v2 = M.rename_column(table, "o_totalprice", "total_price")
+        if M.read_manifest(table, v2)["files"] != files_v1:
+            raise ValueError("rename_column moved data — it must be metadata-only")
+        post = orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+            "o_totalprice", "total_price"
+        )
+        M.write_table(post, table, mode="append")
+        if "o_totalprice" not in M.read_table(spark, table, version=1).columns:
+            raise ValueError("time travel must read v1 under its own column names")
+        back = M.read_table(spark, table)
+        if "total_price" not in back.columns or "o_totalprice" in back.columns:
+            raise ValueError(f"rename did not resolve on read: {back.columns}")
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("total_price")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_sql_dml",
     sql=f"""
     WITH after_delete AS (

@@ -442,6 +442,9 @@ def _maybe_checkpoint(table: str, version: int) -> None:
         )
 
 
+_INHERIT_MAPPING = object()  # default: carry the parent's column mapping
+
+
 def _try_commit(
     table: str,
     version: int,
@@ -453,7 +456,7 @@ def _try_commit(
     bloom_conf: dict | None = None,
     dv_files: list[str] | None = None,
     operation: str | None = None,
-    column_mapping: dict | None = None,
+    column_mapping=_INHERIT_MAPPING,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -471,9 +474,10 @@ def _try_commit(
     append/merge/compact paths keep regenerating filters without the
     caller re-passing bloom_cols. ``column_mapping`` (logical→physical
     column names) is a table property too, and — unlike bloom_conf,
-    whose callers all thread it explicitly — is auto-carried from the
-    parent when not given, so rename/drop survive every write path
-    without touching each one."""
+    whose callers all thread it explicitly — defaults to AUTO-CARRY from
+    the parent (the ``_INHERIT_MAPPING`` sentinel), so rename/drop
+    survive every write path without touching each one; an explicit
+    None CLEARS it (RESTORE to a pre-mapping version)."""
     store = get_log_store(table)
     parent_snap = read_manifest(table, parent) if parent is not None else None
     parent_files = set(parent_snap["files"]) if parent_snap else set()
@@ -487,8 +491,8 @@ def _try_commit(
         # parent's meta forward (epoch gates), and a stale parent
         # operation must not masquerade as this commit's
         meta = {**(meta or {}), "operation": operation}
-    if column_mapping is None and parent_snap is not None:
-        column_mapping = parent_snap.get("column_mapping")
+    if column_mapping is _INHERIT_MAPPING:
+        column_mapping = parent_snap.get("column_mapping") if parent_snap else None
     doc = {
         "format": 2,
         "version": version,
@@ -528,10 +532,17 @@ def _try_commit(
     return ok
 
 
-def _write_data_files(df: DataFrame, table: str) -> list[str]:
+def _write_data_files(
+    df: DataFrame, table: str, mapping: dict | None = None
+) -> list[str]:
     """Write one commit's immutable data dir; return table-relative file
     paths. Files exist but are INVISIBLE until a manifest references
-    them — a crash here leaves only unreferenced files for vacuum."""
+    them — a crash here leaves only unreferenced files for vacuum.
+    ``mapping`` (logical→physical) renames the frame to its physical
+    column names before writing, so every data file of a column-mapped
+    table uniformly stores physical names."""
+    if mapping:
+        df = df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
     store = get_log_store(table)
     commit_id = uuid.uuid4().hex[:12]
     data_dir = store.join(table, "data", commit_id)
@@ -586,6 +597,78 @@ def _bloom_table_conf(m: dict | None) -> dict | None:
     """The table's bloom TABLE PROPERTY as of manifest ``m`` (set by the
     first write_table(bloom_cols=), carried by every later commit)."""
     return (m or {}).get("bloom_conf")
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (VERDICT r8 item 3 — the Delta/Iceberg column-mapping
+# idea, name mode): the manifest may carry a ``column_mapping`` table
+# property {logical name → physical name}. PHYSICAL names are frozen at
+# column birth and are what every data file stores; RENAME is a
+# metadata-only commit that re-points a logical name at its physical
+# twin, DROP removes the logical entry — zero data rewrite either way,
+# and time travel to a pre-rename version reads under that version's
+# own names. Write paths translate logical→physical before writing,
+# read paths translate back after scanning, and skip-predicates
+# translate for stats/bloom pruning (stats are keyed by physical
+# names, since they are collected from the files).
+# ---------------------------------------------------------------------------
+
+
+def _mapping(m: dict | None) -> dict | None:
+    return (m or {}).get("column_mapping")
+
+
+def _mapping_pairs(m: dict | None) -> list[tuple[str, str]] | None:
+    """(logical, physical) pairs in the snapshot schema's field order,
+    or None for an unmapped table."""
+    mapping = _mapping(m)
+    if not mapping:
+        return None
+    fields = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    return [(n, mapping.get(n, n)) for n in fields]
+
+
+def _phys_cols(mapping: dict | None, cols: list[str]) -> list[str]:
+    return [mapping.get(c, c) for c in cols] if mapping else list(cols)
+
+
+def _phys_predicates(spec, mapping: dict | None):
+    """The skip-tree spec with logical column names replaced by physical
+    ones — what stats/bloom pruning needs on a mapped table."""
+    if not mapping:
+        return spec
+    if isinstance(spec, list):
+        return [_phys_predicates(s, mapping) for s in spec]
+    if (
+        len(spec) == 2
+        and spec[0] in ("and", "or")
+        and isinstance(spec[1], (list, tuple))
+    ):
+        return (spec[0], [_phys_predicates(s, mapping) for s in spec[1]])
+    return (mapping.get(spec[0], spec[0]), *spec[1:])
+
+
+def _extend_mapping(mapping: dict | None, logical_cols: list[str]) -> dict | None:
+    """The table's mapping extended for columns this write introduces
+    (physical = logical at column birth). A new logical name whose
+    physical twin is already claimed by a RENAMED column would make two
+    logical columns share one physical — refused loudly."""
+    if mapping is None:
+        return None
+    out = dict(mapping)
+    used = set(out.values())
+    for c in logical_cols:
+        if c in out:
+            continue
+        if c in used:
+            owner = next(k for k, v in out.items() if v == c)
+            raise ValueError(
+                f"cannot add column {c!r}: its physical name is already "
+                f"claimed by renamed column {owner!r} — pick another name"
+            )
+        out[c] = c
+        used.add(c)
+    return out
 
 
 def _build_bloom_sidecar(
@@ -644,7 +727,11 @@ def _rel_file_col() -> F.Column:
 
 
 def _read_files(
-    spark: SparkSession, table: str, rel_files: list[str], dv_files: list[str] | None
+    spark: SparkSession,
+    table: str,
+    rel_files: list[str],
+    dv_files: list[str] | None,
+    mapping: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Scan a pinned file list with the version's DELETION VECTORS
     applied (the Delta merge-on-read read path): rows whose
@@ -653,11 +740,20 @@ def _read_files(
     not the table, so AQE plans the anti-join as a broadcast for every
     sane DV size; a table accumulating massive DVs should
     ``compact_table`` (which materializes deletes and drops the DVs).
-    No DVs ⇒ the plain parquet scan, zero overhead."""
+    No DVs ⇒ the plain parquet scan, zero overhead. ``mapping`` is the
+    version's (logical, physical) column pairs (:func:`_mapping_pairs`):
+    the scan sees physical names, the returned frame logical ones — a
+    drop is simply an unselected physical."""
+
+    def _logical(df: DataFrame) -> DataFrame:
+        if not mapping:
+            return df
+        return df.select(*[F.col(p).alias(n) for n, p in mapping])
+
     store = get_log_store(table)
     out = spark.read.parquet(*[store.join(table, f) for f in rel_files])
     if not dv_files:
-        return out
+        return _logical(out)
     cols = out.columns
     dv = spark.read.parquet(*[store.join(table, f) for f in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("row_index").alias("__dv_ri")
@@ -672,7 +768,7 @@ def _read_files(
         (tagged["__row_file"] == dv["__dv_file"]) & (tagged["__row_ri"] == dv["__dv_ri"]),
         "left_anti",
     )
-    return kept.select(*cols)
+    return _logical(kept.select(*cols))
 
 
 def _dv_set(m: dict | None) -> list[str]:
@@ -826,6 +922,11 @@ def write_table(
     pins the file count as for ``cluster_by``."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    cur0 = current_version(table)
+    cur0_doc = read_manifest(table, cur0) if cur0 is not None else None
+    # column mapping resolves BEFORE the data write: files of a mapped
+    # table store physical names, whatever mode/layout follows
+    mapping = _extend_mapping(_mapping(cur0_doc), df.columns)
     if zorder_by:
         if cluster_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
@@ -843,18 +944,30 @@ def write_table(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
-    files = _write_data_files(df, table)
+    files = _write_data_files(df, table, mapping=mapping)
     schema_json = df.schema.json()
     stats = None
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
+        if mapping is None:
+            filestats.validate_stats_cols(df.schema, list(stats_cols))
         spark = df.sparkSession
-        stats = filestats.collect_file_stats(spark, table, files, stats_cols, schema=df.schema)
+        # stats are keyed by PHYSICAL column names (collected from the
+        # written files); skip= predicates translate at read time
+        stats = filestats.collect_file_stats(
+            spark, table, files, _phys_cols(mapping, list(stats_cols))
+        )
     if bloom_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
         filestats.validate_bloom_cols(df.schema, list(bloom_cols))
+        if mapping and any(mapping.get(c, c) != c for c in bloom_cols):
+            raise ValueError(
+                "bloom_cols on a RENAMED column are unsupported (the sidecar "
+                "path operates on physical names); rename_column refuses "
+                "bloom-indexed columns for the same reason"
+            )
         bloom_conf = {
             "cols": sorted(bloom_cols),
             "bits": int(bloom_bits or filestats.BLOOM_DEFAULT_BITS),
@@ -865,8 +978,7 @@ def write_table(
         # files without the caller re-passing bloom_cols (the Delta
         # table-property semantic; otherwise one plain append would
         # silently erode the point-lookup path file by file)
-        cur0 = current_version(table)
-        bloom_conf = _bloom_table_conf(read_manifest(table, cur0)) if cur0 is not None else None
+        bloom_conf = _bloom_table_conf(cur0_doc)
     if bloom_conf:
         # sidecar written into the IMMUTABLE data tree BEFORE the
         # manifest CAS: any reader that can see the commit can see its
@@ -877,6 +989,15 @@ def write_table(
     while True:
         cur = current_version(table)
         cur_doc = read_manifest(table, cur) if cur is not None else None
+        # the data files were written under `mapping`; a concurrent
+        # rename/drop landing between the write and this CAS would make
+        # that layout stale, and silently committing OUR mapping would
+        # revert the winner's rename — loud, never silent
+        if _extend_mapping(_mapping(cur_doc), df.columns) != mapping:
+            raise RuntimeError(
+                f"column mapping of {table} changed concurrently with this "
+                "write; re-run the write against the new table schema"
+            )
         base_doc = None if mode == "overwrite" else cur_doc
         base = [] if base_doc is None else base_doc["files"]
         base_set = set(base)
@@ -902,6 +1023,7 @@ def write_table(
             # overwrite replaces the data, so its tombstones die with it
             dv_files=_dv_set(base_doc),
             operation=mode,
+            column_mapping=mapping,
         ):
             return (cur or 0) + 1
 
@@ -926,12 +1048,12 @@ def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -
         # NULL-SAFE key matching (ADVICE r8): a NULL delete key must
         # remove the NULL-keyed row — the one-row-per-key invariant
         # treats NULL as a key group, so the DML surface must too
-        target = _read_files(spark, table, cand, _dv_set(m))
+        target = _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
         dk = keys_only.select(F.col(key).alias("__del_key"))
         survivors = target.join(
             dk, on=target[key].eqNullSafe(dk["__del_key"]), how="left_anti"
         )
-        new_files = _write_data_files(survivors, table)
+        new_files = _write_data_files(survivors, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, survivors.schema, _bloom_table_conf(m), merged_stats
@@ -988,6 +1110,99 @@ def apply_changes(
         delta.unpersist()
 
 
+def rename_column(table: str, old: str, new: str) -> int:
+    """``ALTER TABLE .. RENAME COLUMN`` with ZERO data rewrite (VERDICT
+    r8 item 3 — Delta/Iceberg column mapping, name mode): one
+    metadata-only commit re-points the logical name at its frozen
+    PHYSICAL twin; every data file — past and future — keeps storing
+    physical names, reads resolve through the mapping, and time travel
+    to a pre-rename version reads under that version's own names.
+    Refused for bloom-indexed columns (the sidecar path is physical;
+    drop the bloom property first). Returns the committed version."""
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {table} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists in {table}")
+        conf = _bloom_table_conf(m)
+        if conf and old in (conf.get("cols") or []):
+            raise ValueError(
+                f"column {old!r} is bloom-indexed; the bloom sidecar path "
+                "operates on physical names — rebuild the table without "
+                "bloom_cols before renaming"
+            )
+        mapping = dict(_mapping(m) or {n: n for n in names})
+        mapping[new] = mapping.pop(old)
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        mapping = {f["name"]: mapping[f["name"]] for f in schema["fields"]}
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            json.dumps(schema),
+            meta={"rename_column": {"from": old, "to": new}},
+            stats=m.get("stats") or None,
+            bloom_conf=conf,
+            dv_files=_dv_set(m),
+            operation="rename_column",
+            column_mapping=mapping,
+        ):
+            return cur + 1
+
+
+def drop_column(table: str, col: str) -> int:
+    """``ALTER TABLE .. DROP COLUMN`` with ZERO data rewrite: one
+    metadata-only commit removes the logical column from the schema and
+    the mapping — its physical data stays in the files, simply never
+    selected again (vacuumed storage comes from the next compaction,
+    which rewrites without it). Refused for bloom-indexed columns and
+    for the last remaining column. Returns the committed version."""
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if col not in names:
+            raise ValueError(f"no column {col!r} in {table} (have {names})")
+        if len(names) == 1:
+            raise ValueError(f"cannot drop the last column of {table}")
+        conf = _bloom_table_conf(m)
+        if conf and col in (conf.get("cols") or []):
+            raise ValueError(
+                f"column {col!r} is bloom-indexed; rebuild without bloom_cols "
+                "before dropping"
+            )
+        mapping = dict(_mapping(m) or {n: n for n in names})
+        mapping.pop(col, None)
+        schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
+        mapping = {f["name"]: mapping[f["name"]] for f in schema["fields"]}
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            json.dumps(schema),
+            meta={"drop_column": {"column": col}},
+            stats=m.get("stats") or None,
+            bloom_conf=conf,
+            dv_files=_dv_set(m),
+            operation="drop_column",
+            column_mapping=mapping,
+        ):
+            return cur + 1
+
+
 def restore_table(table: str, version: int | None = None, as_of_ts: float | None = None) -> int:
     """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` (the Delta
     RESTORE shape): publish a NEW version whose file list, schema,
@@ -1026,6 +1241,9 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             bloom_conf=_bloom_table_conf(target),
             dv_files=_dv_set(target),
             operation="restore",
+            # the restored version's OWN mapping (explicitly None for a
+            # pre-mapping target — restoring must restore the names too)
+            column_mapping=_mapping(target),
         ):
             return cur + 1
 
@@ -1091,17 +1309,24 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     reclaimed by an explicit ``discard_staged``. At 100 TB this is the
     data-quality gate: the expensive write happens once, the
     publish/reject decision is metadata-only."""
-    files = _write_data_files(df, table)
+    cur = current_version(table)
+    cur_doc = read_manifest(table, cur) if cur is not None else None
+    mapping = _extend_mapping(_mapping(cur_doc), df.columns)
+    files = _write_data_files(df, table, mapping=mapping)
     stats = None
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
+        if mapping is None:
+            filestats.validate_stats_cols(df.schema, list(stats_cols))
         stats = filestats.collect_file_stats(
-            df.sparkSession, table, files, stats_cols, schema=df.schema
+            df.sparkSession, table, files, _phys_cols(mapping, list(stats_cols))
         )
     token = uuid.uuid4().hex[:12]
     store = get_log_store(table)
     doc = {"files": files, "schema": df.schema.json()}
+    if mapping:
+        doc["column_mapping"] = mapping
     if stats:
         doc["stats"] = stats
     store.publish_atomic(store.join(table, _STAGED_DIR), f"{token}.json", json.dumps(doc))
@@ -1120,7 +1345,12 @@ def read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
     store = get_log_store(table)
     if not stage["files"]:
         return spark.createDataFrame([], T.StructType.fromJson(json.loads(stage["schema"])))
-    return spark.read.parquet(*[store.join(table, f) for f in stage["files"]])
+    out = spark.read.parquet(*[store.join(table, f) for f in stage["files"]])
+    mapping = stage.get("column_mapping")
+    if mapping:
+        fields = [f["name"] for f in json.loads(stage["schema"])["fields"]]
+        out = out.select(*[F.col(mapping.get(n, n)).alias(n) for n in fields])
+    return out
 
 
 def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
@@ -1158,6 +1388,20 @@ def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
         for f, st in ((cur_doc or {}).get("stats") or {}).items():
             if f in base_set:
                 merged_stats.setdefault(f, st)
+        # the staged files were written under the STAGE's column mapping;
+        # a rename landing between stage and publish makes that layout
+        # stale — refuse loudly (re-stage) rather than revert the rename
+        stage_map = stage.get("column_mapping")
+        commit_map = _INHERIT_MAPPING  # unmapped stage: keep the table's property
+        if stage_map:
+            commit_map = dict(_mapping(cur_doc) or {})
+            for k, v in stage_map.items():
+                if k in commit_map and commit_map[k] != v:
+                    raise RuntimeError(
+                        f"column mapping of {table} changed between stage and "
+                        f"publish (column {k!r}); discard and re-stage"
+                    )
+                commit_map.setdefault(k, v)
         if _try_commit(
             table,
             (cur or 0) + 1,
@@ -1169,6 +1413,7 @@ def publish_staged(table: str, token: str, meta: dict | None = None) -> int:
             bloom_conf=_bloom_table_conf(cur_doc),
             dv_files=_dv_set(cur_doc),
             operation="wap_publish",
+            column_mapping=commit_map,
         ):
             store.delete_file(store.join(table, _STAGED_DIR, f"{token}.json"))
             return (cur or 0) + 1
@@ -1282,17 +1527,20 @@ def read_table(
     m = read_manifest(table, v)
     files = m["files"]
     if skip:
-        files, _ = filestats.prune_files(files, m.get("stats"), skip)
+        # stats/blooms key by physical names; the residual filter below
+        # runs on the logical frame with the caller's own spec
+        phys_skip = _phys_predicates(skip, _mapping(m))
+        files, _ = filestats.prune_files(files, m.get("stats"), phys_skip)
         # bloom refinement: equality/IN leaves consult the per-commit
         # sidecar filters (loaded lazily, once each) — prunes the
         # hash-distributed layouts min/max bounds cannot
         files, _ = filestats.prune_files_bloom(
-            get_log_store(table), table, files, m.get("stats"), skip
+            get_log_store(table), table, files, m.get("stats"), phys_skip
         )
     if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    out = _read_files(spark, table, files, _dv_set(m))
+    out = _read_files(spark, table, files, _dv_set(m), mapping=_mapping_pairs(m))
     if skip:
         out = out.filter(filestats.skip_condition(skip))
     return out
@@ -1346,8 +1594,7 @@ def read_changes(
     if not added:
         schema = T.StructType.fromJson(json.loads(m_to["schema"]))
         return spark.createDataFrame([], schema)
-    store = get_log_store(table)
-    return spark.read.parquet(*[store.join(table, f) for f in added])
+    return _read_files(spark, table, added, None, mapping=_mapping_pairs(m_to))
 
 
 def read_changes_rows(
@@ -1399,10 +1646,9 @@ def read_changes_rows(
                 schema.fields + [T.StructField("_change_type", T.StringType(), False)]
             )
             return spark.createDataFrame([], out_schema)
-        store = get_log_store(table)
-        return spark.read.parquet(*[store.join(table, f) for f in added]).withColumn(
-            "_change_type", F.lit("insert")
-        )
+        return _read_files(
+            spark, table, added, None, mapping=_mapping_pairs(m_to)
+        ).withColumn("_change_type", F.lit("insert"))
     if from_version == 0:
         # snapshot bootstrap: everything visible at to_v is an insert —
         # DV-applied via read_table, no key needed even over rewrites
@@ -1517,22 +1763,29 @@ def compact_table(
             rewritten = _zorder_layout(snapshot, list(zorder_by), n_files)
         else:
             rewritten = snapshot.coalesce(n_files)
-        files = _write_data_files(rewritten, table)
+        files = _write_data_files(rewritten, table, mapping=_mapping(m))
         # UNION the requested/layout stats columns with everything the
         # parent tracked: an OPTIMIZE must not erode data skipping (the
         # rewritten files REPLACE every stats-carrying file at once, so
         # compact_table(cluster_by=[k]) dropping the parent's other
-        # tracked columns would kill their pruning in one commit)
+        # tracked columns would kill their pruning in one commit).
+        # parent_tracked is already physical; requested columns translate.
         parent_tracked = {
             c for e in (m.get("stats") or {}).values() for c in (e.get("cols") or {})
         }
-        eff_stats_cols = sorted(set(stats_cols or []) | parent_tracked)
+        eff_stats_cols = sorted(
+            set(_phys_cols(_mapping(m), stats_cols or [])) | parent_tracked
+        )
         stats = None
         if eff_stats_cols:
             from cashback_data_pipeline_spark.sinks import filestats
 
             stats = filestats.collect_file_stats(
-                spark, table, files, eff_stats_cols, schema=snapshot.schema
+                spark,
+                table,
+                files,
+                eff_stats_cols,
+                schema=None if _mapping(m) else snapshot.schema,
             )
         stats = _build_bloom_sidecar(
             spark, table, files, snapshot.schema, _bloom_table_conf(m), stats
@@ -1601,9 +1854,12 @@ def _merge_candidate_split(
 
     files = m["files"]
     stats = m.get("stats") or {}
-    tracked = any(key in (e.get("cols") or {}) for e in stats.values())
+    # stats/bloom entries are keyed by PHYSICAL column names; the
+    # incoming frame stays logical
+    phys_key = (_mapping(m) or {}).get(key, key)
+    tracked = any(phys_key in (e.get("cols") or {}) for e in stats.values())
     conf = _bloom_table_conf(m)
-    bloomed = bool(conf and key in (conf.get("cols") or []))
+    bloomed = bool(conf and phys_key in (conf.get("cols") or []))
     if not (tracked or bloomed):
         # no stat source COVERS the merge key: skip the agg + key collect
         # outright — everything would be a candidate anyway
@@ -1619,9 +1875,9 @@ def _merge_candidate_split(
         return files, [], stats
     if agg["nd"] <= _MERGE_IN_LIST_MAX:
         keys = [r[0] for r in incoming_unique.select(key).distinct().collect()]
-        preds = [(key, "in", keys)]
+        preds = [(phys_key, "in", keys)]
     else:
-        preds = [(key, ">=", agg["lo"]), (key, "<=", agg["hi"])]
+        preds = [(phys_key, ">=", agg["lo"]), (phys_key, "<=", agg["hi"])]
     cand, _ = filestats.prune_files(files, stats, preds)
     # bloom refinement (round 8): on a hash-distributed key layout every
     # file's [min, max] covers every incoming key, so only the sidecar
@@ -1662,7 +1918,9 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         m = read_manifest(table, cur)
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         if cand:
-            target = _read_files(spark, table, cand, _dv_set(m))
+            target = _read_files(
+                spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m)
+            )
             # NULL-SAFE key collision (ADVICE r8): the NULL group is a
             # key like any other (matching _one_row_per_key's window
             # partitioning) — a NULL-keyed incoming row REPLACES the
@@ -1675,7 +1933,9 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             merged = survivors.unionByName(incoming_unique)
         else:
             merged = incoming_unique  # every existing file provably collision-free
-        new_files = _write_data_files(merged, table)
+        new_files = _write_data_files(
+            merged, table, mapping=_extend_mapping(_mapping(m), merged.columns)
+        )
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, merged.schema, _bloom_table_conf(m), merged_stats
@@ -1693,6 +1953,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             # reclaimed at the next compaction
             dv_files=_dv_set(m),
             operation="merge",
+            column_mapping=_extend_mapping(_mapping(m), merged.columns),
         ):
             return cur + 1
 
@@ -1752,7 +2013,7 @@ def append_table_if_absent(
                 # absent, so the NOT-EXISTS load re-admits it (ghost keys
                 # must not block re-insertion)
                 target_keys = (
-                    _read_files(spark, table, cand, _dv_set(m))
+                    _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
                     .select(F.col(key).alias("__seen_key"))
                     .distinct()
                 )
@@ -1771,7 +2032,9 @@ def append_table_if_absent(
             n = fresh.count()
             if n == 0:
                 return 0
-            files = _write_data_files(fresh, table)
+            files = _write_data_files(
+                fresh, table, mapping=_extend_mapping(_mapping(m), fresh.columns)
+            )
             base = [] if m is None else m["files"]
             stats = (m or {}).get("stats") or {}
             merged_stats = _refresh_stats(spark, table, stats, base, files)
@@ -1788,6 +2051,7 @@ def append_table_if_absent(
                 bloom_conf=_bloom_table_conf(m),
                 dv_files=_dv_set(m),
                 operation="append_if_absent",
+                column_mapping=_extend_mapping(_mapping(m), fresh.columns),
             ):
                 return n
             # CAS lost — a racing loader committed; recompute the
@@ -1820,17 +2084,20 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         files = m["files"]
         stats = m.get("stats") or {}
         store = get_log_store(table)
-        cand, _ = filestats.prune_files(files, stats, predicates)
+        # pruning consults PHYSICAL-keyed stats; the residual condition
+        # applies to the logical frame below
+        phys_preds = _phys_predicates(predicates, _mapping(m))
+        cand, _ = filestats.prune_files(files, stats, phys_preds)
         # bloom refinement: a keyed DELETE/UPDATE on a bloom-indexed
         # table rewrites only the files whose filters admit the key
-        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, predicates)
+        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, phys_preds)
         cand_set = set(cand)
         carried = [f for f in files if f not in cand_set]
         if not cand:
             return cur  # stats prove nothing matches — no version churn
-        snap = _read_files(spark, table, cand, _dv_set(m))
+        snap = _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
-        new_files = _write_data_files(rewritten, table)
+        new_files = _write_data_files(rewritten, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark,
@@ -1891,7 +2158,7 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
         raise ValueError(f"unknown DELETE mode {mode!r}: copy_on_write or merge_on_read")
     from cashback_data_pipeline_spark.sinks import filestats
 
-    cond = filestats.skip_condition(predicates)
+    filestats.skip_condition(predicates)  # validate the spec up front
     while True:
         cur = current_version(table)
         if cur is None:
@@ -1899,18 +2166,20 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
         m = read_manifest(table, cur)
         stats = m.get("stats") or {}
         store = get_log_store(table)
-        cand, _ = filestats.prune_files(m["files"], stats, predicates)
-        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, predicates)
+        phys_preds = _phys_predicates(predicates, _mapping(m))
+        cand, _ = filestats.prune_files(m["files"], stats, phys_preds)
+        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, phys_preds)
         if not cand:
             return cur  # stats prove nothing matches — no version churn
         # tombstones = (file, row_index) of the matching rows. The scan
         # projects ONLY the predicate columns + file metadata (column
         # pruning reaches the parquet reader); the anti-join against the
         # existing vectors keeps already-deleted rows out (idempotent
-        # re-delete adds nothing).
+        # re-delete adds nothing). The scan sees PHYSICAL names, so the
+        # match condition is the physical-translated predicate tree.
         matches = (
             spark.read.parquet(*[store.join(table, f) for f in cand])
-            .filter(cond.eqNullSafe(F.lit(True)))
+            .filter(filestats.skip_condition(phys_preds).eqNullSafe(F.lit(True)))
             .select(
                 _rel_file_col().alias("file"),
                 F.col("_metadata.row_index").alias("row_index"),

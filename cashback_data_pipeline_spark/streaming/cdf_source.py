@@ -29,11 +29,17 @@ Semantics:
   a snapshot. With ``skipChangeCommits=true`` (Delta's option name and
   semantics) rewrite commits are skipped ENTIRELY — append-only commits
   in the same window still flow.
-- **Schema** is pinned at query start from the table's CURRENT manifest.
-  Files from older commits with a prefix of today's columns are
-  null-filled to the pinned schema (the additive evolution the manifest
-  write path allows); a file carrying a column the pinned schema lacks
-  fails loudly — narrowing mid-stream needs a restart.
+- **Schema** is pinned at query start from the table's CURRENT manifest,
+  and so is the COLUMN MAPPING (logical→physical names, VERDICT r8 item
+  3): a rename mid-stream is a metadata-only commit — physical file
+  names never change — so the stream keeps flowing under the names it
+  started with instead of failing (the Delta column-mapping stream
+  semantic). Files from older commits with a prefix of today's columns
+  are null-filled to the pinned schema (additive evolution); on an
+  UNMAPPED table a file carrying a column the pinned schema lacks still
+  fails loudly — widening mid-stream needs a restart — while a mapped
+  table simply never projects unresolved physicals (a dropped column's
+  data stays in old files forever).
 - ``maxVersionsPerTrigger`` bounds how many commits one micro-batch
   drains (backlog catch-up without one giant batch). Best-effort, like
   Delta's maxFilesPerTrigger, on PROCESSING-TIME triggers, and it
@@ -104,11 +110,14 @@ def _normalize_table(table: str) -> str:
 
 
 class ManifestFilePartition(InputPartition):
-    """One added data file (absolute path) + the pinned reader schema."""
+    """One added data file (absolute path) + the pinned reader schema +
+    the pinned logical→physical column mapping (empty for unmapped
+    tables: physical names == logical names)."""
 
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str, schema_json: str, mapping: dict | None = None):
         self.path = path
         self.schema_json = schema_json
+        self.mapping = mapping or {}
 
 
 class ManifestChangesStreamReader(DataSourceStreamReader):
@@ -132,6 +141,17 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         ).lower() in ("true", "1", "yes")
         self._max_versions = int(options.get("maxversionspertrigger", 0)) or None
         self._anchor: int | None = None  # last end version Spark finished or planned
+        # the logical→physical column mapping, PINNED at query start
+        # like the schema: a rename mid-stream is a metadata-only commit
+        # (physical file names never change), so the stream keeps
+        # flowing under the names it started with — the Delta
+        # column-mapping stream semantic
+        cur = mf.current_version(self._table)
+        self._column_mapping = (
+            (mf.read_manifest(self._table, cur).get("column_mapping") or {})
+            if cur is not None
+            else {}
+        )
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -189,7 +209,9 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             if not changed:
                 added.extend(delta["added"])
         return [
-            ManifestFilePartition(store.join(self._table, f), self._schema_json)
+            ManifestFilePartition(
+                store.join(self._table, f), self._schema_json, self._column_mapping
+            )
             for f in added
         ]
 
@@ -201,20 +223,30 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(T.StructType.fromJson(json.loads(partition.schema_json)))
+        mapping = getattr(partition, "mapping", {}) or {}
+        phys_of = {n: mapping.get(n, n) for n in target.names}
         pf = pq.ParquetFile(_local_path(partition.path))
         file_cols = set(pf.schema_arrow.names)
-        extra = file_cols - set(target.names)
-        if extra:
-            raise ValueError(
-                f"{partition.path} carries column(s) {sorted(extra)} absent from the "
-                "pinned stream schema; restart the stream to pick up the new schema"
-            )
+        # files store PHYSICAL names. On an UNMAPPED table an unresolved
+        # file column means the schema widened after the stream started
+        # — fail loudly (restart picks it up). On a MAPPED table,
+        # unresolved physicals are expected (a dropped column's data
+        # stays in old files forever) and are simply never projected.
+        if not mapping:
+            extra = file_cols - set(phys_of.values())
+            if extra:
+                raise ValueError(
+                    f"{partition.path} carries column(s) {sorted(extra)} absent from "
+                    "the pinned stream schema; restart the stream to pick up the "
+                    "new schema"
+                )
         for batch in pf.iter_batches():
             tbl = pa.Table.from_batches([batch])
             arrays = []
             for field in target:
-                if field.name in file_cols:
-                    arrays.append(tbl.column(field.name).cast(field.type))
+                phys = phys_of[field.name]
+                if phys in file_cols:
+                    arrays.append(tbl.column(phys).cast(field.type))
                 else:
                     arrays.append(pa.nulls(len(tbl), type=field.type))
             for out in pa.Table.from_arrays(arrays, schema=target).to_batches():

@@ -467,10 +467,21 @@ def route_batch_to_manifest(
             # concurrent one); any files this attempt wrote are
             # unreferenced orphans — vacuum fodder, never visible
             return False
-        if files is None:
-            files = M._write_data_files(batch, table)
-            schema_json = batch.schema.json()
         m = M.read_manifest(table, cur) if cur is not None else None
+        mapping = M._extend_mapping(M._mapping(m), batch.columns)
+        if files is None:
+            files = M._write_data_files(batch, table, mapping=mapping)
+            schema_json = batch.schema.json()
+            used_mapping = mapping
+        elif mapping != used_mapping:
+            # a rename/drop landed between this batch's write and its
+            # CAS — the written physical layout is stale; fail the
+            # micro-batch (the checkpoint replays it against the new
+            # mapping) rather than revert the rename
+            raise RuntimeError(
+                f"column mapping of {table} changed mid-commit; the replay "
+                "will re-write this epoch under the new mapping"
+            )
         base = m["files"] if m else []
         stats = dict((m or {}).get("stats") or {})
         if M._try_commit(
@@ -560,7 +571,10 @@ def _merge_aggregate_delta(
         if epoch_id <= prev_max:
             return False
         merged = _merge_view(spark, delta, table, cur, keys)
-        files = M._write_data_files(merged, table)
+        m_cur = M.read_manifest(table, cur) if cur is not None else None
+        files = M._write_data_files(
+            merged, table, mapping=M._extend_mapping(M._mapping(m_cur), merged.columns)
+        )
         if M._try_commit(
             table,
             (cur or 0) + 1,

@@ -144,6 +144,13 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         reader's narrowing check."""
         if m is None:
             return
+        if m.get("column_mapping"):
+            raise ValueError(
+                f"table {self._table} uses column mapping (renamed/dropped "
+                "columns); the streaming sink writes physical files straight "
+                "from the stream schema and does not translate — write via "
+                "batch write_table, or recreate the table without renames"
+            )
         current = T.StructType.fromJson(json.loads(m["schema"]))
         incoming = {f.name: f.dataType for f in self._schema.fields}
         missing = [f.name for f in current.fields if f.name not in incoming]
