@@ -224,15 +224,17 @@ def main() -> None:
     )
     S.compact_ivf_index(spark, drift_table, retrain=True, refine_iters=3, spill=3)
     out["ann_ivf_drifted_retrained_spill3@k5"] = drift_row(
-        "retrain(refine_iters=3, spill=3) — the oracled ann_ivf_retrain_topk config; "
-        "3x list storage, ~75% candidate fraction at 16 lists / 4 probes "
-        "(the fraction shrinks as n_centroids grows at scale)"
+        "retrain(refine_iters=3, spill=3) — the pre-r9 oracled config (0.84, "
+        "below the ≥0.90 bar); 3x list storage, ~75% candidate fraction at "
+        "16 lists / 4 probes (the fraction shrinks as n_centroids grows at scale)"
     )
     S.compact_ivf_index(spark, drift_table, retrain=True, refine_iters=3, spill=4)
     out["ann_ivf_drifted_retrained@k5"] = drift_row(
-        "retrain(refine_iters=3, spill=4) — fresh-build-quality recall on the "
-        "drifted corpus; 4x list storage, near-exhaustive candidates at this "
-        "tiny 16-list config (at scale: thousands of lists, same spill)"
+        "retrain(refine_iters=3, spill=4) — the oracled ann_ivf_retrain_topk "
+        "config (adopted r9, VERDICT r8 item 4): fresh-build-quality recall on "
+        "the drifted corpus at the stated cost of 4x list storage; "
+        "near-exhaustive candidates at this tiny 16-list config (at scale: "
+        "thousands of lists, same spill)"
     )
     shutil.rmtree(tdir, ignore_errors=True)
 
