@@ -9,16 +9,20 @@ Design for 100 TB multimodal corpora (north-star):
   runs as Arrow-batched ``mapInPandas`` over payload+id ONLY — select
   the minimum columns into the UDF so the parquet reader never
   materializes payloads for metadata-only queries;
-- codecs: PNG and WAV decode FOR REAL — a pure-stdlib (zlib + struct)
-  RFC 2083 decoder below handles 8-bit gray/gray+alpha/RGB/RGBA with
-  all five scanline filters, and a RIFF/PCM parser recovers WAV
-  sample data (8-bit unsigned / 16-bit signed, any channel count), so
-  ``extract_features`` computes features from actual pixels/samples
-  for those payloads. Other formats (JPEG/ffmpeg territory) still
-  raise NotImplementedError with the dependency note; the Spark-side
-  plumbing — schemas, batch shapes, partitioning — is identical either
-  way. The pure-Python decode loops are the environment fallback;
-  production swaps in a vectorized codec behind the same signature.
+- codecs: PNG, baseline JPEG, and WAV decode FOR REAL — a pure-stdlib
+  (zlib + struct) RFC 2083 decoder handles 8-bit
+  gray/gray+alpha/RGB/RGBA with all five scanline filters, a T.81
+  BASELINE-sequential JPEG decoder (round 9: marker walk, arbitrary
+  DQT/DHT, 4:4:4 and 4:2:0 sampling, restart intervals; numpy 8×8
+  IDCT) recovers actual JPEG pixels, and a RIFF/PCM parser recovers
+  WAV sample data (8-bit unsigned / 16-bit signed, any channel
+  count), so ``extract_features`` computes features from actual
+  pixels/samples for those payloads. Progressive JPEG and
+  video/exotic formats still raise NotImplementedError with the
+  dependency note; the Spark-side plumbing — schemas, batch shapes,
+  partitioning — is identical either way. The pure-Python decode
+  loops are the environment fallback; production swaps in a
+  vectorized codec behind the same signature.
 """
 
 from __future__ import annotations
@@ -108,17 +112,23 @@ def _png_chunks(payload: bytes):
 def decode_image_real(payload: bytes) -> dict:
     """REAL image decode for PNG (RFC 2083, pure stdlib: zlib inflate +
     scanline unfiltering for all five filter types, 8-bit
-    gray/gray+alpha/RGB/RGBA). Returns ``{"width", "height",
+    gray/gray+alpha/RGB/RGBA) and baseline JPEG (T.81 sequential DCT —
+    :func:`decode_jpeg`, round 9). Returns ``{"width", "height",
     "channels", "pixels": bytes}`` with ``pixels`` row-major
-    interleaved — bit-exact (pytest pins encoder→decoder round trips
-    per filter type and channel count). Non-PNG payloads raise
-    NotImplementedError with the dependency note (JPEG/video/audio need
-    codecs not present in this environment); unsupported PNG shapes
-    (16-bit, palette, interlaced) raise ValueError."""
+    interleaved — PNG is bit-exact (pytest pins encoder→decoder round
+    trips per filter type and channel count); JPEG is exact for
+    quantization-exact content (constant 8×8 tiles, the oracle's
+    payload class) and bounded-error for general content (pytest pins
+    the bound). Other formats raise NotImplementedError with the
+    dependency note (video/exotic codecs are not in this environment);
+    unsupported PNG shapes (16-bit, palette, interlaced) and corrupt
+    payloads raise ValueError, progressive JPEG NotImplementedError."""
+    if payload and payload.startswith(JPEG_SOI):
+        return decode_jpeg(payload)
     if not payload or not payload.startswith(PNG_SIG):
         raise NotImplementedError(
-            "only PNG decodes in this environment; other formats need an "
-            "imaging library (PIL/opencv) plugged into this seam"
+            "only PNG and baseline JPEG decode in this environment; other "
+            "formats need an imaging library (PIL/opencv) plugged into this seam"
         )
     width = height = channels = None
     idat = bytearray()
@@ -232,6 +242,565 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG — ITU-T T.81 BASELINE sequential DCT (VERDICT r8 item 8).
+#
+# Pure-Python marker/Huffman layer + numpy block transforms (numpy is
+# baked into the environment; the 8×8 FDCT/IDCT is one orthogonal
+# matrix sandwich). Scope: baseline (SOF0, 8-bit) with any 1/2 sampling
+# factors (4:4:4 and 4:2:0 covered), standard Annex-K quantization +
+# Huffman tables on the encode side, arbitrary DQT/DHT on the decode
+# side, restart intervals honored. Progressive (SOF2) raises
+# NotImplementedError — the documented boundary; hierarchical/
+# arithmetic/12-bit raise ValueError. The encoder exists as the
+# decoder's test twin and the oracled query's payload factory (exactly
+# like encode_png): constant 8×8 tiles with EVEN gray values survive
+# quantization EXACTLY (DC = 8·(c−128), divisible by the Annex-K DC
+# step 16; all ACs are 0), which is what lets a DuckDB oracle recompute
+# decoded pixel sums arithmetically for a LOSSY codec.
+# ---------------------------------------------------------------------------
+
+JPEG_SOI = b"\xff\xd8\xff"
+
+# zigzag scan: position k → row-major coefficient index (T.81 Fig. 5)
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables (quality-50 reference), row-major
+_JQ_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JQ_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman tables: (BITS counts for lengths 1..16, HUFFVAL)
+_JH_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JH_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JH_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (0.5 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
+    return m
+
+
+def _huff_encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman {symbol: (code, length)} from a (BITS, HUFFVAL)
+    pair — T.81 Annex C code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(ln, code): sym for sym, (code, ln) in _huff_encode_codes(bits, vals).items()}
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if not length:
+            return
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+def _jpeg_encode_block(bw, zz, pred, dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - pred
+    size = abs(diff).bit_length()
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    run = 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder (the decoder's test twin and the oracled
+    query's payload factory, like :func:`encode_png`): grayscale or RGB,
+    Annex-K quantization + Huffman tables, 4:4:4 by default or 4:2:0
+    with ``subsample=True`` (2×2 mean chroma), optional restart
+    intervals. Deterministic: fixed tables, half-up rounding."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError(f"JPEG encode supports 1 or 3 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"need {width * height * channels} pixel bytes, got {len(pixels)}")
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 1:
+        planes = [arr[:, :, 0]]
+        factors = [(1, 1)]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            def down(p):
+                ph = p if p.shape[0] % 2 == 0 else np.vstack([p, p[-1:]])
+                ph = ph if ph.shape[1] % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+            planes = [y, down(cb), down(cr)]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+        planes = [np.floor(p + 0.5) for p in planes]
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcu_cols = -(-width // (8 * hmax))
+    mcu_rows = -(-height // (8 * vmax))
+    dctm = np.array(_jpeg_dct_matrix())
+    qts = [np.array(_JQ_LUM, dtype=np.float64).reshape(8, 8)]
+    if channels == 3:
+        qts.append(np.array(_JQ_CHROM, dtype=np.float64).reshape(8, 8))
+    comp_q = [0] if channels == 1 else [0, 1, 1]
+    # pad each plane to its MCU-covered block grid by edge replication
+    padded = []
+    for (hf, vf), p in zip(factors, planes):
+        th, tw = mcu_rows * vf * 8, mcu_cols * hf * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        padded.append(p - 128.0)
+    dc_tabs = [_huff_encode_codes(*_JH_DC_LUM)]
+    ac_tabs = [_huff_encode_codes(*_JH_AC_LUM)]
+    if channels == 3:
+        dc_tabs.append(_huff_encode_codes(*_JH_DC_CHROM))
+        ac_tabs.append(_huff_encode_codes(*_JH_AC_CHROM))
+    comp_t = [0] if channels == 1 else [0, 1, 1]
+
+    bw = _JpegBitWriter()
+    preds = [0] * channels
+    body = bytearray()
+    mcu_i = 0
+    rst_n = 0
+    for r in range(mcu_rows):
+        for c in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                body += bw.buf
+                bw = _JpegBitWriter()
+                body += bytes([0xFF, 0xD0 + (rst_n % 8)])
+                rst_n += 1
+                preds = [0] * channels
+            for ci in range(len(planes)):
+                hf, vf = factors[ci]
+                q = qts[comp_q[ci]]
+                for by in range(vf):
+                    for bx in range(hf):
+                        y0 = (r * vf + by) * 8
+                        x0 = (c * hf + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = dctm @ block @ dctm.T
+                        zq = coef / q
+                        zq = np.sign(zq) * np.floor(np.abs(zq) + 0.5)  # half-away
+                        zz = [int(zq.flat[_JZZ[k]]) for k in range(64)]
+                        preds[ci] = _jpeg_encode_block(
+                            bw, zz, preds[ci], dc_tabs[comp_t[ci]], ac_tabs[comp_t[ci]]
+                        )
+            mcu_i += 1
+    bw.flush()
+    body += bw.buf
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0x00]) + bytes(_JQ_LUM[_JZZ[k]] for k in range(64))
+    if channels == 3:
+        dqt += bytes([0x01]) + bytes(_JQ_CHROM[_JZZ[k]] for k in range(64))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        hf, vf = factors[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, comp_q[ci]])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_JH_DC_LUM[0]) + bytes(_JH_DC_LUM[1])
+    dht += bytes([0x10]) + bytes(_JH_AC_LUM[0]) + bytes(_JH_AC_LUM[1])
+    if channels == 3:
+        dht += bytes([0x01]) + bytes(_JH_DC_CHROM[0]) + bytes(_JH_DC_CHROM[1])
+        dht += bytes([0x11]) + bytes(_JH_AC_CHROM[0]) + bytes(_JH_AC_CHROM[1])
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for ci in range(channels):
+        t = comp_t[ci]
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
+    (handing RSTn to the MCU loop, EOI to the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.pending_marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.pending_marker is not None:
+            raise ValueError("JPEG entropy data ended at a marker mid-symbol")
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is None:
+                raise ValueError("truncated JPEG entropy data")
+            else:
+                self.pending_marker = nxt
+                raise ValueError("JPEG entropy data ended at a marker mid-symbol")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if not self._n:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def at_marker(self) -> int | None:
+        """The marker at the CURRENT byte boundary, if any (peek)."""
+        if self.pending_marker is not None:
+            return self.pending_marker
+        p = self.pos
+        if p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+            return self.data[p + 1]
+        return None
+
+    def consume_marker(self) -> int:
+        self._acc = 0
+        self._n = 0
+        if self.pending_marker is not None:
+            m = self.pending_marker
+            self.pending_marker = None
+            # pos already sits ON the 0xFF byte
+            self.pos += 2
+            return m
+        if self.data[self.pos] != 0xFF:
+            raise ValueError("expected a JPEG marker")
+        m = self.data[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _jpeg_huff_symbol(br: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline-sequential JPEG decoder (T.81): marker walk, arbitrary
+    DQT/DHT, SOF0/SOF1, sampling factors 1–2 (replication upsampling),
+    restart intervals, byte un-stuffing; grayscale and YCbCr.
+    Progressive (SOF2) raises NotImplementedError — the documented
+    boundary; arithmetic/hierarchical/12-bit/lossless raise ValueError.
+    Returns the same shape as :func:`decode_image_real`."""
+    import numpy as np
+
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    sof = None
+    restart = 0
+    pos = 2
+    data = payload
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported (8-bit baseline only)")
+                zz = list(body[p + 1 : p + 65])
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JZZ[k]] = zz[k]
+                qt[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential (Huffman)
+            prec, h, w, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8-bit only)")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG is not supported (baseline sequential only); "
+                "plug a full codec into this seam for progressive/exotic variants"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG coding process (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            return _jpeg_decode_scan(
+                np, data, pos + 2 + ln, sof, scan, qt, huff, restart
+            )
+        # APPn/COM/anything else: skip
+        pos += 2 + ln
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(np, data, pos, sof, scan, qt, huff, restart):
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']} (1-2 only)")
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG component references missing DQT {c['tq']}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    dctm = np.array(_jpeg_dct_matrix())
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8)))
+    preds = [0] * len(comps)
+    br = _JpegBitReader(data, pos)
+    mcu_i = 0
+    for r in range(mcu_rows):
+        for c_i in range(mcu_cols):
+            if restart and mcu_i and mcu_i % restart == 0:
+                m = br.at_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("missing JPEG restart marker at interval boundary")
+                br.consume_marker()
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                tdc, tac = scan.get(comp["id"], (None, None))
+                if tdc is None:
+                    raise ValueError(f"JPEG scan is missing component {comp['id']}")
+                dc_map = huff.get((0, tdc))
+                ac_map = huff.get((1, tac))
+                if dc_map is None or ac_map is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = [0] * 64
+                        s = _jpeg_huff_symbol(br, dc_map)
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_symbol(br, ac_map)
+                            rrrr, ssss = rs >> 4, rs & 0x0F
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflows the block")
+                            zz[k] = _jpeg_extend(br.bits(ssss), ssss)
+                            k += 1
+                        coef = np.zeros(64)
+                        for kk in range(64):
+                            coef[_JZZ[kk]] = zz[kk] * q[_JZZ[kk]]
+                        block = dctm.T @ coef.reshape(8, 8) @ dctm
+                        y0 = (r * comp["v"] + by) * 8
+                        x0 = (c_i * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_i += 1
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        out = np.floor(full[0] + 0.5)
+        px = np.clip(out, 0, 255).astype(np.uint8)
+        return {"width": w, "height": h, "channels": 1, "pixels": px.tobytes()}
+    if len(comps) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    y, cb, cr = full
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.floor(r_ + 0.5), np.floor(g_ + 0.5), np.floor(b_ + 0.5)], axis=-1
+    )
+    px = np.clip(rgb, 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 3, "pixels": px.tobytes()}
 
 
 WAV_RIFF = b"RIFF"
@@ -390,8 +959,8 @@ def extract_features(
 
     def feature(p: bytes) -> list[float]:
         b = bytes(p) if p else b""
-        if b.startswith(PNG_SIG):
-            return _png_feature(b, dim)
+        if b.startswith(PNG_SIG) or b.startswith(JPEG_SOI):
+            return _png_feature(b, dim)  # decode_image_real handles both
         if b.startswith(WAV_RIFF) and b[8:12] == b"WAVE":
             return _wav_feature(b, dim)
         return _fake_feature(p, dim)

@@ -1,0 +1,145 @@
+"""Baseline JPEG codec (VERDICT r8 item 8 — operators.multimodal
+encode_jpeg/decode_jpeg, T.81 baseline sequential DCT behind the
+existing codec seam).
+
+Two exactness regimes, both pinned:
+- CONSTANT 8×8 tiles with EVEN gray values survive quantization
+  EXACTLY (DC = 8·(c−128) divides the Annex-K DC step 16; all ACs are
+  0) — the payload class the oracled query uses, because a DuckDB
+  oracle can recompute a lossy codec's output only where the loss is
+  provably zero;
+- general content round-trips within a small bounded error (the normal
+  lossy regime), which exercises the AC Huffman/run-length path the
+  constant tiles never touch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cashback_data_pipeline_spark.operators import multimodal as mm
+
+
+def _tiles(width, height, values):
+    cols = width // 8
+    return bytes(values[(y // 8) * cols + (x // 8)] for y in range(height) for x in range(width))
+
+
+def test_constant_tiles_gray_exact():
+    vals = [((7 + 17 * k) % 128) * 2 for k in range(9)]
+    px = _tiles(24, 24, vals)
+    img = mm.decode_jpeg(mm.encode_jpeg(px, 24, 24, 1))
+    assert (img["width"], img["height"], img["channels"]) == (24, 24, 1)
+    assert img["pixels"] == px  # quantization-exact class: bit-exact
+
+
+def test_constant_tiles_rgb_444_and_420_exact():
+    vals = [((3 + 29 * k) % 128) * 2 for k in range(9)]
+    gray = _tiles(24, 24, vals)
+    px = bytes(b for v in gray for b in (v, v, v))  # R=G=B ⇒ chroma exactly 128
+    for subsample in (False, True):  # 4:2:0 pads 24×24 to the 16-px MCU grid
+        img = mm.decode_jpeg(mm.encode_jpeg(px, 24, 24, 3, subsample=subsample))
+        assert img["channels"] == 3
+        assert img["pixels"] == px, f"subsample={subsample}"
+
+
+def test_lossy_roundtrip_bounded_error():
+    w = h = 32
+    smooth = bytes(min(255, 40 + 3 * x + 2 * y) for y in range(h) for x in range(w))
+    out = mm.decode_jpeg(mm.encode_jpeg(smooth, w, h, 1))
+    assert max(abs(a - b) for a, b in zip(smooth, out["pixels"])) <= 4
+    sine = bytes(
+        int(128 + 100 * math.sin(x / 3) * math.cos(y / 4)) for y in range(h) for x in range(w)
+    )
+    out = mm.decode_jpeg(mm.encode_jpeg(sine, w, h, 1))  # heavy AC content
+    assert max(abs(a - b) for a, b in zip(sine, out["pixels"])) <= 12
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (min(255, 2 * x + 20), min(255, 2 * y + 20), (x + y) // 2 + 30)
+    )
+    for subsample, bound in ((False, 10), (True, 14)):
+        out = mm.decode_jpeg(mm.encode_jpeg(rgb, w, h, 3, subsample=subsample))
+        assert max(abs(a - b) for a, b in zip(rgb, out["pixels"])) <= bound
+
+
+def test_restart_intervals_decode_and_reset_predictors():
+    vals = [((11 + 13 * k) % 128) * 2 for k in range(16)]
+    px = _tiles(32, 32, vals)  # 16 MCUs at 4:4:4 gray
+    payload = mm.encode_jpeg(px, 32, 32, 1, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    img = mm.decode_jpeg(payload)
+    assert img["pixels"] == px
+    # a missing restart marker is a loud structural error
+    broken = payload.replace(bytes([0xFF, 0xD0]), bytes([0x00, 0x00]), 1)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(broken)
+
+
+def test_non_mcu_aligned_sizes_crop_back():
+    # 13×9: MCU padding in both axes, both 4:4:4 and 4:2:0
+    w, h = 13, 9
+    px = bytes(min(255, 16 * ((x + y) % 14)) for y in range(h) for x in range(w))
+    img = mm.decode_jpeg(mm.encode_jpeg(px, w, h, 1))
+    assert (img["width"], img["height"]) == (w, h)
+    assert len(img["pixels"]) == w * h
+    rgb = bytes(b for v in px for b in (v, v, v))
+    img = mm.decode_jpeg(mm.encode_jpeg(rgb, w, h, 3, subsample=True))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert len(img["pixels"]) == w * h * 3
+
+
+def test_progressive_and_exotic_rejections():
+    px = _tiles(8, 8, [100])
+    payload = bytearray(mm.encode_jpeg(px, 8, 8, 1))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_jpeg(bytes(payload))
+    payload[i + 1] = 0xC9  # arithmetic coding
+    with pytest.raises(ValueError, match="coding process"):
+        mm.decode_jpeg(bytes(payload))
+    good = mm.encode_jpeg(px, 8, 8, 1)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(good[:40])  # truncated
+    # 16-bit DQT rejected loudly
+    dqt16 = bytearray(good)
+    j = dqt16.find(b"\xff\xdb")
+    dqt16[j + 4] = 0x10  # Pq=1
+    with pytest.raises(ValueError, match="16-bit"):
+        mm.decode_jpeg(bytes(dqt16))
+
+
+def test_annex_k_tables_are_structurally_canonical():
+    """Guard against transcription typos in the standard tables: BITS
+    sums match HUFFVAL lengths, code spaces are prefix-complete
+    (Kraft sum ≤ 1), and the AC tables carry the full 162 symbols."""
+    for bits, vals in (mm._JH_DC_LUM, mm._JH_DC_CHROM, mm._JH_AC_LUM, mm._JH_AC_CHROM):
+        assert sum(bits) == len(vals)
+        assert len(set(vals)) == len(vals)
+        kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(bits))
+        assert kraft <= 1.0
+    assert len(mm._JH_AC_LUM[1]) == 162 and len(mm._JH_AC_CHROM[1]) == 162
+    assert sorted(mm._JZZ) == list(range(64))
+    assert mm._JQ_LUM[0] == 16 and mm._JQ_CHROM[0] == 17
+
+
+def test_decode_image_real_dispatch_and_features(spark):
+    """The codec seam routes JPEG magic to the real decoder, and
+    extract_features computes from actual JPEG pixels through the same
+    Arrow-batched kernel as PNG/WAV."""
+    vals = [((5 + 31 * k) % 128) * 2 for k in range(4)]
+    px = _tiles(16, 16, vals)
+    payload = mm.encode_jpeg(px, 16, 16, 1)
+    img = mm.decode_image_real(payload)
+    assert img["pixels"] == px
+    df = spark.createDataFrame([(1, payload), (2, b"not media")], "media_id long, payload binary")
+    feats = {r["media_id"]: r["feature"] for r in mm.extract_features(df).collect()}
+    expected_mean = sum(px) / len(px) / 255.0
+    assert feats[1][0] == pytest.approx(16 / 65535.0)
+    assert feats[1][3] == pytest.approx(expected_mean)
+    assert feats[2] == pytest.approx([b / 255.0 for b in __import__("hashlib").sha256(b"not media").digest()[:8]])

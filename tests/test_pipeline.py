@@ -114,12 +114,14 @@ def test_frame_sample_plan_fanout(spark, media):
     assert got == [0, 1000, 2000]  # 3500ms video -> frames at 0/1000/2000
 
 
-def test_decode_real_non_png_is_explicit_stub():
-    """Non-PNG formats still raise with the dependency note (the codec
-    seam for JPEG/video/audio)."""
+def test_decode_real_unknown_formats_are_explicit_stub():
+    """Formats beyond PNG/baseline-JPEG still raise with the dependency
+    note (the codec seam for video/exotic codecs); a JPEG-magic payload
+    that is not a valid JPEG is now a loud ValueError from the real
+    decoder (round 9), not a stub."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"bytes")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image_real(b"\xff\xd8\xff jpeg-ish")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"")
