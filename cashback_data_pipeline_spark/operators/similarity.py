@@ -51,12 +51,20 @@ def brute_force_topk(
     row_number window per query — Spark inserts a per-partition group
     limit before the shuffle, so only k rows per query per partition
     move. Excludes self-matches. Ties broken by neighbor id.
+
+    Norms are projected BELOW the join (round 9): each side's vector
+    norm is computed once per ROW instead of once per scored PAIR —
+    at |queries| = Q that removes ~2Q/(2+Q) of the per-pair arithmetic
+    (the dot product is the only irreducible pair cost). Numerically
+    identical: the cos expression performs the same IEEE ops in the
+    same order (dot / (q_norm · c_norm)), so rankings and the oracle
+    hash are unchanged.
     """
-    q = _as_double(queries, id_col, vec_col, "q")
-    c = _as_double(corpus, id_col, vec_col, "c")
+    q = _as_double(queries, id_col, vec_col, "q").withColumn("q_n", norm(F.col("q_v")))
+    c = _as_double(corpus, id_col, vec_col, "c").withColumn("c_n", norm(F.col("c_v")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", cosine_sim(F.col("q_v"), F.col("c_v")))
+        .withColumn("cos", dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
