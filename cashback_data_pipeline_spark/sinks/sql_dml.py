@@ -19,6 +19,9 @@ Supported statements (case-insensitive keywords)::
     RESTORE TABLE <t> TO TIMESTAMP AS OF <epoch seconds | 'ISO-8601'>
     DESCRIBE HISTORY <t>
     VACUUM <t> [RETAIN <n> VERSIONS]
+    OPTIMIZE <t> [ZORDER BY (col, ...)]
+    ALTER TABLE <t> RENAME COLUMN <old> TO <new>
+    ALTER TABLE <t> DROP COLUMN <col>
 
 ``<t>`` resolves through the caller's ``catalog`` (name → manifest table
 root); a name containing ``/`` or a URI scheme is taken as a direct
@@ -408,7 +411,39 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
         keep = int(m.group(2)) if m.group(2) else 2
         return M.vacuum(table, keep_last=keep)
 
+    if kw == "OPTIMIZE":
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+(\S+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$", text
+        )
+        if not m:
+            raise ValueError(f"malformed OPTIMIZE: {text!r}")
+        table = _resolve_table(m.group(1).strip("`"), catalog)
+        if m.group(2):
+            cols = [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()]
+            return M.compact_table(spark, table, zorder_by=cols)
+        return M.compact_table(spark, table)
+
+    if kw == "ALTER":
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+RENAME\s+COLUMN\s+(\S+)\s+TO\s+(\S+)$", text
+        )
+        if m:
+            return M.rename_column(
+                _resolve_table(m.group(1).strip("`"), catalog),
+                m.group(2).strip("`"),
+                m.group(3).strip("`"),
+            )
+        m = re.match(r"(?is)^ALTER\s+TABLE\s+(\S+)\s+DROP\s+COLUMN\s+(\S+)$", text)
+        if m:
+            return M.drop_column(
+                _resolve_table(m.group(1).strip("`"), catalog), m.group(2).strip("`")
+            )
+        raise ValueError(
+            f"malformed ALTER (only RENAME COLUMN old TO new / DROP COLUMN col): {text!r}"
+        )
+
     raise ValueError(
         f"unsupported statement {kw!r}; supported: DELETE FROM, UPDATE, "
-        "MERGE INTO, RESTORE TABLE, DESCRIBE HISTORY, VACUUM"
+        "MERGE INTO, RESTORE TABLE, DESCRIBE HISTORY, VACUUM, OPTIMIZE, "
+        "ALTER TABLE RENAME/DROP COLUMN"
     )

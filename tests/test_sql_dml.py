@@ -93,6 +93,30 @@ def test_merge_restore_history_vacuum_roundtrip(spark, tmp_path):
     assert removed == []  # all three versions retained → nothing reclaimable
 
 
+def test_optimize_and_alter_statements(spark, tmp_path):
+    t = _seed(spark, tmp_path / "t")
+    n_before = len(M.read_manifest(t, 1)["files"])
+    assert n_before >= 4
+    v = sql_dml.execute(spark, "OPTIMIZE t", {"t": t})
+    assert len(M.read_manifest(t, v)["files"]) <= 4  # default n_files
+    assert M.read_table(spark, t).count() == 100
+
+    v2 = sql_dml.execute(spark, "OPTIMIZE t ZORDER BY (k, price)", {"t": t})
+    m = M.read_manifest(t, v2)
+    assert m["meta"]["operation"] == "compact"
+    assert M.read_table(spark, t).count() == 100
+
+    files_before = M.read_manifest(t, v2)["files"]
+    v3 = sql_dml.execute(spark, "ALTER TABLE t RENAME COLUMN price TO amount", {"t": t})
+    assert M.read_manifest(t, v3)["files"] == files_before  # metadata-only
+    assert M.read_table(spark, t).columns == ["k", "amount", "v"]
+    v4 = sql_dml.execute(spark, "ALTER TABLE t DROP COLUMN v", {"t": t})
+    assert M.read_manifest(t, v4)["files"] == files_before
+    assert M.read_table(spark, t).columns == ["k", "amount"]
+    with pytest.raises(ValueError, match="malformed ALTER"):
+        sql_dml.execute(spark, "ALTER TABLE t ADD COLUMN x INT", {"t": t})
+
+
 def test_update_without_where_and_unknown_table_rejected(spark, tmp_path):
     t = _seed(spark, tmp_path / "t")
     with pytest.raises(ValueError, match="WHERE"):
