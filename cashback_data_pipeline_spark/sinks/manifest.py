@@ -172,12 +172,17 @@ def _read_commit_doc(table: str, version: int) -> dict:
     return json.loads(get_log_store(table).read_text(_manifest_path(table, version)))
 
 
-def _encode_checkpoint(snap: dict) -> bytes:
+def _encode_checkpoint(snap: dict, meta_latest: dict | None = None) -> bytes:
     """Serialize a full snapshot as a parquet checkpoint: one row per
     data file (with its stats entry as JSON), one per deletion-vector
     file, one table row carrying schema/meta/properties. Parquet (via
     pyarrow, in memory) so a million-file checkpoint stays columnar,
-    compressed, and cheap to decode — the Delta checkpoint shape."""
+    compressed, and cheap to decode — the Delta checkpoint shape.
+    ``meta_latest`` is the FOLDED latest value per meta key across the
+    whole history up to this version (the Delta SetTransaction-in-
+    checkpoint idea): it is what keeps epoch gates (``max_epoch``) and
+    other cursor meta alive after ``vacuum(prune_manifests=True)``
+    deletes the commits that carried them."""
     import io
 
     import pyarrow as pa
@@ -200,6 +205,8 @@ def _encode_checkpoint(snap: dict) -> bytes:
         if snap.get(k) is not None
     }
     table_row.setdefault("version", snap["version"])
+    if meta_latest is not None:
+        table_row["meta_latest"] = meta_latest
     kinds.append("table")
     paths.append(None)
     payloads.append(json.dumps(table_row))
@@ -403,6 +410,63 @@ def version_changes(table: str, version: int) -> dict:
     }
 
 
+def _read_ckpt_meta_latest(table: str, version: int) -> dict | None:
+    """The folded latest-meta map a checkpoint at ``version`` carries,
+    or None when there is no checkpoint there / it predates the fold
+    (pre-r9-upgrade checkpoints) — callers must keep walking in the
+    None case and may STOP in the dict case (the fold is complete for
+    everything at or below the checkpoint)."""
+    store = get_log_store(table)
+    path = store.join(table, _MANIFEST_DIR, _ckpt_name(version))
+    try:
+        data = store.read_bytes(path)
+    except FileNotFoundError:
+        return None
+    import io
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(io.BytesIO(data), columns=["kind", "payload"])
+    for kind, payload in zip(t.column("kind").to_pylist(), t.column("payload").to_pylist()):
+        if kind == "table":
+            row = json.loads(payload)
+            ml = row.get("meta_latest")
+            return dict(ml) if ml is not None else None
+    return None
+
+
+def _fold_meta_latest(table: str, version: int) -> dict:
+    """Latest value per meta key across versions 1..``version``:
+    anchored at the nearest older checkpoint that carries a fold, plus
+    the action records above it (O(interval) steady-state; the first
+    post-upgrade checkpoint on a long history walks it once). A pruned
+    record below an unfolded stretch simply bounds the fold — never an
+    error (gap-tolerant, like every meta walker)."""
+    store = get_log_store(table)
+    mdir = store.join(table, _MANIFEST_DIR)
+    metas: list[dict] = []
+    base: dict = {}
+    v = version
+    while v >= 1:
+        if v < version and store.exists(store.join(mdir, _ckpt_name(v))):
+            ml = _read_ckpt_meta_latest(table, v)
+            if ml is not None:
+                base = ml
+                break
+        try:
+            doc = _read_commit_doc(table, v)
+        except FileNotFoundError:
+            break  # pruned below: fold what survives
+        m = doc.get("meta")
+        if m:
+            metas.append(m)
+        v -= 1
+    out = dict(base)
+    for m in reversed(metas):
+        out.update(m)
+    return out
+
+
 def _write_checkpoint(table: str, version: int) -> bool:
     """Publish the parquet checkpoint for ``version`` (create-if-absent
     — concurrent checkpointers of the same version write identical
@@ -412,7 +476,9 @@ def _write_checkpoint(table: str, version: int) -> bool:
     store = get_log_store(table)
     mdir = store.join(table, _MANIFEST_DIR)
     if not store.exists(store.join(mdir, _ckpt_name(version))):
-        data = _encode_checkpoint(read_manifest(table, version))
+        data = _encode_checkpoint(
+            read_manifest(table, version), _fold_meta_latest(table, version)
+        )
         store.publish_atomic_bytes(mdir, _ckpt_name(version), data)
         if not store.exists(store.join(mdir, _ckpt_name(version))):
             return False
@@ -1436,6 +1502,8 @@ def latest_meta_value(table: str, key: str, cur: int | None = None):
     ``vacuum(prune_manifests=True)`` are skipped, never a crash — this
     is the walk every epoch-gated writer (streaming sink, foreachBatch
     router, incremental MV) shares."""
+    store = get_log_store(table)
+    mdir = store.join(table, _MANIFEST_DIR)
     v = current_version(table) if cur is None else (cur or 0)
     while v and v >= 1:
         try:
@@ -1443,10 +1511,22 @@ def latest_meta_value(table: str, key: str, cur: int | None = None):
             # walk costs O(1) per version — never a snapshot replay
             meta = _read_commit_doc(table, v).get("meta", {})
         except FileNotFoundError:
-            v -= 1
-            continue
-        if key in meta:
+            meta = None
+        if meta and key in meta:
             return meta[key]
+        # a checkpoint at this version carries the FOLDED latest value
+        # per key for everything at or below it (the Delta
+        # SetTransaction-in-checkpoint idea) — this is what keeps the
+        # epoch gate alive after vacuum(prune_manifests=True) deleted
+        # the commits that stamped it. A fold that lacks the key means
+        # the key never appeared below: stop, don't keep walking.
+        if (meta is None or store.exists(store.join(mdir, _ckpt_name(v)))):
+            ml = _read_ckpt_meta_latest(table, v)
+            if ml is not None:
+                return ml.get(key)
+            if meta is None:
+                v -= 1
+                continue  # pruned record, no folded checkpoint: skip the gap
         v -= 1
     return None
 

@@ -39,6 +39,14 @@ like the reader's); an object-store root would plug a pure-Python
 conditional-put client into the same seam. Output mode: append only —
 a manifest version IS an append; complete/update rewrites belong to
 batch ``write_table``/``upsert_table``.
+
+Column-mapped tables (round 9): the sink PINS the table's
+logical→physical mapping at stream start (the CDF reader's
+discipline) — executors rename the Arrow batches to physical names
+before writing, so a streamed append into a renamed table keeps the
+frozen physical layout; a rename landing mid-stream fails the
+micro-batch loudly at commit time (the checkpoint replays; a restart
+re-pins), never silently reverts the rename.
 """
 
 from __future__ import annotations
@@ -79,6 +87,16 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 "pure-Python conditional-put client for remote table roots"
             )
         self._schema = schema
+        # column mapping PINNED at stream start (the CDF reader's
+        # discipline): executors write PHYSICAL column names, so a
+        # column-mapped target table keeps its frozen physical layout
+        # under a streamed append; a rename landing mid-stream is
+        # detected at commit time (fail the batch, checkpoint replays)
+        cur = mf.current_version(self._table)
+        table_map = (
+            mf._mapping(mf.read_manifest(self._table, cur)) if cur is not None else None
+        )
+        self._mapping = mf._extend_mapping(table_map, [f.name for f in schema.fields])
 
     # -- phase 1: executors ------------------------------------------------
     def write(self, iterator: Iterator) -> ManifestWriteMessage:
@@ -87,13 +105,22 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
+        logical = to_arrow_schema(self._schema)
+        target = logical
+        if self._mapping:
+            # files of a column-mapped table store PHYSICAL names: cast
+            # to the logical schema (type discipline), then rename
+            target = pa.schema(
+                [f.with_name(self._mapping.get(f.name, f.name)) for f in logical]
+            )
         rel_dir = f"data/{uuid.uuid4().hex[:12]}"
         writer = None
         path = None
         rows = 0
         for batch in iterator:
-            tbl = pa.Table.from_batches([batch]).cast(target)
+            tbl = pa.Table.from_batches([batch]).cast(logical)
+            if self._mapping:
+                tbl = tbl.rename_columns(list(target.names))
             if writer is None:
                 os.makedirs(os.path.join(self._table, rel_dir), exist_ok=True)
                 path = f"{rel_dir}/part-0.parquet"
@@ -144,12 +171,18 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         reader's narrowing check."""
         if m is None:
             return
-        if m.get("column_mapping"):
+        # the executors wrote this epoch's files under the mapping PINNED
+        # at stream start; a rename/drop landing mid-stream makes that
+        # physical layout stale — fail the micro-batch loudly (the
+        # checkpoint replays it; a restarted stream re-pins), never
+        # silently revert the rename
+        table_map = mf._extend_mapping(
+            mf._mapping(m), [f.name for f in self._schema.fields]
+        )
+        if table_map != self._mapping:
             raise ValueError(
-                f"table {self._table} uses column mapping (renamed/dropped "
-                "columns); the streaming sink writes physical files straight "
-                "from the stream schema and does not translate — write via "
-                "batch write_table, or recreate the table without renames"
+                f"column mapping of {self._table} changed since this stream "
+                "started; restart the stream to re-pin the physical layout"
             )
         current = T.StructType.fromJson(json.loads(m["schema"]))
         incoming = {f.name: f.dataType for f in self._schema.fields}
@@ -196,6 +229,7 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 bloom_conf=mf._bloom_table_conf(m),
                 dv_files=mf._dv_set(m),  # streamed appends keep tombstones in effect
                 operation="streaming_append",
+                column_mapping=self._mapping,
             ):
                 return
             # CAS lost to a concurrent writer — recompute against the

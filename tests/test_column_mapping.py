@@ -145,6 +145,43 @@ def test_mapping_survives_checkpoint_roundtrip(spark, tmp_path):
     assert out.count() == 20 + M.CHECKPOINT_INTERVAL + 1
 
 
+def test_streaming_sink_into_mapped_table(spark, tmp_path):
+    """The streaming sink pins the column mapping at stream start:
+    executors write PHYSICAL names, so a streamed append into a renamed
+    table keeps the frozen physical layout and batch readers resolve
+    logical names across stream- and batch-written files alike."""
+    from cashback_data_pipeline_spark.streaming.manifest_sink import write_manifest_stream
+
+    t = str(tmp_path / "t")
+    M.write_table(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS amount"), t
+    )
+    M.rename_column(t, "amount", "value")
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .selectExpr("value AS k", "CAST(value AS DOUBLE) AS value")
+    )
+    q = (
+        write_manifest_stream(src, t, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = M.read_table(spark, t)
+    assert out.columns == ["k", "value"]
+    assert out.count() >= 5  # seed rows + whatever the rate source emitted
+    m = M.read_manifest(t, M.current_version(t))
+    assert m["column_mapping"]["value"] == "amount"
+    # stream-written files carry the PHYSICAL name on disk
+    store = M.get_log_store(t)
+    newest = [f for f in m["files"] if f not in M.read_manifest(t, 2)["files"]]
+    if newest:
+        import pyarrow.parquet as pq
+
+        cols = pq.ParquetFile(store.join(t, newest[0])).schema_arrow.names
+        assert "amount" in cols and "value" not in cols
+
+
 def test_cdf_stream_across_rename(spark, tmp_path):
     """A change-feed stream started BEFORE a rename keeps flowing after
     it (pinned names), and a stream started AFTER reads pre-rename files

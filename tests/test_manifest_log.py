@@ -152,6 +152,33 @@ def test_prune_manifests_anchors_horizon_with_checkpoint(spark, tmp_path):
     assert M.write_table(_df(spark, 0, 1).coalesce(1), t, mode="append") == n + 1
 
 
+def test_meta_latest_survives_log_pruning(spark, tmp_path):
+    """The Delta SetTransaction-in-checkpoint idea: checkpoints fold the
+    latest value per meta key, so the streaming epoch gate survives
+    vacuum(prune_manifests=True) even when every commit that stamped
+    ``max_epoch`` is pruned and only non-epoch commits (compactions)
+    remain in the retained log — previously the gate would read -1 and
+    a replayed epoch would double-commit."""
+    from cashback_data_pipeline_spark.streaming import jobs
+
+    t = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, "keep")], "id long, route string")
+    for epoch in range(6):  # v1..v6 carry epoch meta (max_epoch ends at 5)
+        assert jobs.route_batch_to_manifest(batch, epoch, t) is True
+    for _ in range(3):  # v7..v9: compactions carry NO epoch meta
+        M.compact_table(spark, t, n_files=1)
+    M.vacuum(t, keep_last=2, min_age_s=0.0, prune_manifests=True)
+    with pytest.raises(FileNotFoundError):
+        M._read_commit_doc(t, 6)  # the last epoch-stamped record is gone
+    assert M.latest_meta_value(t, "max_epoch") == 5  # folded in the anchor ckpt
+    # the replay gate therefore still holds: epoch 5 is a no-op
+    assert jobs.route_batch_to_manifest(batch, 5, t) is False
+    assert M.read_table(spark, t).count() == 6
+    # and a genuinely new epoch still commits
+    assert jobs.route_batch_to_manifest(batch, 6, t) is True
+    assert M.latest_meta_value(t, "max_epoch") == 6
+
+
 def test_snapshot_cache_never_serves_a_recreated_table_stale(spark, tmp_path):
     t = str(tmp_path / "t")
     M.write_table(_df(spark, 0, 10, tag="old"), t)
