@@ -41,15 +41,19 @@ Semantics:
   table simply never projects unresolved physicals (a dropped column's
   data stays in old files forever).
 - ``maxVersionsPerTrigger`` bounds how many commits one micro-batch
-  drains (backlog catch-up without one giant batch). Best-effort, like
-  Delta's maxFilesPerTrigger, on PROCESSING-TIME triggers, and it
-  engages from a run's SECOND trigger: the first ``latestOffset``
-  arrives before the reader can learn a restarted query's checkpointed
-  offset, and clamping it against ``startingVersion`` would hand Spark
-  an offset BELOW the checkpoint — re-delivering old versions. The
-  first batch of a run is therefore unclamped (``availableNow``, which
-  plans against one latestOffset call, drains in one batch for the
-  same reason).
+  drains; ``maxFilesPerTrigger`` (Delta's option, round 9) bounds the
+  ADDED FILES instead — the real backlog unit at scale, where one
+  commit may add 1 file or 10⁴ (the clamp walks action records, O(1)
+  per version, and always advances at least one version so a jumbo
+  commit still drains, just alone; both clamps compose, tighter wins).
+  Best-effort on PROCESSING-TIME triggers, and they engage from a
+  run's SECOND trigger: the first ``latestOffset`` arrives before the
+  reader can learn a restarted query's checkpointed offset, and
+  clamping it against ``startingVersion`` would hand Spark an offset
+  BELOW the checkpoint — re-delivering old versions. The first batch
+  of a run is therefore unclamped (``availableNow``, which plans
+  against one latestOffset call, drains in one batch for the same
+  reason).
 
 Worker-side reads go through pyarrow (the Python DataSource contract —
 ``read`` yields Arrow record batches, Spark's vectorized path). Plain
@@ -140,6 +144,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
         ).lower() in ("true", "1", "yes")
         self._max_versions = int(options.get("maxversionspertrigger", 0)) or None
+        self._max_files = int(options.get("maxfilespertrigger", 0)) or None
         self._anchor: int | None = None  # last end version Spark finished or planned
         # the logical→physical column mapping, PINNED at query start
         # like the schema: a rename mid-stream is a metadata-only commit
@@ -170,6 +175,20 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         # (duplicate rows). Unclamped-first-batch is the safe direction.
         if self._max_versions and self._anchor is not None:
             cur = min(cur, self._anchor + self._max_versions)
+        if self._max_files and self._anchor is not None and cur > self._anchor:
+            # clamp by ADDED FILES (Delta's maxFilesPerTrigger — the real
+            # backlog unit at scale: one commit may add 1 file or 10⁴).
+            # Each step reads ONE action record (O(1) since the format-2
+            # log); the window always advances at least one version, so
+            # a single jumbo commit still drains — just alone.
+            budget = self._max_files
+            v = self._anchor
+            while v < cur:
+                budget -= len(mf.version_changes(self._table, v + 1)["added"])
+                if budget < 0 and v > self._anchor:
+                    break
+                v += 1
+            cur = v
         self._anchor = max(cur, self._anchor or 0)
         return {"version": cur}
 

@@ -177,6 +177,45 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
         q.stop()
 
 
+def test_max_files_per_trigger_bounds_batches_by_added_files(spark, tmp_path):
+    """maxFilesPerTrigger (round 9, the Delta option): the clamp counts
+    ADDED FILES per commit from the action records — commits with many
+    files spread over more batches than commits with few; a single
+    jumbo commit still drains alone."""
+    import time
+
+    table = str(tmp_path / "t")
+    mf.write_table(_rows(spark, 8), table, mode="append")  # backlog: 1 commit
+    stream = cdf_source.read_manifest_stream(spark, table, maxFilesPerTrigger=4)
+    name = f"cdf_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 8:
+            time.sleep(0.5)
+        # 6 commits of ~2 files each land while the query runs: at most
+        # 4 files = 2 commits may drain per post-backlog batch
+        for i in range(1, 7):
+            mf.write_table(
+                _rows(spark, 10, start=i * 100).repartition(2), table, mode="append"
+            )
+        while time.time() < deadline and spark.table(name).count() < 68:
+            time.sleep(0.5)
+        assert spark.table(name).count() == 68  # everything delivered, once
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        post_backlog = batches[1:]
+        assert len(post_backlog) >= 3  # 6 commits / ≤2 per batch
+        assert max(p["numInputRows"] for p in post_backlog) <= 20
+    finally:
+        q.stop()
+
+
 def test_rate_limited_restart_never_regresses_offsets(spark, tmp_path):
     """Review finding: with maxVersionsPerTrigger, a restarted query's
     first latestOffset used to clamp against startingVersion and return
