@@ -128,6 +128,14 @@ HEADLINE = [
     # full availableNow drain through the Python DataSource — the whole
     # tail-a-table lifecycle in one number)
     "streaming_manifest_cdf",
+    # round-9 surfaces: the SQL DML front door (clustered build +
+    # delete→update→merge + history audit), column-mapping evolution
+    # (clustered build + metadata-only rename + post-rename append),
+    # and the baseline-JPEG codec (encode+decode per doc, bit-exact
+    # asserted in-kernel)
+    "manifest_sql_dml",
+    "manifest_column_rename",
+    "multimodal_jpeg_decode",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume
