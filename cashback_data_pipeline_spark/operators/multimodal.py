@@ -338,13 +338,15 @@ _JH_AC_CHROM = (
 
 
 def _jpeg_dct_matrix():
+    import math
+
     import numpy as np
 
     m = np.zeros((8, 8))
     for u in range(8):
         cu = (0.5 ** 0.5) if u == 0 else 1.0
         for x in range(8):
-            m[u, x] = 0.5 * cu * __import__("math").cos((2 * x + 1) * u * __import__("math").pi / 16)
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
     return m
 
 
