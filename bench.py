@@ -136,6 +136,9 @@ HEADLINE = [
     "manifest_sql_dml",
     "manifest_column_rename",
     "multimodal_jpeg_decode",
+    # image near-dup: dHash over real decoded pixels + 4-band Hamming
+    # LSH (pixel-free shuffles; the multimodal dedup path)
+    "image_dhash_near_dups",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume

@@ -982,6 +982,122 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def image_dhash(payload: bytes, grid: tuple[int, int] = (8, 9)) -> int:
+    """Perceptual difference hash (dHash — public design: a row-gradient
+    sign hash over a coarse luma grid) computed from REAL decoded pixels
+    (PNG or baseline JPEG via :func:`decode_image_real`): the image's
+    luma plane is block-averaged onto an 8×9 grid and each of the 64
+    bits records whether a cell is brighter than its right neighbor.
+    Robust to uniform brightness shifts and re-encoding; a near-dup
+    image flips few bits. Returned as a SIGNED 64-bit int (bit 63 wraps
+    negative) so it stores in a Spark LongType; Hamming distance is
+    ``bit_count(a XOR b)`` either way. Deterministic: block boundaries
+    are ``i*H//rows`` integer splits, means are float64 sums/areas —
+    when the image dimensions divide the grid exactly (e.g. 36×16),
+    cell means of constant tiles are EXACT, which is what lets a DuckDB
+    oracle recompute the hash arithmetically."""
+    import numpy as np
+
+    img = decode_image_real(payload)
+    h, w, ch = img["height"], img["width"], img["channels"]
+    px = np.frombuffer(img["pixels"], np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch >= 3:
+        gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    else:
+        gray = px[..., 0]  # grayscale (alpha, if any, ignored)
+    rows, cols = grid
+    if h < rows or w < cols:
+        raise ValueError(f"image {w}x{h} too small for a {cols}x{rows} dhash grid")
+    rb = [i * h // rows for i in range(rows + 1)]
+    cb = [j * w // cols for j in range(cols + 1)]
+    means = np.empty((rows, cols))
+    for r in range(rows):
+        for c in range(cols):
+            means[r, c] = gray[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean()
+    bits = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            if means[r, c] > means[r, c + 1]:
+                bits |= 1 << (r * (cols - 1) + c)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-duplicate pairs via dHash + BANDED Hamming LSH — the
+    multimodal twin of the simhash text path, and the image-dedup
+    operator a crawled multimodal corpus needs (re-encoded / slightly
+    retouched copies share most gradient signs).
+
+    Plan (never all-pairs): one Arrow-batched kernel decodes payloads
+    and emits 64-bit dHashes (the shuffle carries 8-byte hashes, never
+    pixels); each hash splits into FOUR 16-bit bands, candidates come
+    from four equi-joins on (band_index, band_value) — by pigeonhole,
+    ``max_hamming ≤ 3`` bit flips cannot touch all four bands, so every
+    qualifying pair shares at least one band and RECALL IS EXACT — and
+    the exact Hamming re-check (``bit_count(a XOR b)``, whole-stage
+    codegen) keeps precision exact. Returns (a_id, b_id, hamming),
+    a_id < b_id, one row per pair."""
+    import pandas as pd
+
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4 bands guarantee exact recall only "
+            "for Hamming <= 3 (pigeonhole); raise the band count for more"
+        )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "dhash": pdf[payload_col].map(lambda p: image_dhash(bytes(p))),
+                }
+            )
+
+    hashes = df.select(id_col, payload_col).mapInPandas(kernel, "id long, dhash long")
+    bands = hashes.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("dhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "dhash", "b.band", "b.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may share several bands; one row per pair
+    )
+    return pairs
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, id_col: str = "media_id"
 ) -> DataFrame:

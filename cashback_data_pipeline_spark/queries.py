@@ -3889,6 +3889,87 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dhash_near_dups",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 34 AS g, (doc_id % 34 = 17) AS odd
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    k AS (SELECT i FROM generate_series(0, 71) t(i)),
+    cells AS (
+      SELECT d.doc_id, k.i,
+             (CASE WHEN d.odd AND k.i = 0 THEN ((d.g * 37 + 17) % 120) * 2
+                   WHEN d.odd AND k.i = 1 THEN ((d.g * 37) % 120) * 2
+                   ELSE ((d.g * 37 + 17 * k.i) % 120) * 2 END)
+             + CASE WHEN d.odd THEN 1 ELSE 0 END AS v
+      FROM d, k
+    ),
+    bits AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN (l.i // 9) * 8 + (l.i % 9) < 32 AND l.v > r.v
+                           THEN (CAST(1 AS BIGINT) << ((l.i // 9) * 8 + (l.i % 9)))
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN (l.i // 9) * 8 + (l.i % 9) >= 32 AND l.v > r.v
+                           THEN (CAST(1 AS BIGINT) << ((l.i // 9) * 8 + (l.i % 9) - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM cells l JOIN cells r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+                               AND (l.i % 9) < 8
+      GROUP BY l.doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+             AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via perceptual dHash over REAL
+    decoded pixels (operators.multimodal.image_dhash / image_near_dups
+    — the multimodal twin of the simhash text path, and the image-dedup
+    operator a crawled corpus needs): each selected document
+    manufactures a 36×16 PNG of 4×2-px constant tiles on the hash's own
+    9×8 cell grid — cell means are therefore EXACT, which is what makes
+    a lossy-perception hash DuckDB-oracle-able at all. Documents pair
+    up per 34-id block: the odd member gets a uniform +1 brightness
+    shift (dHash-invariant by construction — gradient signs cannot
+    move) plus ONE swapped tile pair, flipping exactly the gradient
+    bits the oracle recomputes arithmetically; pairs within Hamming ≤ 3
+    surface through FOUR 16-bit LSH bands (pigeonhole: ≤3 flips cannot
+    touch all four bands — exact recall, no all-pairs join; the shuffle
+    carries 8-byte hashes, never pixels), then the exact
+    ``bit_count(XOR)`` re-check. Oracle = the same cell arithmetic +
+    pairwise Hamming in SQL."""
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(17)) == 0
+    ).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, odd = doc_id // 34, (doc_id % 34 == 17)
+                vals = [((g * 37 + 17 * k) % 120) * 2 for k in range(72)]
+                if odd:
+                    vals[0], vals[1] = vals[1], vals[0]
+                    vals = [v + 1 for v in vals]
+                px = bytes(
+                    vals[(y // 2) * 9 + (x // 4)] for y in range(16) for x in range(36)
+                )
+                out.append((doc_id, multimodal.encode_png(px, 36, 16, 1)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    pairs = multimodal.image_near_dups(media, max_hamming=3)
+    return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "multimodal_wav_decode",
     sql="""
     WITH d AS (
@@ -7123,7 +7204,8 @@ _ROUND9_WINDOW = [
     "event_funnel",
     "time_grain_rollup",
     "compound_null_predicate",
-    "null_safe_join",
+    # new in the second round-9 session: image near-dup via dHash
+    "image_dhash_near_dups",
 ]
 
 

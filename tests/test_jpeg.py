@@ -128,6 +128,65 @@ def test_annex_k_tables_are_structurally_canonical():
     assert mm._JQ_LUM[0] == 16 and mm._JQ_CHROM[0] == 17
 
 
+def _dhash_image(g, odd=False, swap=None):
+    vals = [((g * 37 + 17 * k) % 120) * 2 for k in range(72)]
+    if odd:
+        vals = [v + 1 for v in vals]
+    if swap:
+        i, j = swap
+        vals[i], vals[j] = vals[j], vals[i]
+    px = bytes(vals[(y // 2) * 9 + (x // 4)] for y in range(16) for x in range(36))
+    return mm.encode_png(px, 36, 16, 1)
+
+
+def test_dhash_brightness_invariance_and_locality():
+    base = mm.image_dhash(_dhash_image(3))
+    assert mm.image_dhash(_dhash_image(3, odd=True)) == base  # uniform shift
+    perturbed = mm.image_dhash(_dhash_image(3, swap=(0, 1)))
+    d = bin((base ^ perturbed) & ((1 << 64) - 1)).count("1")
+    assert 1 <= d <= 3  # one swapped tile pair flips only local gradients
+    other = mm.image_dhash(_dhash_image(4))
+    assert bin((base ^ other) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_dhash_cross_codec_and_rgb_luma():
+    vals = [((5 + 13 * k) % 128) * 2 for k in range(72)]
+    px = bytes(vals[(y // 8) * 9 + (x // 8)] for y in range(64) for x in range(72))
+    png = mm.encode_png(px, 72, 64, 1)
+    jpg = mm.encode_jpeg(px, 72, 64, 1)  # 8×8 tiles: JPEG-exact class
+    assert mm.image_dhash(png) == mm.image_dhash(jpg)
+    rgb = bytes(b for v in px for b in (v, v, v))  # R=G=B ⇒ luma = gray
+    assert mm.image_dhash(mm.encode_png(rgb, 72, 64, 3)) == mm.image_dhash(png)
+    with pytest.raises(ValueError, match="too small"):
+        mm.image_dhash(mm.encode_png(bytes(8), 8, 1, 1))
+
+
+def test_image_near_dups_banding_is_exact_for_hamming_3(spark):
+    """The 4-band LSH must find EXACTLY the pairs a brute-force Hamming
+    scan finds at the ≤3 threshold (pigeonhole recall), with pixel-free
+    shuffles and one row per pair."""
+    rows = []
+    for g in range(12):
+        rows.append((g * 2, _dhash_image(g)))
+        rows.append((g * 2 + 1, _dhash_image(g, odd=True, swap=(0, 1))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in mm.image_near_dups(df, max_hamming=3).collect()
+    }
+    hashes = {mid: mm.image_dhash(p) for mid, p in rows}
+    want = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want and len(want) >= 12
+    with pytest.raises(ValueError, match="max_hamming"):
+        mm.image_near_dups(df, max_hamming=7)
+
+
 def test_decode_image_real_dispatch_and_features(spark):
     """The codec seam routes JPEG magic to the real decoder, and
     extract_features computes from actual JPEG pixels through the same
