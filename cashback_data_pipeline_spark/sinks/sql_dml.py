@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 from cashback_data_pipeline_spark.sinks import manifest as M
 
