@@ -565,24 +565,31 @@ class _JpegBitReader:
         self._acc = 0
         self._n = 0
         self.pending_marker: int | None = None
+        self._pending_end = 0  # byte offset just past the pending marker
 
     def _fill(self) -> None:
         if self.pending_marker is not None:
             raise ValueError("JPEG entropy data ended at a marker mid-symbol")
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy data")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt is None:
+        while True:
+            if self.pos >= len(self.data):
                 raise ValueError("truncated JPEG entropy data")
-            else:
-                self.pending_marker = nxt
-                raise ValueError("JPEG entropy data ended at a marker mid-symbol")
-        else:
-            self.pos += 1
+            b = self.data[self.pos]
+            if b != 0xFF:
+                self.pos += 1
+                break
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt is None:
+                raise ValueError("truncated JPEG entropy data")
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF datum
+                break
+            if nxt == 0xFF:
+                # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
+                self.pos += 1
+                continue
+            self.pending_marker = nxt
+            self._pending_end = self.pos + 2
+            raise ValueError("JPEG entropy data ended at a marker mid-symbol")
         self._acc = (self._acc << 8) | b
         self._n += 8
 
@@ -598,14 +605,25 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def _scan_marker(self, p: int) -> tuple[int | None, int]:
+        """(marker, end_offset) at byte offset ``p``, skipping any run of
+        0xFF fill bytes (T.81 allows FF FF ... FF Dn); (None, p) if the
+        bytes at ``p`` are not a marker."""
+        while (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and self.data[p + 1] == 0xFF
+        ):
+            p += 1
+        if p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+            return self.data[p + 1], p + 2
+        return None, p
+
     def at_marker(self) -> int | None:
         """The marker at the CURRENT byte boundary, if any (peek)."""
         if self.pending_marker is not None:
             return self.pending_marker
-        p = self.pos
-        if p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] != 0x00:
-            return self.data[p + 1]
-        return None
+        return self._scan_marker(self.pos)[0]
 
     def consume_marker(self) -> int:
         self._acc = 0
@@ -613,13 +631,12 @@ class _JpegBitReader:
         if self.pending_marker is not None:
             m = self.pending_marker
             self.pending_marker = None
-            # pos already sits ON the 0xFF byte
-            self.pos += 2
+            self.pos = self._pending_end
             return m
-        if self.data[self.pos] != 0xFF:
+        m, end = self._scan_marker(self.pos)
+        if m is None:
             raise ValueError("expected a JPEG marker")
-        m = self.data[self.pos + 1]
-        self.pos += 2
+        self.pos = end
         return m
 
 
@@ -654,12 +671,21 @@ def decode_jpeg(payload: bytes) -> dict:
     restart = 0
     pos = 2
     data = payload
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before SOS
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone — no length segment follows
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:

@@ -798,6 +798,7 @@ def _read_files(
     rel_files: list[str],
     dv_files: list[str] | None,
     mapping: list[tuple[str, str]] | None = None,
+    schema_json: str | None = None,
 ) -> DataFrame:
     """Scan a pinned file list with the version's DELETION VECTORS
     applied (the Delta merge-on-read read path): rows whose
@@ -809,7 +810,16 @@ def _read_files(
     No DVs ⇒ the plain parquet scan, zero overhead. ``mapping`` is the
     version's (logical, physical) column pairs (:func:`_mapping_pairs`):
     the scan sees physical names, the returned frame logical ones — a
-    drop is simply an unselected physical."""
+    drop is simply an unselected physical.
+
+    ``schema_json`` (the commit's schema) pins the SCAN schema instead
+    of letting Spark infer it from one file: files written before a
+    column existed read that column as NULL (the Delta schema-evolution
+    / metadata-only ADD COLUMN semantics), and the parquet readers'
+    widening promotions (Spark 4: int→long, float→double) resolve
+    narrower old files under the committed wider type. Without it a
+    mixed-physical-schema file list would resolve to whichever file the
+    reader sampled."""
 
     def _logical(df: DataFrame) -> DataFrame:
         if not mapping:
@@ -817,7 +827,19 @@ def _read_files(
         return df.select(*[F.col(p).alias(n) for n, p in mapping])
 
     store = get_log_store(table)
-    out = spark.read.parquet(*[store.join(table, f) for f in rel_files])
+    reader = spark.read
+    if schema_json:
+        logical = T.StructType.fromJson(json.loads(schema_json))
+        pmap = dict(mapping) if mapping else {}
+        reader = reader.schema(
+            T.StructType(
+                [
+                    T.StructField(pmap.get(f.name, f.name), f.dataType, True, f.metadata)
+                    for f in logical.fields
+                ]
+            )
+        )
+    out = reader.parquet(*[store.join(table, f) for f in rel_files])
     if not dv_files:
         return _logical(out)
     cols = out.columns
@@ -1016,8 +1038,11 @@ def write_table(
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
-        if mapping is None:
-            filestats.validate_stats_cols(df.schema, list(stats_cols))
+        # validate the LOGICAL names against the logical schema (always —
+        # a misspelled/unprunable stats column on a column-mapped table
+        # must fail as loudly as on an unmapped one, ADVICE r9), then
+        # translate to physical names for collection
+        filestats.validate_stats_cols(df.schema, list(stats_cols))
         spark = df.sparkSession
         # stats are keyed by PHYSICAL column names (collected from the
         # written files); skip= predicates translate at read time
@@ -1114,7 +1139,10 @@ def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -
         # NULL-SAFE key matching (ADVICE r8): a NULL delete key must
         # remove the NULL-keyed row — the one-row-per-key invariant
         # treats NULL as a key group, so the DML surface must too
-        target = _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
+        target = _read_files(
+            spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
+            schema_json=m["schema"],
+        )
         dk = keys_only.select(F.col(key).alias("__del_key"))
         survivors = target.join(
             dk, on=target[key].eqNullSafe(dk["__del_key"]), how="left_anti"
@@ -1204,11 +1232,13 @@ def rename_column(table: str, old: str, new: str) -> int:
                 "bloom_cols before renaming"
             )
         mapping = dict(_mapping(m) or {n: n for n in names})
-        mapping[new] = mapping.pop(old)
+        mapping[new] = mapping.pop(old, old)
         for f in schema["fields"]:
             if f["name"] == old:
                 f["name"] = new
-        mapping = {f["name"]: mapping[f["name"]] for f in schema["fields"]}
+        # identity default for any column a partial historical mapping
+        # missed (ADVICE r9) — a partial mapping stays usable
+        mapping = {f["name"]: mapping.get(f["name"], f["name"]) for f in schema["fields"]}
         if _try_commit(
             table,
             cur + 1,
@@ -1252,7 +1282,7 @@ def drop_column(table: str, col: str) -> int:
         mapping = dict(_mapping(m) or {n: n for n in names})
         mapping.pop(col, None)
         schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
-        mapping = {f["name"]: mapping[f["name"]] for f in schema["fields"]}
+        mapping = {f["name"]: mapping.get(f["name"], f["name"]) for f in schema["fields"]}
         if _try_commit(
             table,
             cur + 1,
@@ -1383,8 +1413,7 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
-        if mapping is None:
-            filestats.validate_stats_cols(df.schema, list(stats_cols))
+        filestats.validate_stats_cols(df.schema, list(stats_cols))
         stats = filestats.collect_file_stats(
             df.sparkSession, table, files, _phys_cols(mapping, list(stats_cols))
         )
@@ -1620,7 +1649,10 @@ def read_table(
     if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    out = _read_files(spark, table, files, _dv_set(m), mapping=_mapping_pairs(m))
+    out = _read_files(
+        spark, table, files, _dv_set(m), mapping=_mapping_pairs(m),
+        schema_json=m["schema"],
+    )
     if skip:
         out = out.filter(filestats.skip_condition(skip))
     return out
@@ -1674,7 +1706,10 @@ def read_changes(
     if not added:
         schema = T.StructType.fromJson(json.loads(m_to["schema"]))
         return spark.createDataFrame([], schema)
-    return _read_files(spark, table, added, None, mapping=_mapping_pairs(m_to))
+    return _read_files(
+        spark, table, added, None, mapping=_mapping_pairs(m_to),
+        schema_json=m_to["schema"],
+    )
 
 
 def read_changes_rows(
@@ -1727,7 +1762,8 @@ def read_changes_rows(
             )
             return spark.createDataFrame([], out_schema)
         return _read_files(
-            spark, table, added, None, mapping=_mapping_pairs(m_to)
+            spark, table, added, None, mapping=_mapping_pairs(m_to),
+            schema_json=m_to["schema"],
         ).withColumn("_change_type", F.lit("insert"))
     if from_version == 0:
         # snapshot bootstrap: everything visible at to_v is an insert —
@@ -1999,7 +2035,8 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         if cand:
             target = _read_files(
-                spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m)
+                spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
+                schema_json=m["schema"],
             )
             # NULL-SAFE key collision (ADVICE r8): the NULL group is a
             # key like any other (matching _one_row_per_key's window
@@ -2093,7 +2130,10 @@ def append_table_if_absent(
                 # absent, so the NOT-EXISTS load re-admits it (ghost keys
                 # must not block re-insertion)
                 target_keys = (
-                    _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
+                    _read_files(
+                        spark, table, cand, _dv_set(m),
+                        mapping=_mapping_pairs(m), schema_json=m["schema"],
+                    )
                     .select(F.col(key).alias("__seen_key"))
                     .distinct()
                 )
@@ -2175,7 +2215,10 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         carried = [f for f in files if f not in cand_set]
         if not cand:
             return cur  # stats prove nothing matches — no version churn
-        snap = _read_files(spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m))
+        snap = _read_files(
+            spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
+            schema_json=m["schema"],
+        )
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
         new_files = _write_data_files(rewritten, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
@@ -2456,6 +2499,20 @@ def vacuum(
         needs_anchor = horizon_doc is not None and "files" not in horizon_doc
         if needs_anchor and not _write_checkpoint(table, horizon):
             prunable = []  # no anchor, no pruning — never strand the horizon
+        elif prunable:
+            # a self-anchoring (legacy full-snapshot) horizon needs no
+            # checkpoint, but the POINTER must still advance before any
+            # deletion (ADVICE r9): a reader whose stale hint passed the
+            # exists() check could otherwise probe up into the pruned
+            # gap and return a stale lower version — current_version's
+            # post-probe pointer re-read only saves it if the pointer
+            # moved first. v<horizon>.json exists, so the hint verifies.
+            prev = _read_pointer(store, table)
+            if prev is None or prev < horizon:
+                store.write_overwrite(
+                    manifest_dir, _LAST_CKPT,
+                    json.dumps({"version": horizon}).encode("utf-8"),
+                )
     for name in manifest_names:
         if name.startswith(TMP_PREFIX):
             if _aged(name):

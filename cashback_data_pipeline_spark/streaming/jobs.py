@@ -495,6 +495,12 @@ def route_batch_to_manifest(
             bloom_conf=M._bloom_table_conf(m),
             dv_files=M._dv_set(m),
             operation="streaming_append",
+            # the data files were written under the EXTENDED mapping
+            # (new batch columns get identity entries); committing the
+            # inherited parent mapping instead would leave those columns
+            # unmapped — a later rename/drop rebuilds the mapping over
+            # the schema and KeyErrors on them (ADVICE r9)
+            column_mapping=used_mapping,
         ):
             return True
         # CAS lost — re-check the gate against the winner's version
@@ -572,9 +578,8 @@ def _merge_aggregate_delta(
             return False
         merged = _merge_view(spark, delta, table, cur, keys)
         m_cur = M.read_manifest(table, cur) if cur is not None else None
-        files = M._write_data_files(
-            merged, table, mapping=M._extend_mapping(M._mapping(m_cur), merged.columns)
-        )
+        mapping = M._extend_mapping(M._mapping(m_cur), merged.columns)
+        files = M._write_data_files(merged, table, mapping=mapping)
         if M._try_commit(
             table,
             (cur or 0) + 1,
@@ -582,6 +587,11 @@ def _merge_aggregate_delta(
             cur,
             merged.schema.json(),
             meta={"epoch": int(epoch_id), "max_epoch": max(int(epoch_id), prev_max)},
+            # carry the bloom table property and the EXTENDED mapping the
+            # data files were written under — the first maintenance
+            # commit must not silently drop either (ADVICE r9)
+            bloom_conf=M._bloom_table_conf(m_cur),
+            column_mapping=mapping,
             operation="overwrite",
         ):
             return True
