@@ -89,6 +89,9 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
+        # the manifest batch DataSource prunes files from pushed filters
+        # (sources/manifest_source.py); off by default in Spark 4.1
+        ("spark.sql.python.filterPushdown.enabled", "true"),
         # runtime-settable: the driver's plain session defaults to 200
         # shuffle partitions — needless task overhead at test scale
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),

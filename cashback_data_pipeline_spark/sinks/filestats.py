@@ -48,7 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-OPS = ("==", "=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
+OPS = (
+    "==", "=", "!=", "<>", "<", "<=", ">", ">=",
+    "in", "not_in", "is_null", "is_not_null",
+)
 
 _STATS_OK_TYPES = (
     T.ByteType,
@@ -142,18 +145,29 @@ def _normalize_node(spec):
     Accepted surface forms (VERDICT r7 item 3 — the Delta/Iceberg
     data-skipping predicate breadth):
 
-    - ``(col, op, literal)`` — a comparison leaf (ops ``== = < <= > >=``)
-    - ``(col, "in", [literals])`` — membership leaf
+    - ``(col, op, literal)`` — a comparison leaf (ops ``== = != <> < <=
+      > >=``)
+    - ``(col, "in", [literals])`` / ``(col, "not_in", [literals])`` —
+      membership leaves
     - ``(col, "is_null")`` / ``(col, "is_not_null")`` — null-test leaf
       (also accepted as a 3-tuple with ``None``)
     - ``[spec, ...]`` — conjunction (the original AND-list form)
     - ``("and", [specs])`` / ``("or", [specs])`` — explicit boolean nodes,
       nestable — e.g. the TPC-H Q19 shape is an OR of range conjunctions
+    - ``("not", spec)`` — negation, pushed down to the leaves at
+      normalization (VERDICT r9 item 1). Sound under SQL three-valued
+      logic because a WHERE filter keeps exactly the rows where the
+      predicate is TRUE: ``NOT p`` is TRUE iff ``p`` is FALSE, so
+      ``NOT (x < v)`` filters identically to ``x >= v`` (a NULL ``x``
+      satisfies neither), De Morgan preserves TRUE-ness in Kleene
+      logic, and the null tests negate exactly.
     """
     if isinstance(spec, list):
         return ("and", [_normalize_node(s) for s in spec])
     if not isinstance(spec, tuple):
         raise ValueError(f"skip spec nodes are tuples/lists, got {type(spec).__name__}")
+    if len(spec) == 2 and spec[0] == "not" and isinstance(spec[1], (list, tuple)):
+        return _negate_node(_normalize_node(spec[1]))
     if len(spec) == 2 and spec[0] in ("and", "or") and isinstance(spec[1], (list, tuple)):
         return (spec[0], [_normalize_node(s) for s in spec[1]])
     if len(spec) == 2:
@@ -168,16 +182,37 @@ def _normalize_node(spec):
     if op in ("is_null", "is_not_null"):
         if val is not None:
             raise ValueError(f"{op} takes no literal, got {val!r}")
-    elif op == "in":
+    elif op in ("in", "not_in"):
         vals = list(val) if isinstance(val, (list, tuple, set, frozenset)) else None
         if vals is None:
-            raise ValueError("'in' needs a list/tuple/set of literals")
+            raise ValueError(f"{op!r} needs a list/tuple/set of literals")
         if any(v is None for v in vals):
-            raise ValueError("'in' literals must be non-null (use is_null)")
+            raise ValueError(f"{op!r} literals must be non-null (use is_null)")
         val = sorted(vals, key=repr)  # canonical order: deterministic residual plan
     elif val is None:
         raise ValueError("skip predicates compare against a non-null literal")
-    return ("leaf", col, "==" if op == "=" else op, val)
+    op = {"=": "==", "<>": "!="}.get(op, op)
+    return ("leaf", col, op, val)
+
+
+_NEGATED_OP = {
+    "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "in": "not_in", "not_in": "in", "is_null": "is_not_null",
+    "is_not_null": "is_null",
+}
+
+
+def _negate_node(node):
+    """Push a NOT down to the leaves (De Morgan + operator flips). Each
+    flip filters identically to the SQL NOT under three-valued logic —
+    see the ``("not", spec)`` note in :func:`_normalize_node`."""
+    kind = node[0]
+    if kind == "and":
+        return ("or", [_negate_node(c) for c in node[1]])
+    if kind == "or":
+        return ("and", [_negate_node(c) for c in node[1]])
+    _, col, op, lit = node
+    return ("leaf", col, _NEGATED_OP[op], lit)
 
 
 def _leaf_may_match(entry: dict, col: str, op: str, lit) -> bool:
@@ -210,12 +245,26 @@ def _leaf_may_match(entry: dict, col: str, op: str, lit) -> bool:
             if lo_e <= e <= hi_e:
                 return True
         return False
+    if op == "not_in":
+        # prunable only when min == max == e for some listed e: every
+        # non-null value provably equals a listed literal, so no row
+        # satisfies the NOT IN (the Delta negation-pruning bound —
+        # anything looser keeps the file)
+        for e in lit:
+            lo_e = _coerce(st.get("min"), e)
+            hi_e = _coerce(st.get("max"), e)
+            if lo_e is not None and hi_e is not None and lo_e == e == hi_e:
+                return False
+        return True
     lo = _coerce(st.get("min"), lit)
     hi = _coerce(st.get("max"), lit)
     if lo is None or hi is None:
         return True  # bounds unusable for this literal — keep
     if op == "==":
         return lo <= lit <= hi
+    if op == "!=":
+        # skip only a constant file whose single value IS the literal
+        return not (lo == lit == hi)
     if op == "<":
         return lo < lit
     if op == "<=":
@@ -540,12 +589,15 @@ def _node_condition(node):
     c = F.col(col)
     if op == "in":
         return c.isin(*lit)
+    if op == "not_in":
+        return ~c.isin(*lit)  # NULL for NULL c — SQL NOT IN semantics
     if op == "is_null":
         return c.isNull()
     if op == "is_not_null":
         return c.isNotNull()
     return {
         "==": c == F.lit(lit),
+        "!=": c != F.lit(lit),
         "<": c < F.lit(lit),
         "<=": c <= F.lit(lit),
         ">": c > F.lit(lit),

@@ -711,6 +711,8 @@ def _phys_predicates(spec, mapping: dict | None):
         and isinstance(spec[1], (list, tuple))
     ):
         return (spec[0], [_phys_predicates(s, mapping) for s in spec[1]])
+    if len(spec) == 2 and spec[0] == "not" and isinstance(spec[1], (list, tuple)):
+        return ("not", _phys_predicates(spec[1], mapping))
     return (mapping.get(spec[0], spec[0]), *spec[1:])
 
 

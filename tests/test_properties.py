@@ -217,26 +217,43 @@ _sk_col = st.sampled_from(["a", "b"])
 
 def _sk_leaf():
     return st.one_of(
-        st.tuples(_sk_col, st.sampled_from(["==", "<", "<=", ">", ">="]), _sk_lit),
-        st.tuples(_sk_col, st.just("in"), st.lists(_sk_lit, min_size=1, max_size=3)),
+        st.tuples(_sk_col, st.sampled_from(["==", "!=", "<", "<=", ">", ">="]), _sk_lit),
+        st.tuples(
+            _sk_col, st.sampled_from(["in", "not_in"]),
+            st.lists(_sk_lit, min_size=1, max_size=3),
+        ),
         st.tuples(_sk_col, st.sampled_from(["is_null", "is_not_null"])),
     )
 
 
 _sk_tree = st.recursive(
     _sk_leaf(),
-    lambda node: st.tuples(
-        st.sampled_from(["and", "or"]), st.lists(node, min_size=1, max_size=3)
+    lambda node: st.one_of(
+        st.tuples(
+            st.sampled_from(["and", "or"]), st.lists(node, min_size=1, max_size=3)
+        ),
+        st.tuples(st.just("not"), node),  # arbitrary negation (r9 item 1)
     ),
     max_leaves=6,
 )
 
 
-def _sk_eval(row: dict, node) -> bool:
-    """Ground truth: SQL three-valued logic collapsed to IS TRUE."""
+def _sk_eval3(row: dict, node):
+    """Ground truth under full SQL three-valued logic: True/False/None.
+    The NOT case is why this is three-valued — NOT(UNKNOWN) is UNKNOWN,
+    so collapsing to IS TRUE before negating would be wrong."""
+    if isinstance(node, tuple) and node[0] == "not" and isinstance(node[1], tuple):
+        v = _sk_eval3(row, node[1])
+        return None if v is None else (not v)
     if isinstance(node, tuple) and node[0] in ("and", "or") and isinstance(node[1], list):
-        kids = [_sk_eval(row, k) for k in node[1]]
-        return all(kids) if node[0] == "and" else any(kids)
+        kids = [_sk_eval3(row, k) for k in node[1]]
+        if node[0] == "and":
+            if any(k is False for k in kids):
+                return False
+            return None if any(k is None for k in kids) else True
+        if any(k is True for k in kids):
+            return True
+        return None if any(k is None for k in kids) else False
     col, op = node[0], node[1]
     v = row[col]
     if op == "is_null":
@@ -244,11 +261,21 @@ def _sk_eval(row: dict, node) -> bool:
     if op == "is_not_null":
         return v is not None
     if v is None:
-        return False  # NULL comparison is never TRUE
+        return None  # NULL comparison/membership is UNKNOWN
     lit = node[2]
     if op == "in":
         return v in lit
-    return {"==": v == lit, "<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit}[op]
+    if op == "not_in":
+        return v not in lit
+    return {
+        "==": v == lit, "!=": v != lit,
+        "<": v < lit, "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+    }[op]
+
+
+def _sk_eval(row: dict, node) -> bool:
+    """A WHERE keeps exactly the rows where the predicate IS TRUE."""
+    return _sk_eval3(row, node) is True
 
 
 @settings(max_examples=200, deadline=None)

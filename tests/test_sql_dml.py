@@ -39,16 +39,44 @@ def test_where_grammar_compiles_to_skip_tree():
 
 
 @pytest.mark.parametrize(
-    "frag, msg",
+    "frag, expected",
     [
-        ("k != 3", "!="),
-        ("k <> 3", "!="),
-        ("NOT k = 3", "NOT is not supported"),
+        ("k != 3", ("k", "!=", 3)),
+        ("k <> 3", ("k", "!=", 3)),
+        ("NOT k = 3", ("not", ("k", "==", 3))),
+        ("k NOT IN (1, 2)", ("k", "not_in", [1, 2])),
+        (
+            "NOT (k < 5 OR status = 'x')",
+            ("not", ("or", [("k", "<", 5), ("status", "==", "x")])),
+        ),
     ],
 )
-def test_unprunable_predicates_rejected_loudly(frag, msg):
-    with pytest.raises(ValueError, match=msg):
-        sql_dml._Parser(frag).where_tree()
+def test_negated_predicates_parse(frag, expected):
+    """r9 item 1: negation is accepted end to end — row matching takes
+    the full predicate, file pruning the sound approximation."""
+    p = sql_dml._Parser(frag)
+    assert p.where_tree() == expected
+    assert p.done()
+
+
+def test_negated_predicates_normalize_and_prune_soundly():
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    # NOT pushes to the leaves under 3VL-preserving flips
+    node = filestats._normalize_node(
+        ("not", ("or", [("k", "<", 5), ("status", "in", ["x"])]))
+    )
+    assert node == (
+        "and",
+        [("leaf", "k", ">=", 5), ("leaf", "status", "not_in", ["x"])],
+    )
+    # != prunes ONLY a constant file whose single value is the literal
+    const_x = {"rows": 10, "cols": {"s": {"min": "x", "max": "x", "nulls": 0}}}
+    mixed = {"rows": 10, "cols": {"s": {"min": "a", "max": "x", "nulls": 0}}}
+    assert not filestats.file_may_match(const_x, ("s", "!=", "x"))
+    assert filestats.file_may_match(mixed, ("s", "!=", "x"))
+    assert not filestats.file_may_match(const_x, ("s", "not_in", ["w", "x"]))
+    assert filestats.file_may_match(const_x, ("s", "not_in", ["w", "y"]))
 
 
 def test_delete_and_update_match_python_api(spark, tmp_path):
@@ -66,6 +94,46 @@ def test_delete_and_update_match_python_api(spark, tmp_path):
     a = {(r["k"], r["price"], r["v"]) for r in M.read_table(spark, t_sql).collect()}
     b = {(r["k"], r["price"], r["v"]) for r in M.read_table(spark, t_py).collect()}
     assert a == b and len(a) == 80
+
+
+def test_negated_dml_matches_python_api_and_null_semantics(spark, tmp_path):
+    """SQL and Python negation paths agree, and a row whose predicate
+    evaluates NULL survives a DELETE (SQL DML semantics)."""
+    t_sql = str(tmp_path / "t_sql")
+    t_py = str(tmp_path / "t_py")
+    df = spark.range(100).selectExpr(
+        "id AS k",
+        "CAST(id % 7 AS DOUBLE) AS price",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 3 AS STRING) END AS v",
+    )
+    for t in (t_sql, t_py):
+        M.write_table(df, t, cluster_by=["k"], cluster_files=4)
+    cat = {"t": t_sql}
+
+    sql_dml.execute(spark, "DELETE FROM t WHERE v != '1' AND k < 50", cat)
+    M.delete_where(spark, t_py, [("v", "!=", "1"), ("k", "<", 50)])
+    sql_dml.execute(
+        spark,
+        "UPDATE t SET price = price + CAST(100.0 AS DOUBLE) WHERE v NOT IN ('0', '2')",
+        cat,
+    )
+    M.update_where(
+        spark, t_py, {"price": "price + CAST(100.0 AS DOUBLE)"},
+        ("v", "not_in", ["0", "2"]),
+    )
+    sql_dml.execute(spark, "DELETE FROM t WHERE NOT (k < 80 OR v = '1')", cat)
+    M.delete_where(spark, t_py, ("not", ("or", [("k", "<", 80), ("v", "==", "1")])))
+
+    a = {(r["k"], r["price"], r["v"]) for r in M.read_table(spark, t_sql).collect()}
+    b = {(r["k"], r["price"], r["v"]) for r in M.read_table(spark, t_py).collect()}
+    assert a == b
+    # NULL-v rows under k<50: v != '1' is UNKNOWN — they must SURVIVE
+    # the first delete; the NOT IN update must not have touched them
+    null_rows = {k for k, p, v in a if v is None}
+    assert {0, 10, 20, 30, 40}.issubset(null_rows)
+    assert all(p < 100.0 for k, p, v in a if v is None)
+    # v='1' rows were never deleted, and got the +100 only when NOT IN hit
+    assert all((p >= 100.0) == (v == "1") for k, p, v in a if v is not None)
 
 
 def test_merge_restore_history_vacuum_roundtrip(spark, tmp_path):
