@@ -2767,6 +2767,108 @@ def _dv_list(m: dict) -> list:
 
 
 @query(
+    "manifest_merge_clauses",
+    sql=f"""
+    WITH src AS (
+      SELECT * REPLACE ('DELETE' AS o_orderpriority)
+      FROM orders WHERE o_orderkey % 100 < 10
+      UNION ALL
+      SELECT * REPLACE (o_totalprice * 1.5 AS o_totalprice, 'UPDATE' AS o_orderpriority)
+      FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 20
+      UNION ALL
+      SELECT * REPLACE (-o_orderkey - 1 AS o_orderkey, 'NEW' AS o_orderpriority)
+      FROM orders WHERE o_orderkey % 100 >= 20 AND o_orderkey % 100 < 30
+    ),
+    merged AS (
+      SELECT t.* REPLACE (
+        CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderpriority != 'DELETE'
+                  AND s.o_totalprice > t.o_totalprice
+             THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderpriority != 'DELETE'
+                  AND s.o_totalprice > t.o_totalprice
+             THEN 'updated' ELSE t.o_orderpriority END AS o_orderpriority)
+      FROM orders t LEFT JOIN src s USING (o_orderkey)
+      WHERE s.o_orderkey IS NULL OR s.o_orderpriority != 'DELETE'
+      UNION ALL
+      SELECT * FROM src
+      WHERE o_orderkey < 0 AND o_totalprice < 100000.0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price,
+           CAST(sum(CASE WHEN o_orderpriority = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+    FROM merged
+    GROUP BY 1
+    """,
+)
+def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE clauses (VERDICT r9 item 3 — the standard
+    CDC-with-deletes MERGE Delta/Iceberg accept): ONE SQL statement with
+    a conditional DELETE clause, a conditional UPDATE with explicit
+    assignments, and a conditional INSERT, dispatched through
+    sinks/sql_dml onto ``manifest.merge_table`` — clauses apply
+    first-match-wins in statement order, conditions reference the
+    statement's own t/s aliases, and the table schema is invariant.
+    The CDC batch is derived deterministically from orders: keys %100<10
+    arrive flagged for delete, [10,20) carry a higher price (the update
+    condition ``s.o_totalprice > t.o_totalprice`` fires), [20,30) are
+    NEW negative keys of which only those under the insert condition's
+    price cap may land. Oracle = the same merge restated as DuckDB
+    CTEs (left join + clause CASEs + filtered insert union)."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_mergecl_")
+    try:
+        M.write_table(orders, table, cluster_by=["o_orderkey"], cluster_files=8)
+        kmod = F.col("o_orderkey") % 100
+        src = (
+            orders.filter(kmod < 10).withColumn("o_orderpriority", F.lit("DELETE"))
+        ).unionByName(
+            orders.filter((kmod >= 10) & (kmod < 20))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+            .withColumn("o_orderpriority", F.lit("UPDATE"))
+        ).unionByName(
+            orders.filter((kmod >= 20) & (kmod < 30))
+            .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+            .withColumn("o_orderpriority", F.lit("NEW"))
+        )
+        src.createOrReplaceTempView("merge_cdc_r10")
+        sql_dml.execute(
+            spark,
+            "MERGE INTO orders_t AS t USING merge_cdc_r10 AS s "
+            "ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND s.o_orderpriority = 'DELETE' THEN DELETE "
+            "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN "
+            "UPDATE SET o_totalprice = s.o_totalprice, o_orderpriority = 'updated' "
+            "WHEN NOT MATCHED AND s.o_totalprice < CAST(100000.0 AS DOUBLE) "
+            "THEN INSERT *",
+            {"orders_t": table},
+        )
+        hist = M.table_history(spark, table)
+        ops = [r["operation"] for r in hist.orderBy("version").collect()]
+        if ops != ["overwrite", "merge"]:
+            raise ValueError(f"general MERGE must commit as one merge: {ops}")
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum2(F.col("o_totalprice")).alias("sum_price"),
+            F.sum((F.col("o_orderpriority") == "updated").cast("long")).alias("n_updated"),
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        spark.catalog.dropTempView("merge_cdc_r10")
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_batch_read_sql",
     sql=f"""
     WITH cur AS (SELECT * FROM orders WHERE o_orderkey >= 1000),

@@ -33,6 +33,7 @@ _val = st.integers(min_value=0, max_value=9)
 op_strategy = st.one_of(
     st.tuples(st.just("append_new"), _batch, _val),
     st.tuples(st.just("merge"), _batch, _val),
+    st.tuples(st.just("merge_general"), _batch, _val),
     st.tuples(st.just("delete_cow"), _batch),
     st.tuples(st.just("delete_mor"), _batch),
     st.tuples(st.just("delete_keys"), _batch),
@@ -79,6 +80,27 @@ def test_any_dml_sequence_matches_the_dict_model(spark, ops):
                 _, keys, val = op
                 M.upsert_table(spark, _df(spark, [(k, val) for k in keys]), table, key="k")
                 model.update({k: val for k in keys})
+            elif kind == "merge_general":
+                # general MERGE clauses (r9 item 3): first-match-wins —
+                # delete on value collision, else additive update, and a
+                # CONDITIONAL insert
+                _, keys, val = op
+                M.merge_table(
+                    spark, _df(spark, [(k, val) for k in keys]), table, "k",
+                    when_matched=[
+                        ("delete", "s.v = t.v"),
+                        ("update", None, {"v": "t.v + s.v"}),
+                    ],
+                    when_not_matched=[("insert", "s.v > 0", "*")],
+                )
+                for k in keys:
+                    if k in model:
+                        if model[k] == val:
+                            model.pop(k)
+                        else:
+                            model[k] = model[k] + val
+                    elif val > 0:
+                        model[k] = val
             elif kind == "delete_cow":
                 _, keys = op
                 M.delete_where(spark, table, ("k", "in", keys))

@@ -191,16 +191,61 @@ def test_update_without_where_and_unknown_table_rejected(spark, tmp_path):
         sql_dml.execute(spark, "UPDATE t SET price = 0.0", {"t": t})
     with pytest.raises(ValueError, match="unknown table"):
         sql_dml.execute(spark, "DELETE FROM nope WHERE k = 1", {"t": t})
-    with pytest.raises(ValueError, match="only the upsert MERGE"):
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN clause"):
         sql_dml.execute(
             spark,
-            "MERGE INTO t AS a USING v AS b ON a.k = b.k WHEN MATCHED THEN DELETE",
+            "MERGE INTO t AS a USING v AS b ON a.k = b.k "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (1)",
             {"t": t},
         )
     with pytest.raises(ValueError, match="SAME key column"):
         sql_dml.execute(spark, "MERGE INTO t AS a USING v AS b ON a.k = b.j", {"t": t})
     with pytest.raises(ValueError, match="unsupported statement"):
         sql_dml.execute(spark, "TRUNCATE TABLE t", {"t": t})
+
+
+def test_general_merge_clauses_first_match_wins(spark, tmp_path):
+    """r9 item 3: conditional UPDATE/DELETE + conditional INSERT, applied
+    in statement order, through the SQL front door and the Python API."""
+    t = _seed(spark, tmp_path / "t")  # k∈[0,100), price=k%7, v=str(k)
+    src = spark.createDataFrame(
+        [(1, 0.0, "D"), (2, 50.0, "U"), (3, -1.0, "U"), (200, 7.0, "I"), (201, 7.0, "X")],
+        "k long, price double, v string",
+    )
+    src.createOrReplaceTempView("cdc_src")
+    try:
+        sql_dml.execute(
+            spark,
+            "MERGE INTO t AS t USING cdc_src AS s ON t.k = s.k "
+            "WHEN MATCHED AND s.v = 'D' THEN DELETE "
+            "WHEN MATCHED AND s.price > t.price THEN "
+            "UPDATE SET price = s.price, v = 'upd' "
+            "WHEN NOT MATCHED AND s.v = 'I' THEN INSERT *",
+            {"t": t},
+        )
+    finally:
+        spark.catalog.dropTempView("cdc_src")
+    rows = {(r["k"], r["price"], r["v"]) for r in M.read_table(spark, t).collect()}
+    assert (1, 1.0, "1") not in {r for r in rows if r[0] == 1} and not any(
+        r[0] == 1 for r in rows
+    )  # deleted
+    assert (2, 50.0, "upd") in rows  # conditional update fired
+    assert (3, 3.0, "3") in rows  # condition false → untouched
+    assert (200, 7.0, "I") in rows  # conditional insert fired
+    assert not any(r[0] == 201 for r in rows)  # insert condition blocked
+    # history shows ONE merge commit
+    ops = [r["operation"] for r in M.table_history(spark, t).orderBy("version").collect()]
+    assert ops == ["overwrite", "merge"]
+
+    # Python API twin: delete-all-matched CDC apply
+    src2 = spark.createDataFrame([(5, 0.0, "x"), (300, 1.0, "n")], "k long, price double, v string")
+    M.merge_table(
+        spark, src2, t, "k",
+        when_matched=[("delete", None)],
+        when_not_matched=[("insert", None, "*")],
+    )
+    ks = {r["k"] for r in M.read_table(spark, t).collect()}
+    assert 5 not in ks and 300 in ks
 
 
 def test_set_list_splits_on_top_level_commas_only(spark, tmp_path):
