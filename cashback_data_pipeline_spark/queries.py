@@ -2869,6 +2869,85 @@ def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_add_column",
+    sql=f"""
+    WITH appended AS (
+      SELECT * REPLACE (-o_orderkey - 1 AS o_orderkey),
+             floor((o_totalprice * 0.01) * 100 + 0.5) / 100 AS bonus
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    merged AS (
+      SELECT *, CAST(NULL AS DOUBLE) AS bonus FROM orders
+      UNION ALL
+      SELECT * FROM appended
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           CAST(count(bonus) AS BIGINT) AS n_bonus,
+           {sql_dsum2('coalesce(bonus, 0.0)')} AS sum_bonus,
+           CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+    FROM merged
+    GROUP BY 1
+    """,
+)
+def manifest_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only schema evolution, the explicit form (VERDICT r9
+    item 6): ``ALTER TABLE .. ADD COLUMN`` and the int→long widening
+    ``ALTER COLUMN .. TYPE`` through the SQL front door — the query
+    RAISES unless both commits leave the file list BYTE-IDENTICAL to
+    the parent (zero data rewrite). Old files null-fill the added
+    column and resolve the narrower int under the widened type at scan
+    (Spark 4 parquet widening promotions); time travel to v1 must
+    answer under the ORIGINAL schema (no bonus column, int custkey).
+    Oracle = the seed rows with a NULL bonus unioned with the appended
+    rows that carry one."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    seed = orders.withColumn("o_custkey", F.col("o_custkey").cast("int"))
+    table = tempfile.mkdtemp(prefix="manifest_addcol_")
+    cat = {"orders_t": table}
+    try:
+        M.write_table(seed, table, cluster_by=["o_orderkey"], cluster_files=8)
+        files_v1 = M.read_manifest(table, 1)["files"]
+        v2 = sql_dml.execute(spark, "ALTER TABLE orders_t ADD COLUMN bonus double", cat)
+        v3 = sql_dml.execute(
+            spark, "ALTER TABLE orders_t ALTER COLUMN o_custkey TYPE bigint", cat
+        )
+        for v in (v2, v3):
+            if M.read_manifest(table, v)["files"] != files_v1:
+                raise ValueError("ADD/ALTER COLUMN moved data — must be metadata-only")
+        tv1 = M.read_table(spark, table, version=1)
+        if "bonus" in tv1.columns or tv1.schema["o_custkey"].dataType.simpleString() != "int":
+            raise ValueError("time travel must answer under the pre-evolution schema")
+        appended = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+            .withColumn("bonus", r2(F.col("o_totalprice") * 0.01))
+        )
+        M.write_table(appended, table, mode="append")
+        back = M.read_table(spark, table)
+        if back.schema["o_custkey"].dataType.simpleString() != "bigint":
+            raise ValueError("widened type must govern the scan")
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("bonus").alias("n_bonus"),
+            dsum2(F.coalesce(F.col("bonus"), F.lit(0.0))).alias("sum_bonus"),
+            F.sum("o_custkey").alias("sum_cust"),
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_batch_read_sql",
     sql=f"""
     WITH cur AS (SELECT * FROM orders WHERE o_orderkey >= 1000),

@@ -1301,6 +1301,126 @@ def drop_column(table: str, col: str) -> int:
             return cur + 1
 
 
+def add_column(table: str, name: str, dtype: "T.DataType | str") -> int:
+    """``ALTER TABLE .. ADD COLUMN`` with ZERO data rewrite (VERDICT r9
+    item 6): one metadata-only commit widens the schema; every existing
+    file simply lacks the column and the pinned-schema scan
+    (:func:`_read_files`) null-fills it — the Delta additive-evolution
+    semantics, now explicit instead of implied by the next write.
+
+    Physical naming guards against RESURRECTION: on a column-mapped
+    table (one that has seen a rename/drop) the new logical name gets a
+    FRESH physical twin (``<name>__v<version>``), so re-adding a
+    previously dropped column can never read the dropped column's stale
+    physical data back out of old files. Never-mapped tables keep
+    identity naming (no drop ever happened, so no stale physical can
+    exist). Returns the committed version."""
+    if isinstance(dtype, str):
+        dtype = T._parse_datatype_string(dtype)
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists in {table}")
+        schema["fields"].append(
+            json.loads(T.StructField(name, dtype, True).json())
+        )
+        mapping = _mapping(m)
+        if mapping is not None:
+            mapping = dict(mapping)
+            phys = name
+            if phys in mapping.values():
+                raise ValueError(
+                    f"cannot add column {name!r}: its physical name is "
+                    "claimed by a renamed column — pick another name"
+                )
+            # fresh physical on mapped tables (a drop may have left the
+            # identity physical behind in old files)
+            phys = f"{name}__v{cur + 1}"
+            while phys in mapping.values():
+                phys += "_"
+            mapping[name] = phys
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            json.dumps(schema),
+            meta={"add_column": {"column": name, "type": dtype.simpleString()}},
+            stats=m.get("stats") or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
+            operation="add_column",
+            column_mapping=mapping if mapping is not None else _INHERIT_MAPPING,
+        ):
+            return cur + 1
+
+
+# sound type promotions the parquet readers resolve at scan time
+# (Spark 4 widening promotions; pyarrow cast for the Python source)
+_WIDENINGS: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
+
+def widen_column(table: str, name: str, new_type: "T.DataType | str") -> int:
+    """``ALTER TABLE .. ALTER COLUMN .. TYPE`` — metadata-only type
+    WIDENING (int→long, float→double and the smaller-int chains): the
+    committed schema changes, data files don't; readers resolve narrower
+    old files under the wider type at scan (Spark 4's parquet widening
+    promotions; the Python batch source casts per batch). Narrowing or
+    any other conversion is rejected loudly — it would need a rewrite
+    and can silently corrupt (use an explicit overwrite instead).
+    Returns the committed version."""
+    if isinstance(new_type, str):
+        new_type = T._parse_datatype_string(new_type)
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        schema = json.loads(m["schema"])
+        field = next((f for f in schema["fields"] if f["name"] == name), None)
+        if field is None:
+            names = [f["name"] for f in schema["fields"]]
+            raise ValueError(f"no column {name!r} in {table} (have {names})")
+        old_s = (
+            T.StructType.fromJson({"type": "struct", "fields": [field]})
+            .fields[0].dataType.simpleString()
+        )
+        new_s = new_type.simpleString()
+        if new_s == old_s:
+            return cur  # no-op: already that type
+        if new_s not in _WIDENINGS.get(old_s, ()):
+            raise ValueError(
+                f"cannot alter {name!r} from {old_s} to {new_s}: only widening "
+                f"promotions are metadata-only ({_WIDENINGS}); anything else "
+                "needs an explicit rewrite"
+            )
+        field["type"] = json.loads(T.StructField(name, new_type, True).json())["type"]
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            json.dumps(schema),
+            meta={"widen_column": {"column": name, "from": old_s, "to": new_s}},
+            stats=m.get("stats") or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
+            operation="widen_column",
+            column_mapping=_INHERIT_MAPPING,
+        ):
+            return cur + 1
+
+
 def restore_table(table: str, version: int | None = None, as_of_ts: float | None = None) -> int:
     """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` (the Delta
     RESTORE shape): publish a NEW version whose file list, schema,

@@ -24,6 +24,8 @@ Supported statements (case-insensitive keywords)::
     OPTIMIZE <t> [ZORDER BY (col, ...)]
     ALTER TABLE <t> RENAME COLUMN <old> TO <new>
     ALTER TABLE <t> DROP COLUMN <col>
+    ALTER TABLE <t> ADD COLUMN <col> <type>
+    ALTER TABLE <t> ALTER COLUMN <col> TYPE <type>      -- widening only
 
 ``<t>`` resolves through the caller's ``catalog`` (name → manifest table
 root); a name containing ``/`` or a URI scheme is taken as a direct
@@ -523,8 +525,28 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
             return M.drop_column(
                 _resolve_table(m.group(1).strip("`"), catalog), m.group(2).strip("`")
             )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\S+)\s+(.+)$", text
+        )
+        if m:
+            return M.add_column(
+                _resolve_table(m.group(1).strip("`"), catalog),
+                m.group(2).strip("`"),
+                m.group(3).strip(),
+            )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ALTER\s+COLUMN\s+(\S+)\s+TYPE\s+(.+)$", text
+        )
+        if m:
+            return M.widen_column(
+                _resolve_table(m.group(1).strip("`"), catalog),
+                m.group(2).strip("`"),
+                m.group(3).strip(),
+            )
         raise ValueError(
-            f"malformed ALTER (only RENAME COLUMN old TO new / DROP COLUMN col): {text!r}"
+            "malformed ALTER (supported: RENAME COLUMN old TO new / DROP "
+            "COLUMN col / ADD COLUMN col type / ALTER COLUMN col TYPE type): "
+            f"{text!r}"
         )
 
     raise ValueError(

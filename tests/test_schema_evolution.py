@@ -158,3 +158,89 @@ def test_vacuum_run_partitions_retires_old_runs(spark, tmp_path):
         vacuum_run_partitions(flat, keep_last=1)
     # missing sink is a no-op, not an error
     assert vacuum_run_partitions(str(tmp_path / "nope"), keep_last=1) == []
+
+# ---------------------------------------------------------------------------
+# Explicit metadata-only evolution: ADD COLUMN + type widening (r9 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_add_column_is_metadata_only_and_null_fills(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+    M.write_table(df, t)
+    files_v1 = M.read_manifest(t, 1)["files"]
+    v = M.add_column(t, "score", "double")
+    assert M.read_manifest(t, v)["files"] == files_v1
+    out = M.read_table(spark, t)
+    assert out.columns == ["k", "v", "score"]
+    assert out.filter(F.col("score").isNull()).count() == 10
+    assert M.read_table(spark, t, version=1).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="already exists"):
+        M.add_column(t, "v", "double")
+
+
+def test_widen_column_reads_narrow_files_and_rejects_narrowing(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(10).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS x", "CAST(id AS STRING) AS v"
+    )
+    M.write_table(df, t)
+    files_v1 = M.read_manifest(t, 1)["files"]
+    M.widen_column(t, "k", "bigint")
+    v = M.widen_column(t, "x", "double")
+    assert M.read_manifest(t, v)["files"] == files_v1  # zero rewrite
+    out = M.read_table(spark, t)
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert out.schema["x"].dataType.simpleString() == "double"
+    assert out.agg(F.sum("k")).first()[0] == 45  # INT32 files resolve wider
+    # appends under the wide type coexist with narrow old files
+    M.write_table(
+        spark.range(10, 12).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS x", "CAST(id AS STRING) AS v"
+        ),
+        t, mode="append",
+    )
+    assert M.read_table(spark, t).agg(F.sum("k")).first()[0] == 66
+    for bad in ("int", "string", "float"):
+        with pytest.raises(ValueError, match="widening"):
+            M.widen_column(t, "k", bad)
+    with pytest.raises(ValueError, match="no column"):
+        M.widen_column(t, "nope", "bigint")
+
+
+def test_readd_after_drop_never_resurrects_old_data(spark, tmp_path):
+    """A re-added column on a mapped table gets a FRESH physical name,
+    so the dropped column's bytes in old files can never read back."""
+    t = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    M.write_table(df, t)
+    M.drop_column(t, "v")  # table becomes column-mapped
+    M.add_column(t, "v", "bigint")
+    out = M.read_table(spark, t)
+    assert out.schema["v"].dataType.simpleString() == "bigint"
+    assert out.filter(F.col("v").isNotNull()).count() == 0
+    # and new writes under the re-added name round-trip
+    M.write_table(
+        spark.range(5, 7).selectExpr("id AS k", "id AS v"), t, mode="append"
+    )
+    assert M.read_table(spark, t).filter(F.col("v").isNotNull()).count() == 2
+    # time travel keeps each version's own shape
+    assert M.read_table(spark, t, version=1).columns == ["k", "v"]
+    assert M.read_table(spark, t, version=2).columns == ["k"]
+
+
+def test_add_and_widen_sql_front_door(spark, tmp_path):
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    t = str(tmp_path / "t")
+    M.write_table(
+        spark.range(4).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v"), t
+    )
+    cat = {"t": t}
+    sql_dml.execute(spark, "ALTER TABLE t ADD COLUMN score double", cat)
+    sql_dml.execute(spark, "ALTER TABLE t ALTER COLUMN k TYPE bigint", cat)
+    out = M.read_table(spark, t)
+    assert out.columns == ["k", "v", "score"]
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    with pytest.raises(ValueError, match="widening"):
+        sql_dml.execute(spark, "ALTER TABLE t ALTER COLUMN k TYPE int", cat)
