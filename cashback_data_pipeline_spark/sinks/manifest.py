@@ -632,15 +632,19 @@ _ZORDER_OK_TYPES = (
     T.DoubleType,
     T.TimestampType,
     T.TimestampNTZType,
+    T.StringType,  # byte-prefix axis (writers.zorder_axis — r9 item 8)
+    T.DateType,  # epoch-day axis
 )
 
 
 def _zorder_layout(df: DataFrame, cols: list[str], n_files: int | None) -> DataFrame:
     """Range-partition + sort the commit on the Morton code of ``cols``
     (sinks/writers.zorder_column): file boundaries become z-contiguous
-    ≈ hyper-rectangles in every named dimension. Columns must scale to
-    a numeric axis (numeric/timestamp); strings/dates would silently
-    degrade to plane 0, so they are rejected loudly."""
+    ≈ hyper-rectangles in every named dimension. Every column scales to
+    a numeric axis — numerics/timestamps directly, strings via the
+    fixed-width byte-prefix axis, dates via epoch days (the Delta
+    OPTIMIZE ZORDER domain, r9 item 8); unsupported types (arrays,
+    maps, structs) are rejected loudly."""
     from cashback_data_pipeline_spark.sinks.writers import zorder_column
 
     by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -650,7 +654,7 @@ def _zorder_layout(df: DataFrame, cols: list[str], n_files: int | None) -> DataF
         if not isinstance(by_name[c], _ZORDER_OK_TYPES):
             raise ValueError(
                 f"zorder column {c!r} has type {by_name[c].simpleString()}; "
-                "z-ordering needs a numeric/timestamp axis"
+                "z-ordering needs a numeric/timestamp/string/date axis"
             )
     zdf = zorder_column(df, cols)
     zdf = (

@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def write_warehouse(
@@ -466,6 +467,32 @@ def scd2_upsert(
     return (n_closed, n_inserted)
 
 
+ZORDER_STRING_PREFIX = 6  # bytes packed into the string axis (< 2^48 ≤ double)
+
+
+def zorder_axis(df: DataFrame, c: str) -> F.Column:
+    """The column as a DOUBLE z-axis. Numerics/timestamps cast directly;
+    DATE becomes epoch days; STRING packs its first
+    ``ZORDER_STRING_PREFIX`` characters big-endian, byte-per-character —
+    the Delta OPTIMIZE ZORDER fixed-width-prefix-truncation idea. The
+    axis only steers LAYOUT; pruning soundness always comes from the
+    real min/max stats parquet collected on the column, so prefix
+    collisions (URLs sharing a long common prefix) and non-ASCII code
+    points (clamped to 255) can degrade clustering, never correctness.
+    NULLs scale to plane 0, like numeric NULLs."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, T.StringType):
+        v = F.lit(0.0)
+        for i in range(ZORDER_STRING_PREFIX):
+            b = F.coalesce(F.ascii(F.substring(F.col(c), i + 1, 1)), F.lit(0))
+            b = F.least(F.lit(255), F.greatest(F.lit(0), b))
+            v = v * 256.0 + b.cast("double")
+        return v
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.to_date(F.lit("1970-01-01"))).cast("double")
+    return F.col(c).cast("double")
+
+
 def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     """Add ``__z``: the Morton (z-order) interleaving of the rank-scaled
     values of ``cols``. Each column is min/max-normalized to ``bits``
@@ -474,7 +501,8 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     close z-values, so sorting by ``__z`` clusters all dimensions at
     once. Normalization is rank-free (linear min/max): heavily skewed
     columns cluster worse than with an exact-rank scale, but need no
-    window over the full table.
+    window over the full table. Strings/dates scale through
+    :func:`zorder_axis` (byte-prefix / epoch-day axes — r9 item 8).
 
     The interleave occupies ``bits·k`` bits of the signed-64 ``__z``;
     Spark's ``shiftleft`` wraps its shift amount mod 64, so bits is
@@ -487,21 +515,22 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
     if k > 63:
         raise ValueError(f"cannot z-order {k} columns into 63 bits (max 63)")
     bits = max(1, min(bits, 63 // k))
+    axes = {c: zorder_axis(df, c) for c in cols}
     bounds = df.agg(
-        *[F.min(c).alias(f"__mn_{c}") for c in cols],
-        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+        *[F.min(axes[c]).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(axes[c]).alias(f"__mx_{i}") for i, c in enumerate(cols)],
     ).first()
     z = F.lit(0).cast("long")
     top = (1 << bits) - 1
     for ci, c in enumerate(cols):
-        mn_raw, mx_raw = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        mn_raw, mx_raw = bounds[f"__mn_{ci}"], bounds[f"__mx_{ci}"]
         if mn_raw is None or mx_raw is None:
             continue  # all-NULL column: no information, plane stays 0
         mn, mx = float(mn_raw), float(mx_raw)
         span = (mx - mn) or 1.0
         scaled = F.least(
             F.lit(top),
-            F.greatest(F.lit(0), F.floor((F.col(c).cast("double") - mn) / span * top).cast("long")),
+            F.greatest(F.lit(0), F.floor((axes[c] - mn) / span * top).cast("long")),
         )
         for b in range(bits):
             z = z + F.shiftleft(

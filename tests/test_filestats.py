@@ -682,6 +682,65 @@ def test_zorder_layout_prunes_every_dimension(spark, mk_table):
     _, skipped_after = filestats.prune_files(m2["files"], m2["stats"], [("y", "<", 60.0)])
     assert skipped_after >= 4
     with pytest.raises(ValueError, match="numeric/timestamp"):
-        M.write_table(spark.createDataFrame([(1, "s")], "x long, s string"), mk_table("t3"), zorder_by=["s"])
+        M.write_table(
+            spark.createDataFrame([(1, ["s"])], "x long, s array<string>"),
+            mk_table("t3"), zorder_by=["s"],
+        )
     with pytest.raises(ValueError, match="not both"):
         M.write_table(df, mk_table("t4"), zorder_by=["x"], cluster_by=["y"])
+
+
+def test_string_zorder_layout_prunes_and_stays_exact(spark, tmp_path):
+    """r9 item 8: z-order on a STRING column (byte-prefix axis — the
+    Delta OPTIMIZE ZORDER domain). Pruning evidence comes from the real
+    string min/max stats over the z-laid files; prefix collisions can
+    only degrade clustering, never correctness."""
+    import string as _string
+
+    t = str(tmp_path / "t")
+    rows = [
+        (i, f"{_string.ascii_lowercase[(i * 7) % 26]}.example.com/p/{i}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    M.write_table(df, t, zorder_by=["url"], cluster_files=8)
+    m = M.read_manifest(t, M.current_version(t))
+    kept, skipped = filestats.prune_files(
+        m["files"], m["stats"], [("url", ">=", "z"), ("url", "<", "zz")]
+    )
+    assert skipped >= 4, f"string z-order did not prune (skipped={skipped})"
+    got = sorted(
+        r.id for r in M.read_table(spark, t, skip=[("url", ">=", "z")]).collect()
+    )
+    want = sorted(i for i, u in rows if u >= "z")
+    assert got == want
+    # truncation-collision soundness: values sharing a LONG common
+    # prefix collide on the 6-byte axis (clustering degrades to one
+    # plane) but results stay exact and pruning never drops a match
+    t2 = str(tmp_path / "t2")
+    rows2 = [(i, "https://shared-prefix.example.com/" + format(i, "04d")) for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "id long, url string")
+    M.write_table(df2, t2, zorder_by=["url"], cluster_files=4)
+    target = rows2[137][1]
+    got2 = [r.id for r in M.read_table(spark, t2, skip=[("url", "==", target)]).collect()]
+    assert got2 == [137]
+
+
+def test_date_zorder_layout_prunes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT id, date_add(DATE'2020-01-01', CAST((id * 37) % 730 AS INT)) AS d "
+        "FROM range(600)"
+    )
+    M.write_table(df, t, zorder_by=["d"], cluster_files=8)
+    m = M.read_manifest(t, M.current_version(t))
+    import datetime as dt
+
+    kept, skipped = filestats.prune_files(
+        m["files"], m["stats"],
+        [("d", ">=", dt.date(2021, 11, 1)), ("d", "<", dt.date(2021, 12, 31))],
+    )
+    assert skipped >= 4, f"date z-order did not prune (skipped={skipped})"
+    got = M.read_table(spark, t, skip=[("d", ">=", dt.date(2021, 11, 1))]).count()
+    want = df.filter(F.col("d") >= F.lit("2021-11-01")).count()
+    assert got == want
