@@ -433,12 +433,16 @@ def encode_jpeg(
     channels: int = 1,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG encoder (the decoder's test twin and the oracled
-    query's payload factory, like :func:`encode_png`): grayscale or RGB,
-    Annex-K quantization + Huffman tables, 4:4:4 by default or 4:2:0
-    with ``subsample=True`` (2×2 mean chroma), optional restart
-    intervals. Deterministic: fixed tables, half-up rounding."""
+    """JPEG encoder (the decoder's test twin and the oracled query's
+    payload factory, like :func:`encode_png`): grayscale or RGB, Annex-K
+    quantization + Huffman tables, 4:4:4 by default or 4:2:0 with
+    ``subsample=True`` (2×2 mean chroma), optional restart intervals.
+    ``progressive=True`` emits SOF2 with the standard successive-
+    approximation scan script (:func:`_jpeg_progressive_scans`) over the
+    SAME quantized coefficients, so the two encodings decode
+    bit-identically. Deterministic: fixed tables, half-up rounding."""
     import numpy as np
 
     if channels not in (1, 3):
@@ -490,6 +494,55 @@ def encode_jpeg(
         ac_tabs.append(_huff_encode_codes(*_JH_AC_CHROM))
     comp_t = [0] if channels == 1 else [0, 1, 1]
 
+    # quantized coefficient blocks (zigzag order) over the padded MCU
+    # grid — the single source both entropy organizations encode, so a
+    # progressive encoding of the same pixels decodes bit-identically
+    # to the baseline one
+    zz_all = []
+    for ci in range(len(planes)):
+        hf, vf = factors[ci]
+        q = qts[comp_q[ci]]
+        bh, bwid = mcu_rows * vf, mcu_cols * hf
+        comp_zz = [[None] * bwid for _ in range(bh)]
+        for by in range(bh):
+            for bx in range(bwid):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = dctm @ block @ dctm.T
+                zq = coef / q
+                zq = np.sign(zq) * np.floor(np.abs(zq) + 0.5)  # half-away
+                comp_zz[by][bx] = [int(zq.flat[_JZZ[k]]) for k in range(64)]
+        zz_all.append(comp_zz)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0x00]) + bytes(_JQ_LUM[_JZZ[k]] for k in range(64))
+    if channels == 3:
+        dqt += bytes([0x01]) + bytes(_JQ_CHROM[_JZZ[k]] for k in range(64))
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        hf, vf = factors[ci]
+        sof += bytes([ci + 1, (hf << 4) | vf, comp_q[ci]])
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    dht = bytes([0x00]) + bytes(_JH_DC_LUM[0]) + bytes(_JH_DC_LUM[1])
+    dht += bytes([0x10]) + bytes(_JH_AC_LUM[0]) + bytes(_JH_AC_LUM[1])
+    if channels == 3:
+        dht += bytes([0x01]) + bytes(_JH_DC_CHROM[0]) + bytes(_JH_DC_CHROM[1])
+        dht += bytes([0x11]) + bytes(_JH_AC_CHROM[0]) + bytes(_JH_AC_CHROM[1])
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        out += _jpeg_progressive_scans(
+            zz_all, factors, comp_t, mcu_rows, mcu_cols,
+            dc_tabs, ac_tabs, restart_interval, width, height, seg,
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     bw = _JpegBitWriter()
     preds = [0] * channels
     body = bytearray()
@@ -506,44 +559,15 @@ def encode_jpeg(
                 preds = [0] * channels
             for ci in range(len(planes)):
                 hf, vf = factors[ci]
-                q = qts[comp_q[ci]]
                 for by in range(vf):
                     for bx in range(hf):
-                        y0 = (r * vf + by) * 8
-                        x0 = (c * hf + bx) * 8
-                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        coef = dctm @ block @ dctm.T
-                        zq = coef / q
-                        zq = np.sign(zq) * np.floor(np.abs(zq) + 0.5)  # half-away
-                        zz = [int(zq.flat[_JZZ[k]]) for k in range(64)]
+                        zz = zz_all[ci][r * vf + by][c * hf + bx]
                         preds[ci] = _jpeg_encode_block(
                             bw, zz, preds[ci], dc_tabs[comp_t[ci]], ac_tabs[comp_t[ci]]
                         )
             mcu_i += 1
     bw.flush()
     body += bw.buf
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    dqt = bytes([0x00]) + bytes(_JQ_LUM[_JZZ[k]] for k in range(64))
-    if channels == 3:
-        dqt += bytes([0x01]) + bytes(_JQ_CHROM[_JZZ[k]] for k in range(64))
-    out += seg(0xDB, dqt)
-    sof = struct.pack(">BHHB", 8, height, width, channels)
-    for ci in range(channels):
-        hf, vf = factors[ci]
-        sof += bytes([ci + 1, (hf << 4) | vf, comp_q[ci]])
-    out += seg(0xC0, sof)
-    dht = bytes([0x00]) + bytes(_JH_DC_LUM[0]) + bytes(_JH_DC_LUM[1])
-    dht += bytes([0x10]) + bytes(_JH_AC_LUM[0]) + bytes(_JH_AC_LUM[1])
-    if channels == 3:
-        dht += bytes([0x01]) + bytes(_JH_DC_CHROM[0]) + bytes(_JH_DC_CHROM[1])
-        dht += bytes([0x11]) + bytes(_JH_AC_CHROM[0]) + bytes(_JH_AC_CHROM[1])
-    out += seg(0xC4, dht)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([channels])
     for ci in range(channels):
         t = comp_t[ci]
@@ -552,6 +576,243 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += body
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_progressive_scans(
+    zz_all, factors, comp_t, mcu_rows, mcu_cols,
+    dc_tabs, ac_tabs, restart_interval, width, height, seg,
+) -> bytes:
+    """The progressive scan sequence (T.81 G.1.2 — the encoder twin of
+    :func:`_jpeg_decode_prog_scan`): successive approximation one bit
+    deep on both DC and AC, spectral selection DC | AC[1..63]::
+
+        1. DC first     (interleaved, Ah=0, Al=1)
+        2. AC first     (one scan per component, Ss=1 Se=63, Al=1)
+        3. DC refine    (interleaved, Ah=1, Al=0)
+        4. AC refine    (one scan per component, Ah=1, Al=0)
+
+    Restart intervals, when configured, apply per scan (MCU units for
+    the interleaved DC scans, block units for AC), like the decoder."""
+    nch = len(zz_all)
+
+    def sos_hdr(comp_ids, tds, tas, ss, se, ah, al) -> bytes:
+        b = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            b += bytes([cid, (td << 4) | ta])
+        return seg(0xDA, b + bytes([ss, se, (ah << 4) | al]))
+
+    def ni_blocks(ci):
+        hmax = max(h for h, _ in factors)
+        vmax = max(v for _, v in factors)
+        hf, vf = factors[ci]
+        cw = -(-width * hf // hmax)
+        ch = -(-height * vf // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    out = bytearray()
+
+    class _Entropy:
+        """One scan's writer + restart machinery."""
+
+        def __init__(self):
+            self.body = bytearray()
+            self.bw = _JpegBitWriter()
+            self.rst = 0
+
+        def restart(self):
+            self.bw.flush()
+            self.body += self.bw.buf
+            self.bw = _JpegBitWriter()
+            self.body += bytes([0xFF, 0xD0 + (self.rst % 8)])
+            self.rst += 1
+
+        def done(self) -> bytes:
+            self.bw.flush()
+            self.body += self.bw.buf
+            return bytes(self.body)
+
+    # ---- 1. DC first (Al=1): arithmetic-shift point transform --------
+    ent = _Entropy()
+    preds = [0] * nch
+    mcu_i = 0
+    for r in range(mcu_rows):
+        for c in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                ent.restart()
+                preds = [0] * nch
+            for ci in range(nch):
+                hf, vf = factors[ci]
+                codes = dc_tabs[comp_t[ci]]
+                for by in range(vf):
+                    for bx in range(hf):
+                        c0 = zz_all[ci][r * vf + by][c * hf + bx][0] >> 1
+                        diff = c0 - preds[ci]
+                        preds[ci] = c0
+                        size = abs(diff).bit_length()
+                        code, ln = codes[size]
+                        ent.bw.write(code, ln)
+                        if size:
+                            ent.bw.write(
+                                diff if diff > 0 else diff + (1 << size) - 1, size
+                            )
+            mcu_i += 1
+    out += sos_hdr(
+        [ci + 1 for ci in range(nch)], [comp_t[ci] for ci in range(nch)],
+        [0] * nch, 0, 0, 0, 1,
+    )
+    out += ent.done()
+
+    # ---- 2. AC first per component (Al=1) -----------------------------
+    for ci in range(nch):
+        codes = ac_tabs[comp_t[ci]]
+        ent = _Entropy()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = codes[nb << 4]
+                ent.bw.write(code, ln)
+                if nb:
+                    ent.bw.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        bh, bwn = ni_blocks(ci)
+        block_i = 0
+        for r in range(bh):
+            for c in range(bwn):
+                if restart_interval and block_i and block_i % restart_interval == 0:
+                    flush_eob()
+                    ent.restart()
+                block_i += 1
+                zz = zz_all[ci][r][c]
+                t = [
+                    (1 if v > 0 else -1) * (abs(v) >> 1) if v else 0 for v in zz
+                ]
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if t[k]:
+                        last_nz = k
+                        break
+                if last_nz == 0:
+                    eobrun += 1
+                    # Annex-K baseline AC tables define only EOB0 (0x00),
+                    # not EOBn — emit per-block EOBs instead of runs (the
+                    # decoder handles full EOBRUNs from external files)
+                    flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = t[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = codes[0xF0]  # ZRL
+                        ent.bw.write(code, ln)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    code, ln = codes[(run << 4) | size]
+                    ent.bw.write(code, ln)
+                    ent.bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last_nz < 63:
+                    eobrun += 1
+                    flush_eob()  # EOB0 only — see note above
+        flush_eob()
+        out += sos_hdr([ci + 1], [0], [comp_t[ci]], 1, 63, 0, 1)
+        out += ent.done()
+
+    # ---- 3. DC refine (Ah=1, Al=0): one bit per block ------------------
+    ent = _Entropy()
+    mcu_i = 0
+    for r in range(mcu_rows):
+        for c in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                ent.restart()
+            for ci in range(nch):
+                hf, vf = factors[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        ent.bw.write(zz_all[ci][r * vf + by][c * hf + bx][0] & 1, 1)
+            mcu_i += 1
+    out += sos_hdr(
+        [ci + 1 for ci in range(nch)], [comp_t[ci] for ci in range(nch)],
+        [0] * nch, 0, 0, 1, 0,
+    )
+    out += ent.done()
+
+    # ---- 4. AC refine per component (Ah=1, Al=0) — T.81 G.1.2.3 -------
+    for ci in range(nch):
+        codes = ac_tabs[comp_t[ci]]
+        ent = _Entropy()
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, eob_bits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                code, ln = codes[nb << 4]
+                ent.bw.write(code, ln)
+                if nb:
+                    ent.bw.write(eobrun - (1 << nb), nb)
+                for b in eob_bits:
+                    ent.bw.write(b, 1)
+                eobrun = 0
+                eob_bits = []
+
+        bh, bwn = ni_blocks(ci)
+        block_i = 0
+        for r in range(bh):
+            for c in range(bwn):
+                if restart_interval and block_i and block_i % restart_interval == 0:
+                    flush_eob()
+                    ent.restart()
+                block_i += 1
+                zz = zz_all[ci][r][c]
+                absval = [abs(v) for v in zz]  # >> Al with Al=0
+                eobpos = 0
+                for k in range(1, 64):
+                    if absval[k] == 1:
+                        eobpos = k  # last NEWLY significant coefficient
+                run = 0
+                bits_buf: list[int] = []
+                for k in range(1, 64):
+                    a = absval[k]
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        flush_eob()
+                        code, ln = codes[0xF0]  # ZRL
+                        ent.bw.write(code, ln)
+                        run -= 16
+                        for b in bits_buf:
+                            ent.bw.write(b, 1)
+                        bits_buf = []
+                    if a > 1:
+                        bits_buf.append(a & 1)  # correction bit
+                        continue
+                    # newly significant: magnitude 1 at this plane
+                    flush_eob()
+                    code, ln = codes[(run << 4) | 1]
+                    ent.bw.write(code, ln)
+                    ent.bw.write(1 if zz[k] > 0 else 0, 1)
+                    for b in bits_buf:
+                        ent.bw.write(b, 1)
+                    bits_buf = []
+                    run = 0
+                if run > 0 or bits_buf:
+                    eobrun += 1
+                    eob_bits.extend(bits_buf)
+                    flush_eob()  # EOB0 only — see the AC-first note
+        flush_eob()
+        out += sos_hdr([ci + 1], [0], [comp_t[ci]], 1, 63, 1, 0)
+        out += ent.done()
     return bytes(out)
 
 
@@ -720,7 +981,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential (Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive (Huffman)
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (8-bit only)")
@@ -728,12 +989,7 @@ def decode_jpeg(payload: bytes) -> dict:
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            sof = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG is not supported (baseline sequential only); "
-                "plug a full codec into this seam for progressive/exotic variants"
-            )
+            sof = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG coding process (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
@@ -743,55 +999,92 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan = {}
+            order = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan[cid] = (tt >> 4, tt & 0x0F)
-            return _jpeg_decode_scan(
-                np, data, pos + 2 + ln, sof, scan, qt, huff, restart
+                order.append(cid)
+            p = 1 + 2 * ns
+            ss, se, a = body[p], body[p + 1], body[p + 2]
+            ah, al = a >> 4, a & 0x0F
+            if not sof.get("progressive"):
+                return _jpeg_decode_scan(
+                    np, data, pos + 2 + ln, sof, scan, qt, huff, restart
+                )
+            if coefs is None:
+                _jpeg_validate(sof, qt)
+                coefs = _jpeg_alloc_coefs(np, sof)
+            pos = _jpeg_decode_prog_scan(
+                np, data, pos + 2 + ln, sof, order, scan,
+                ss, se, ah, al, huff, restart, coefs,
             )
+            continue  # the scan decoder left pos at the next marker
         # APPn/COM/anything else: skip
         pos += 2 + ln
+    if coefs is not None:
+        return _jpeg_render(np, sof, qt, coefs)
     raise ValueError("JPEG has no SOS scan")
 
 
-def _jpeg_decode_scan(np, data, pos, sof, scan, qt, huff, restart):
-    w, h, comps = sof["w"], sof["h"], sof["comps"]
-    for c in comps:
+def _jpeg_validate(sof, qt) -> None:
+    for c in sof["comps"]:
         if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
             raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']} (1-2 only)")
         if c["tq"] not in qt:
             raise ValueError(f"JPEG component references missing DQT {c['tq']}")
+
+
+def _jpeg_geometry(sof):
+    comps = sof["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcu_cols = -(-w // (8 * hmax))
-    mcu_rows = -(-h // (8 * vmax))
-    dctm = np.array(_jpeg_dct_matrix())
-    planes = []
-    for c in comps:
-        planes.append(np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8)))
+    mcu_cols = -(-sof["w"] // (8 * hmax))
+    mcu_rows = -(-sof["h"] // (8 * vmax))
+    return hmax, vmax, mcu_cols, mcu_rows
+
+
+def _jpeg_alloc_coefs(np, sof):
+    """Per-component quantized-coefficient accumulators over the padded
+    MCU block grid, zigzag index order (shared by the baseline one-scan
+    fill and the progressive multi-scan accumulation)."""
+    _, _, mcu_cols, mcu_rows = _jpeg_geometry(sof)
+    return [
+        np.zeros((mcu_rows * c["v"], mcu_cols * c["h"], 64), dtype=np.int32)
+        for c in sof["comps"]
+    ]
+
+
+def _jpeg_scan_tables(scan, huff, comp, need_dc=True, need_ac=True):
+    tdc, tac = scan.get(comp["id"], (None, None))
+    if tdc is None:
+        raise ValueError(f"JPEG scan is missing component {comp['id']}")
+    dc_map = huff.get((0, tdc)) if need_dc else None
+    ac_map = huff.get((1, tac)) if need_ac else None
+    if (need_dc and dc_map is None) or (need_ac and ac_map is None):
+        raise ValueError("JPEG scan references missing DHT")
+    return dc_map, ac_map
+
+
+def _jpeg_decode_scan(np, data, pos, sof, scan, qt, huff, restart):
+    """Baseline sequential: ONE interleaved scan carries every
+    coefficient; decode into the shared accumulators and render."""
+    _jpeg_validate(sof, qt)
+    comps = sof["comps"]
+    _, _, mcu_cols, mcu_rows = _jpeg_geometry(sof)
+    coefs = _jpeg_alloc_coefs(np, sof)
     preds = [0] * len(comps)
     br = _JpegBitReader(data, pos)
     mcu_i = 0
     for r in range(mcu_rows):
         for c_i in range(mcu_cols):
             if restart and mcu_i and mcu_i % restart == 0:
-                m = br.at_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("missing JPEG restart marker at interval boundary")
-                br.consume_marker()
+                _jpeg_consume_restart(br)
                 preds = [0] * len(comps)
             for ci, comp in enumerate(comps):
-                tdc, tac = scan.get(comp["id"], (None, None))
-                if tdc is None:
-                    raise ValueError(f"JPEG scan is missing component {comp['id']}")
-                dc_map = huff.get((0, tdc))
-                ac_map = huff.get((1, tac))
-                if dc_map is None or ac_map is None:
-                    raise ValueError("JPEG scan references missing DHT")
-                q = qt[comp["tq"]]
+                dc_map, ac_map = _jpeg_scan_tables(scan, huff, comp)
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz = [0] * 64
+                        zz = coefs[ci][r * comp["v"] + by, c_i * comp["h"] + bx]
                         s = _jpeg_huff_symbol(br, dc_map)
                         diff = _jpeg_extend(br.bits(s), s) if s else 0
                         preds[ci] += diff
@@ -810,17 +1103,214 @@ def _jpeg_decode_scan(np, data, pos, sof, scan, qt, huff, restart):
                                 raise ValueError("JPEG AC run overflows the block")
                             zz[k] = _jpeg_extend(br.bits(ssss), ssss)
                             k += 1
-                        coef = np.zeros(64)
-                        for kk in range(64):
-                            coef[_JZZ[kk]] = zz[kk] * q[_JZZ[kk]]
-                        block = dctm.T @ coef.reshape(8, 8) @ dctm
-                        y0 = (r * comp["v"] + by) * 8
-                        x0 = (c_i * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_i += 1
+    return _jpeg_render(np, sof, qt, coefs)
+
+
+def _jpeg_consume_restart(br) -> None:
+    m = br.at_marker()
+    if m is None or not (0xD0 <= m <= 0xD7):
+        raise ValueError("missing JPEG restart marker at interval boundary")
+    br.consume_marker()
+
+
+def _jpeg_decode_prog_scan(
+    np, data, pos, sof, order, scan, ss, se, ah, al, huff, restart, coefs
+):
+    """One PROGRESSIVE scan (T.81 G.1.2) folded into the coefficient
+    accumulators; returns the byte offset of the marker that ended the
+    entropy segment. Four scan kinds:
+
+    - DC first (Ss=0, Ah=0): interleaved or single-component; diff-coded
+      like baseline, coefficient = diff << Al (point transform).
+    - DC refinement (Ah>0): one bit per block, OR-ed in at plane Al.
+    - AC first (Ss>0, Ah=0): single-component, EOBRUN-coded bands.
+    - AC refinement (Ss>0, Ah>0): correction bits for history-nonzero
+      coefficients interleaved with newly-significant ±(1<<Al) — the
+      G.1.2.3 algorithm (public: also libjpeg decode_mcu_AC_refine).
+
+    Restart intervals reset predictors AND the EOB run per interval, in
+    every scan kind."""
+    comps = sof["comps"]
+    by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+    _, _, mcu_cols, mcu_rows = _jpeg_geometry(sof)
+    br = _JpegBitReader(data, pos)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+        idxs = []
+        for cid in order:
+            if cid not in by_id:
+                raise ValueError(f"JPEG scan names unknown component {cid}")
+            idxs.append(by_id[cid])
+        dc_maps = {}
+        if ah == 0:
+            for _, comp in idxs:
+                dc_maps[comp["id"]], _ = _jpeg_scan_tables(
+                    scan, huff, comp, need_ac=False
+                )
+        preds = {comp["id"]: 0 for _, comp in idxs}
+        interleaved = len(idxs) > 1
+        units = []  # (ci, comp, block_row, block_col) in scan order
+        if interleaved:
+            for r in range(mcu_rows):
+                for c_i in range(mcu_cols):
+                    for ci, comp in idxs:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                units.append(
+                                    (ci, comp, r * comp["v"] + by, c_i * comp["h"] + bx)
+                                )
+            per_unit = sum(comp["v"] * comp["h"] for _, comp in idxs)
+        else:
+            ci, comp = idxs[0]
+            bh, bw = _jpeg_ni_blocks(sof, comp)
+            for r in range(bh):
+                for c_i in range(bw):
+                    units.append((ci, comp, r, c_i))
+            per_unit = 1
+        unit_i = 0
+        for u, (ci, comp, brow, bcol) in enumerate(units):
+            if restart and u % per_unit == 0:
+                unit_i = u // per_unit
+                if unit_i and unit_i % restart == 0:
+                    _jpeg_consume_restart(br)
+                    preds = {k: 0 for k in preds}
+            zz = coefs[ci][brow, bcol]
+            if ah == 0:
+                s = _jpeg_huff_symbol(br, dc_maps[comp["id"]])
+                diff = _jpeg_extend(br.bits(s), s) if s else 0
+                preds[comp["id"]] += diff
+                zz[0] = preds[comp["id"]] << al
+            else:
+                if br.bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+        return _jpeg_end_of_scan(br)
+
+    # AC scan: single component, non-interleaved
+    if len(order) != 1:
+        raise ValueError("JPEG progressive AC scans carry exactly one component")
+    ci, comp = by_id[order[0]]
+    _, ac_map = _jpeg_scan_tables(scan, huff, comp, need_dc=False)
+    bh, bw = _jpeg_ni_blocks(sof, comp)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    block_i = 0
+    for r in range(bh):
+        for c_i in range(bw):
+            if restart and block_i and block_i % restart == 0:
+                _jpeg_consume_restart(br)
+                eobrun = 0
+            block_i += 1
+            zz = coefs[ci][r, c_i]
+            if ah == 0:  # AC first scan of this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_symbol(br, ac_map)
+                    rrrr, ssss = rs >> 4, rs & 0x0F
+                    if ssss == 0:
+                        if rrrr == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << rrrr) - 1
+                        if rrrr:
+                            eobrun += br.bits(rrrr)
+                        break
+                    k += rrrr
+                    if k > se:
+                        raise ValueError("JPEG AC run overflows the band")
+                    zz[k] = _jpeg_extend(br.bits(ssss), ssss) << al
+                    k += 1
+                continue
+            # AC refinement (G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_symbol(br, ac_map)
+                    rrrr, ssss = rs >> 4, rs & 0x0F
+                    if ssss == 0:
+                        if rrrr != 15:
+                            eobrun = 1 << rrrr
+                            if rrrr:
+                                eobrun += br.bits(rrrr)
+                            break
+                        val = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if ssss != 1:
+                            raise ValueError("JPEG AC refinement size must be 1")
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        cv = int(zz[k])
+                        if cv != 0:
+                            if br.bit() and (cv & p1) == 0:
+                                zz[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if rrrr == 0:
+                                break
+                            rrrr -= 1
+                        k += 1
+                    if val != 0 and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # the EOB run's correction bits for this block's
+                # remaining history-nonzero coefficients
+                while k <= se:
+                    cv = int(zz[k])
+                    if cv != 0:
+                        if br.bit() and (cv & p1) == 0:
+                            zz[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _jpeg_end_of_scan(br)
+
+
+def _jpeg_ni_blocks(sof, comp):
+    """Non-interleaved block grid of one component (T.81 A.2.2): blocks
+    covering the COMPONENT's own sample area, not the padded MCU grid."""
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    cw = -(-sof["w"] * comp["h"] // hmax)
+    ch = -(-sof["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _jpeg_end_of_scan(br) -> int:
+    """Byte offset of the marker terminating this scan's entropy data
+    (the bit reader's position, advanced past any pending marker's fill
+    bytes but NOT past the marker itself)."""
+    if br.pending_marker is not None:
+        return br._pending_end - 2
+    m, end = br._scan_marker(br.pos)
+    return end - 2 if m is not None else br.pos
+
+
+def _jpeg_render(np, sof, qt, coefs):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficients — the single output path both baseline and progressive
+    decodes share, so the two encodings of the same quantized
+    coefficients are bit-identical by construction."""
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    hmax, vmax, mcu_cols, mcu_rows = _jpeg_geometry(sof)
+    dctm = np.array(_jpeg_dct_matrix())
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci] + 128.0
+        q = qt[comp["tq"]]
+        plane = np.zeros((mcu_rows * comp["v"] * 8, mcu_cols * comp["h"] * 8))
+        bh, bw = coefs[ci].shape[:2]
+        for r in range(bh):
+            for c_i in range(bw):
+                zz = coefs[ci][r, c_i]
+                coef = np.zeros(64)
+                for kk in range(64):
+                    coef[_JZZ[kk]] = int(zz[kk]) * q[_JZZ[kk]]
+                block = dctm.T @ coef.reshape(8, 8) @ dctm
+                plane[r * 8 : r * 8 + 8, c_i * 8 : c_i * 8 + 8] = block
+        p = plane + 128.0
         p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
         full.append(p[:h, :w])
     if len(comps) == 1:

@@ -4217,9 +4217,10 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG decode under the oracle (VERDICT r8 item 8 —
-    operators.multimodal.decode_jpeg, T.81 baseline sequential DCT
-    behind the same codec seam as PNG/WAV): each selected document
+    """REAL JPEG decode under the oracle (VERDICT r8 item 8 + r9 item 7
+    — operators.multimodal.decode_jpeg, T.81 baseline sequential AND
+    progressive DCT behind the same codec seam as PNG/WAV; every third
+    document's payload is SOF2 progressive): each selected document
     manufactures a 24×24 JPEG of CONSTANT 8×8 tiles with EVEN gray
     values (tile k = ((doc_id + 17k) mod 128)·2) — the payload class a
     LOSSY codec reproduces EXACTLY (tile DC = 8·(c−128) divides the
@@ -4252,7 +4253,13 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tiles[(y // 8) * 3 + (x // 8)] for y in range(24) for x in range(24)
                 )
                 px = gray if ch == 1 else bytes(b for v in gray for b in (v, v, v))
-                payload = multimodal.encode_jpeg(px, 24, 24, ch, subsample=(ch == 3))
+                # every third document ships PROGRESSIVE (SOF2, r9 item
+                # 7): successive-approximation DC+AC scans carrying the
+                # same quantized coefficients, so the lossless-class
+                # arithmetic oracle covers both entropy organizations
+                payload = multimodal.encode_jpeg(
+                    px, 24, 24, ch, subsample=(ch == 3), progressive=(doc_id % 3 == 0)
+                )
                 img = multimodal.decode_image_real(payload)
                 assert img["width"] == 24 and img["height"] == 24 and img["channels"] == ch
                 assert img["pixels"] == px, f"JPEG decode not exact for doc {doc_id}"
