@@ -139,6 +139,14 @@ HEADLINE = [
     # image near-dup: dHash over real decoded pixels + 4-band Hamming
     # LSH (pixel-free shuffles; the multimodal dedup path)
     "image_dhash_near_dups",
+    # round-10 surfaces: negated DML (!=/NOT IN through SQL + Python,
+    # merge-on-read), the general-clause MERGE, the batch-read manifest
+    # DataSource (spark.sql over current + VERSION AS OF snapshots with
+    # pushdown pruning), and metadata-only ADD COLUMN + widening
+    "manifest_dml_negation",
+    "manifest_merge_clauses",
+    "manifest_batch_read_sql",
+    "manifest_add_column",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume

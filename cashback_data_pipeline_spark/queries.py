@@ -7536,73 +7536,73 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # After r9 lands, no query's latest driver check is older than r6.
 # Everything else stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries).
-_ROUND9_WINDOW = [
-    # new in round 9 / changed oracle
-    "manifest_sql_dml",
-    "manifest_column_rename",
+_ROUND10_WINDOW = [
+    # new in round 10 (negated DML, batch-read source, general MERGE,
+    # ADD COLUMN/widening) + the progressive-JPEG-extended query
+    "manifest_dml_negation",
+    "manifest_batch_read_sql",
+    "manifest_merge_clauses",
+    "manifest_add_column",
     "multimodal_jpeg_decode",
-    "ann_ivf_retrain_topk",
-    # stale since round 4
-    "containment_near_dups",
-    "boilerplate_scrub",
-    "duplicate_passages",
-    "incremental_corpus_dedup",
-    "cross_doc_ngram_dup",
-    "benchmark_decontamination",
-    "token_budget_mixture",
-    "quality_percentile_filter",
-    "corpus_health_by_source",
-    "nation_market_share",
-    "product_type_profit",
-    "important_part_values",
-    "top_revenue_supplier",
-    "part_supplier_variety",
-    "promo_stock_suppliers",
-    "waiting_orders_suppliers",
-    "retention_cohorts",
-    # round-6 cohort backfill (29)
-    "manifest_roundtrip",
-    "ann_topk_cosine",
-    "ann_topk_batch",
-    "ann_ivf_topk",
-    "ann_neighbor_docs",
-    "semantic_dedup",
-    "embedding_near_dups_fast",
-    "embedding_lsh_auto_near_dups",
-    "embedding_lsh_multitable_near_dups",
-    "curate_corpus",
-    "dedup_exact_groups",
-    "indexed_bm25_search",
-    "bm25_search",
-    "hybrid_search_rrf",
-    "doc_keywords_tfidf",
-    "bpe_train_merges",
-    "bpe_merge_tokenize",
-    "bpe_tokenize",
-    "streaming_quality_route",
-    "windowed_event_counts",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "asof_last_signup",
-    "asof_enrich_value",
-    "asof_forward_nearest",
-    "event_funnel",
-    "time_grain_rollup",
-    "compound_null_predicate",
-    # new in the second round-9 session: image near-dup via dHash
-    "image_dhash_near_dups",
+    # stale since round 6 (VERDICT r9 item 4: these lead the window)
+    "null_safe_join",
+    "trailing_window_sum",
+    "window_value_functions",
+    "statistical_aggs",
+    "grouping_sets_summary",
+    "unpivot_event_bounds",
+    "sequence_explode",
+    "date_arithmetic",
+    "null_handling",
+    "decimal_exact_totals",
+    "distinct_users_salted",
+    "salted_join_orders",
+    "dq_violations",
+    "table_stats",
+    "array_agg_functions",
+    "text_char_classes",
+    "vocab_top_terms",
+    "quality_classifier_scores",
+    "temperature_mixture",
+    "grouped_corpus_split",
+    "token_budget_mixture_bpe",
+    "value_outliers",
+    # round-7 cohort backfill (23; the rest rotate at r11)
+    "ann_ivf_delta_topk",
+    "ann_ivf_quantized_topk",
+    "anti_join_absent_keys",
+    "count_filtered",
+    "csv_roundtrip",
+    "cube_summary",
+    "date_parts_projection",
+    "derived_conditional_price",
+    "distinct_agg",
+    "doc_fingerprints",
+    "donor_group_fill",
+    "embedding_near_dups",
+    "filter_neq_null_safe",
+    "first_match_per_group",
+    "incremental_append",
+    "indexed_bm25_delta",
+    "json_field_extract",
+    "left_join_enrich",
+    "lenient_casts",
+    "manifest_changes_feed",
+    "manifest_stats_skipping",
+    "math_functions",
+    "minhash_lsh_near_dups",
 ]
 
 
 def _apply_driver_window() -> None:
-    assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
-    assert len(set(_ROUND9_WINDOW)) == 50, "duplicate names in window"
-    unknown = [n for n in _ROUND9_WINDOW if n not in QUERIES]
+    assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
+    assert len(set(_ROUND10_WINDOW)) == 50, "duplicate names in window"
+    unknown = [n for n in _ROUND10_WINDOW if n not in QUERIES]
     assert not unknown, f"window names not registered: {unknown}"
-    missing = [n for n in _ROUND9_WINDOW if n not in ORACLES]
+    missing = [n for n in _ROUND10_WINDOW if n not in ORACLES]
     assert not missing, f"driver window contains oracle-less queries: {missing}"
-    rest = [n for n in QUERIES if n not in set(_ROUND9_WINDOW)]
-    reordered = {n: QUERIES[n] for n in [*_ROUND9_WINDOW, *rest]}
+    rest = [n for n in QUERIES if n not in set(_ROUND10_WINDOW)]
+    reordered = {n: QUERIES[n] for n in [*_ROUND10_WINDOW, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 
