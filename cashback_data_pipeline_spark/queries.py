@@ -2948,6 +2948,138 @@ def manifest_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_cdf_batch_window",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 <> 0
+    GROUP BY 1
+    """,
+)
+def manifest_cdf_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH window read of the change feed (round 10 — the Delta
+    ``table_changes`` batch shape beside the streaming tail):
+    ``spark.read.format("manifest_changes").option("startingVersion",
+    1)`` returns exactly the rows commits in the append-only window
+    added, through the same Python DataSource the stream uses (per-file
+    Arrow partitions, schema + mapping pinned at the window end). The
+    query RAISES unless a bounded ``endingVersion`` sub-window isolates
+    one commit. Oracle = the equivalent time-slice of the source table
+    (keys %3 ∈ {1,2} — the two windowed commits)."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.streaming import cdf_source
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    kmod = F.col("o_orderkey") % 3
+    table = tempfile.mkdtemp(prefix="manifest_cdfwin_")
+    try:
+        M.write_table(orders.filter(kmod == 0), table)
+        M.write_table(orders.filter(kmod == 1), table, mode="append")
+        M.write_table(orders.filter(kmod == 2), table, mode="append")
+        cdf_source.register(spark)
+        one = (
+            spark.read.format("manifest_changes")
+            .option("startingVersion", 1).option("endingVersion", 2)
+            .load(table)
+        )
+        n_one = one.count()
+        n_expect = orders.filter(kmod == 1).count()
+        if n_one != n_expect:
+            raise ValueError(f"bounded window read {n_one} rows, expected {n_expect}")
+        win = (
+            spark.read.format("manifest_changes")
+            .option("startingVersion", 1)
+            .load(table)
+        )
+        agg = win.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "manifest_optimize_incremental",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def manifest_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL small-file compaction (manifest.optimize_table — the
+    Delta OPTIMIZE bin-packing shape, through the SQL front door's
+    ``OPTIMIZE .. TARGET n ROWS``): a trickle-append history (2 big
+    clustered seed files + 5 one-file micro-appends) is packed by
+    rewriting ONLY the small files — the query RAISES unless the commit
+    meta shows both seed files CARRIED untouched and exactly the 5
+    micro-appends rewritten, and unless key pruning still fires on the
+    optimized layout (stats carry + refresh, never erode). This is the
+    maintenance op that works at 100 TB where a whole-snapshot rewrite
+    cannot: cost is O(small files), independent of table size
+    (SCALE_CHECK `optimize_incremental`). Oracle = the untouched
+    monthly aggregate over the source — optimization must be invisible
+    to queries."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    total = orders.count()
+    kmod = F.col("o_orderkey") % 100
+    table = tempfile.mkdtemp(prefix="manifest_optinc_")
+    try:
+        M.write_table(
+            orders.filter(kmod >= 5), table,
+            cluster_by=["o_orderkey"], cluster_files=2,
+        )
+        for b in range(5):
+            M.write_table(
+                orders.filter(kmod == b).coalesce(1), table, mode="append"
+            )
+        n_before = len(M.read_manifest(table, M.current_version(table))["files"])
+        v = sql_dml.execute(
+            spark,
+            f"OPTIMIZE orders_t TARGET {max(1, total // 10)} ROWS",
+            {"orders_t": table},
+        )
+        m = M.read_manifest(table, v)
+        meta = m.get("meta", {}).get("optimize", {})
+        if meta.get("carried") != 2 or meta.get("rewritten") != 5:
+            raise ValueError(
+                f"incremental OPTIMIZE must carry the 2 big files and pack "
+                f"the 5 small ones (files {n_before}→{len(m['files'])}, meta {meta})"
+            )
+        if len(m["files"]) >= n_before:
+            raise ValueError("OPTIMIZE did not shrink the file count")
+        cut = orders.agg(F.expr("percentile_approx(o_orderkey, 0.25)")).first()[0]
+        _, skipped = filestats.prune_files(m["files"], m.get("stats") or {},
+                                           [("o_orderkey", "<", int(cut))])
+        if not skipped:
+            raise ValueError("key pruning must survive the optimized layout")
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_batch_read_sql",
     sql=f"""
     WITH cur AS (SELECT * FROM orders WHERE o_orderkey >= 1000),
@@ -7540,6 +7672,8 @@ _ROUND10_WINDOW = [
     # new in round 10 (negated DML, batch-read source, general MERGE,
     # ADD COLUMN/widening) + the progressive-JPEG-extended query
     "manifest_dml_negation",
+    "manifest_optimize_incremental",
+    "manifest_cdf_batch_window",
     "manifest_batch_read_sql",
     "manifest_merge_clauses",
     "manifest_add_column",
@@ -7589,8 +7723,6 @@ _ROUND10_WINDOW = [
     "lenient_casts",
     "manifest_changes_feed",
     "manifest_stats_skipping",
-    "math_functions",
-    "minhash_lsh_near_dups",
 ]
 
 

@@ -782,8 +782,11 @@ def collect_file_stats(
     the new files, never the table)."""
     from cashback_data_pipeline_spark.sinks.logstore import get_log_store
 
-    if not rel_files or not stats_cols:
+    if not rel_files:
         return {}
+    # stats_cols=[] is a ROW-COUNT-ONLY pass (optimize_table's bin-pack
+    # sizing for files no commit recorded stats for) — same footer read,
+    # entries carry rows and an empty cols map
     if schema is not None:
         validate_stats_cols(schema, stats_cols)
     store = get_log_store(table)

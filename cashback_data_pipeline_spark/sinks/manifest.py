@@ -1041,6 +1041,7 @@ def write_table(
     files = _write_data_files(df, table, mapping=mapping)
     schema_json = df.schema.json()
     stats = None
+    phys_stats_cols: list[str] = []
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
@@ -1049,12 +1050,28 @@ def write_table(
         # must fail as loudly as on an unmapped one, ADVICE r9), then
         # translate to physical names for collection
         filestats.validate_stats_cols(df.schema, list(stats_cols))
+        phys_stats_cols = _phys_cols(mapping, list(stats_cols))
+    elif mode == "append" and cur0_doc is not None:
+        # stats are a TABLE PROPERTY in effect (r10, the bloom_conf
+        # discipline): a plain append to a stats-tracked table keeps
+        # collecting entries for the parent's tracked columns — without
+        # this every trickle append adds an UNPRUNABLE file, eroding
+        # data skipping one commit at a time. Parent entries are keyed
+        # by physical names already; columns this write doesn't carry
+        # are skipped (stats stay per-file-honest).
+        parent_tracked = {
+            c for e in (cur0_doc.get("stats") or {}).values()
+            for c in (e.get("cols") or {})
+        }
+        written = set(_phys_cols(mapping, df.columns))
+        phys_stats_cols = sorted(parent_tracked & written)
+    if phys_stats_cols:
+        from cashback_data_pipeline_spark.sinks import filestats
+
         spark = df.sparkSession
         # stats are keyed by PHYSICAL column names (collected from the
         # written files); skip= predicates translate at read time
-        stats = filestats.collect_file_stats(
-            spark, table, files, _phys_cols(mapping, list(stats_cols))
-        )
+        stats = filestats.collect_file_stats(spark, table, files, phys_stats_cols)
     if bloom_cols:
         from cashback_data_pipeline_spark.sinks import filestats
 
@@ -2041,6 +2058,104 @@ def compact_table(
             stats=stats,
             bloom_conf=_bloom_table_conf(m),
             operation="compact",
+        ):
+            return cur + 1
+
+
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    target_rows: int = 1_000_000,
+    min_files: int = 2,
+    predicates=None,
+) -> int:
+    """INCREMENTAL small-file compaction — the Delta ``OPTIMIZE``
+    bin-packing shape, the maintenance op that actually works at 100 TB
+    where :func:`compact_table`'s whole-snapshot rewrite cannot: only
+    files the manifest already knows are SMALL (row count below
+    ``target_rows``, from the stats entries commits carry — files
+    without an entry get one cheap footer read) are rewritten, packed
+    into ~``target_rows`` outputs; every right-sized file carries
+    forward with ZERO I/O. Cost is O(small files), independent of table
+    size — a trickle-append history stays healthy under a fixed
+    maintenance budget however large it grows.
+
+    ``predicates`` (the skip-tree language) scopes the pass — Delta's
+    ``OPTIMIZE .. WHERE``: only files that MAY match are considered
+    (approximate scoping is fine for maintenance; it never changes
+    query semantics). Fewer than ``min_files`` qualifying files ⇒ no
+    version churn (returns the current version). Deletion vectors on
+    rewritten files are MATERIALIZED (the rewrite reads DV-applied
+    rows); untouched files keep their tombstones. Carried files keep
+    their stats verbatim; rewritten files get fresh entries for the
+    parent's tracked columns, and the bloom table property regenerates
+    sidecars for the new files. Optimistic CAS retry like every
+    maintenance commit."""
+    from cashback_data_pipeline_spark.sinks import filestats
+
+    if predicates is not None:
+        filestats.skip_condition(predicates)  # validate up front
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        files = m["files"]
+        stats = dict(m.get("stats") or {})
+        scope = files
+        if predicates is not None:
+            phys_preds = _phys_predicates(predicates, _mapping(m))
+            scope, _ = filestats.prune_files(files, stats, phys_preds)
+        # row counts: manifest stats first, one footer metadata read for
+        # the rest (KBs per file, no data pages)
+        unknown = [f for f in scope if stats.get(f, {}).get("rows") is None]
+        if unknown:
+            fresh = filestats.collect_file_stats(spark, table, unknown, [])
+            for f, e in fresh.items():
+                stats.setdefault(f, {}).update(rows=e.get("rows"))
+        small = [
+            f for f in scope
+            if (stats.get(f, {}).get("rows") or 0) < target_rows
+        ]
+        if len(small) < min_files:
+            return cur  # nothing worth packing — no version churn
+        small_rows = sum(stats[f].get("rows") or 0 for f in small)
+        n_out = max(1, -(-small_rows // target_rows))
+        small_set = set(small)
+        carried = [f for f in files if f not in small_set]
+        packed = _read_files(
+            spark, table, small, _dv_set(m), mapping=_mapping_pairs(m),
+            schema_json=m["schema"],
+        ).coalesce(n_out)
+        new_files = _write_data_files(packed, table, mapping=_mapping(m))
+        merged_stats = _refresh_stats(
+            spark, table, m.get("stats") or {}, carried, new_files
+        )
+        merged_stats = _build_bloom_sidecar(
+            spark, table, new_files,
+            T.StructType.fromJson(json.loads(m["schema"])),
+            _bloom_table_conf(m), merged_stats,
+        )
+        meta = dict(m.get("meta") or {})
+        meta["optimize"] = {
+            "rewritten": len(small),
+            "carried": len(carried),
+            "n_out": n_out,
+            "target_rows": target_rows,
+        }
+        if _try_commit(
+            table,
+            cur + 1,
+            carried + new_files,
+            cur,
+            m["schema"],
+            meta=meta,
+            stats=merged_stats or None,
+            bloom_conf=_bloom_table_conf(m),
+            # untouched files keep their tombstones; entries naming the
+            # rewritten files match nothing (materialized by the read)
+            dv_files=_dv_set(m),
+            operation="optimize",
         ):
             return cur + 1
 

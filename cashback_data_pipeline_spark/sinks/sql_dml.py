@@ -22,6 +22,7 @@ Supported statements (case-insensitive keywords)::
     DESCRIBE HISTORY <t>
     VACUUM <t> [RETAIN <n> VERSIONS]
     OPTIMIZE <t> [ZORDER BY (col, ...)]
+    OPTIMIZE <t> [TARGET <n> ROWS] WHERE <predicate>   -- incremental bin-pack
     ALTER TABLE <t> RENAME COLUMN <old> TO <new>
     ALTER TABLE <t> DROP COLUMN <col>
     ALTER TABLE <t> ADD COLUMN <col> <type>
@@ -499,15 +500,32 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
         return M.vacuum(table, keep_last=keep)
 
     if kw == "OPTIMIZE":
+        m = re.match(r"(?is)^OPTIMIZE\s+(\S+)\s+ZORDER\s+BY\s*\(([^)]+)\)$", text)
+        if m:
+            cols = [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()]
+            return M.compact_table(
+                spark, _resolve_table(m.group(1).strip("`"), catalog), zorder_by=cols
+            )
         m = re.match(
-            r"(?is)^OPTIMIZE\s+(\S+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$", text
+            r"(?is)^OPTIMIZE\s+(\S+)(?:\s+TARGET\s+(\d+)\s+ROWS)?(?:\s+WHERE\s+(.+))?$",
+            text,
         )
         if not m:
             raise ValueError(f"malformed OPTIMIZE: {text!r}")
         table = _resolve_table(m.group(1).strip("`"), catalog)
-        if m.group(2):
-            cols = [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()]
-            return M.compact_table(spark, table, zorder_by=cols)
+        if m.group(2) or m.group(3):
+            # incremental bin-packing (the Delta OPTIMIZE [WHERE] shape):
+            # only small files rewrite, O(small files) however large the
+            # table — WHERE scopes the pass via the skip tree
+            kwargs = {}
+            if m.group(2):
+                kwargs["target_rows"] = int(m.group(2))
+            if m.group(3):
+                p = _Parser(m.group(3))
+                kwargs["predicates"] = p.where_tree()
+                if not p.done():
+                    raise ValueError(f"trailing tokens after WHERE in: {text!r}")
+            return M.optimize_table(spark, table, **kwargs)
         return M.compact_table(spark, table)
 
     if kw == "ALTER":

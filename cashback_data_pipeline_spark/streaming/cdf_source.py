@@ -72,7 +72,12 @@ import json
 from typing import Iterator, Sequence
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cashback_data_pipeline_spark.sinks import manifest as mf
 
@@ -236,44 +241,120 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
 
     # -- execution (workers) -----------------------------------------------
     def read(self, partition: ManifestFilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _read_file_partition(partition)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(T.StructType.fromJson(json.loads(partition.schema_json)))
-        mapping = getattr(partition, "mapping", {}) or {}
-        phys_of = {n: mapping.get(n, n) for n in target.names}
-        pf = pq.ParquetFile(_local_path(partition.path))
-        file_cols = set(pf.schema_arrow.names)
-        # files store PHYSICAL names. On an UNMAPPED table an unresolved
-        # file column means the schema widened after the stream started
-        # — fail loudly (restart picks it up). On a MAPPED table,
-        # unresolved physicals are expected (a dropped column's data
-        # stays in old files forever) and are simply never projected.
-        if not mapping:
-            extra = file_cols - set(phys_of.values())
-            if extra:
+def _read_file_partition(partition: ManifestFilePartition) -> Iterator:
+    """Worker-side Arrow read of one added file under the pinned schema
+    + column mapping — shared by the stream reader and the batch window
+    reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(T.StructType.fromJson(json.loads(partition.schema_json)))
+    mapping = getattr(partition, "mapping", {}) or {}
+    phys_of = {n: mapping.get(n, n) for n in target.names}
+    pf = pq.ParquetFile(_local_path(partition.path))
+    file_cols = set(pf.schema_arrow.names)
+    # files store PHYSICAL names. On an UNMAPPED table an unresolved
+    # file column means the schema widened after the stream started
+    # — fail loudly (restart picks it up). On a MAPPED table,
+    # unresolved physicals are expected (a dropped column's data
+    # stays in old files forever) and are simply never projected.
+    if not mapping:
+        extra = file_cols - set(phys_of.values())
+        if extra:
+            raise ValueError(
+                f"{partition.path} carries column(s) {sorted(extra)} absent from "
+                "the pinned stream schema; restart the stream to pick up the "
+                "new schema"
+            )
+    for batch in pf.iter_batches():
+        tbl = pa.Table.from_batches([batch])
+        arrays = []
+        for field in target:
+            phys = phys_of[field.name]
+            if phys in file_cols:
+                arrays.append(tbl.column(phys).cast(field.type))
+            else:
+                arrays.append(pa.nulls(len(tbl), type=field.type))
+        for out in pa.Table.from_arrays(arrays, schema=target).to_batches():
+            yield out
+
+
+class ManifestChangesBatchReader(DataSourceReader):
+    """BATCH read of the change feed — ``spark.read.format(
+    "manifest_changes").option("startingVersion", a)[.option(
+    "endingVersion", b)].load(table)``: the rows commits in the
+    append-only window ``(a, b]`` added (b defaults to current), the
+    Delta ``table_changes`` batch shape beside the streaming tail. A
+    rewrite/DV change inside the window raises exactly like
+    ``read_changes`` (the file diff is not the row diff) unless
+    ``skipChangeCommits=true`` skips those commits. Schema + mapping
+    pin at the window END, so the batch answers under that version's
+    own names; per-added-file partitions, same worker read path as the
+    stream."""
+
+    def __init__(self, options: dict):
+        self._table = _normalize_table(
+            options.get("path") or options.get("table") or ""
+        )
+        if not self._table:
+            raise ValueError("manifest_changes needs .load(<table root>)")
+        start = options.get("startingversion", options.get("startingVersion"))
+        if start is None:
+            raise ValueError(
+                "batch manifest_changes needs .option('startingVersion', n) "
+                "(exclusive window start; 0 = the whole table)"
+            )
+        self._start = int(start)
+        end = options.get("endingversion", options.get("endingVersion"))
+        self._end = int(end) if end is not None else _required_current(self._table)
+        self._skip_change = str(
+            options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
+        ).lower() in ("true", "1", "yes")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        if self._start > self._end:
+            raise ValueError(f"startingVersion {self._start} > endingVersion {self._end}")
+        m_end = mf.read_manifest(self._table, self._end)
+        store = mf.get_log_store(self._table)
+        added: list[str] = []
+        for v in range(self._start + 1, self._end + 1):
+            delta = mf.version_changes(self._table, v)
+            changed = bool(delta["removed"]) or delta["dv_changed"]
+            if changed and not self._skip_change:
                 raise ValueError(
-                    f"{partition.path} carries column(s) {sorted(extra)} absent from "
-                    "the pinned stream schema; restart the stream to pick up the "
-                    "new schema"
+                    f"{self._table} v{v} rewrote files or changed deletion "
+                    "vectors: the file diff is not the row diff. Use "
+                    "read_changes_rows(key=...) for a keyed diff, or "
+                    ".option('skipChangeCommits', 'true')."
                 )
-        for batch in pf.iter_batches():
-            tbl = pa.Table.from_batches([batch])
-            arrays = []
-            for field in target:
-                phys = phys_of[field.name]
-                if phys in file_cols:
-                    arrays.append(tbl.column(phys).cast(field.type))
-                else:
-                    arrays.append(pa.nulls(len(tbl), type=field.type))
-            for out in pa.Table.from_arrays(arrays, schema=target).to_batches():
-                yield out
+            if not changed:
+                added.extend(delta["added"])
+        mapping = mf._mapping(m_end) or {}
+        return [
+            ManifestFilePartition(store.join(self._table, f), m_end["schema"], mapping)
+            for f in added
+        ]
+
+    def read(self, partition: ManifestFilePartition) -> Iterator:
+        yield from _read_file_partition(partition)
+
+
+def _required_current(table: str) -> int:
+    cur = mf.current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    return cur
 
 
 class ManifestChangesDataSource(DataSource):
-    """``spark.readStream.format("manifest_changes").option("path", table)``.
+    """``spark.readStream.format("manifest_changes").option("path", table)``
+    (streaming tail) and ``spark.read.format("manifest_changes")``
+    (batch window — :class:`ManifestChangesBatchReader`).
 
     Register once per session with :func:`register`.
     """
@@ -286,10 +367,9 @@ class ManifestChangesDataSource(DataSource):
         table = _normalize_table(self.options.get("path") or self.options.get("table") or "")
         if not table:
             raise ValueError("manifest_changes needs .option('path', <table root>)")
-        cur = mf.current_version(table)
-        if cur is None:
-            raise FileNotFoundError(f"no committed version in {table}")
-        pinned = T.StructType.fromJson(json.loads(mf.read_manifest(table, cur)["schema"]))
+        end = self.options.get("endingversion", self.options.get("endingVersion"))
+        v = int(end) if end is not None else _required_current(table)
+        pinned = T.StructType.fromJson(json.loads(mf.read_manifest(table, v)["schema"]))
         # all-nullable, like Spark's own file sources: older commits in an
         # evolved history are null-filled for late-added columns, so a
         # non-null marking from one writer's literal would be a lie here
@@ -299,6 +379,9 @@ class ManifestChangesDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> ManifestChangesStreamReader:
         return ManifestChangesStreamReader(schema, dict(self.options))
+
+    def reader(self, schema: T.StructType) -> ManifestChangesBatchReader:
+        return ManifestChangesBatchReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -244,3 +244,81 @@ def test_rate_limited_restart_never_regresses_offsets(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 60
     assert got.select(F.countDistinct("k")).first()[0] == 60
+
+
+# ---------------------------------------------------------------------------
+# Batch window read (round 10) — the Delta table_changes batch shape
+# beside the streaming tail: spark.read.format("manifest_changes")
+# ---------------------------------------------------------------------------
+
+
+def test_batch_window_read_matches_read_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):
+        mf.write_table(
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    cdf_source.register(spark)
+    win = spark.read.format("manifest_changes").option("startingVersion", 1).load(t)
+    assert sorted(r["k"] for r in win.collect()) == list(range(10, 30))
+    bounded = (
+        spark.read.format("manifest_changes")
+        .option("startingVersion", 0)
+        .option("endingVersion", 2)
+        .load(t)
+    )
+    assert sorted(r["k"] for r in bounded.collect()) == list(range(0, 20))
+    api = mf.read_changes(spark, t, 1)
+    assert {tuple(r) for r in win.collect()} == {tuple(r) for r in api.collect()}
+
+
+def test_batch_window_rewrite_refusal_and_skip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):
+        mf.write_table(
+            spark.range(i * 10, (i + 1) * 10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    mf.upsert_table(spark, spark.createDataFrame([(1, "x")], "k long, v string"), t, "k")
+    cdf_source.register(spark)
+    with pytest.raises(Exception, match="row diff"):
+        spark.read.format("manifest_changes").option("startingVersion", 2).load(t).collect()
+    n = (
+        spark.read.format("manifest_changes")
+        .option("startingVersion", 2)
+        .option("skipChangeCommits", "true")
+        .load(t)
+        .count()
+    )
+    assert n == 10  # v3's append flows; the upsert rewrite is skipped
+
+
+def test_batch_window_pins_schema_at_ending_version(spark, tmp_path):
+    t = str(tmp_path / "t")
+    mf.write_table(
+        spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1), t
+    )
+    mf.rename_column(t, "v", "label")
+    mf.write_table(
+        spark.range(5, 8).selectExpr("id AS k", "CAST(id AS STRING) AS label").coalesce(1),
+        t, mode="append",
+    )
+    cdf_source.register(spark)
+    # ending at v1: pre-rename names
+    v1 = (
+        spark.read.format("manifest_changes")
+        .option("startingVersion", 0)
+        .option("endingVersion", 1)
+        .load(t)
+    )
+    assert v1.columns == ["k", "v"] and v1.count() == 5
+    # current end: post-rename names, both commits' files resolve
+    cur = spark.read.format("manifest_changes").option("startingVersion", 0).load(t)
+    assert cur.columns == ["k", "label"] and cur.count() == 8

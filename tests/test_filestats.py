@@ -184,8 +184,10 @@ def test_in_pruning_mixed_types_stays_conservative():
 
 
 def test_skip_spec_validation():
+    # != is SUPPORTED since r10 (negation pruning) — canonicalized
+    assert filestats._normalize_node(("a", "!=", 1)) == ("leaf", "a", "!=", 1)
     with pytest.raises(ValueError, match="unsupported skip op"):
-        filestats.skip_condition([("a", "!=", 1)])
+        filestats.skip_condition([("a", "~", 1)])
     with pytest.raises(ValueError, match="non-null literal"):
         filestats.skip_condition([("a", "<", None)])
     with pytest.raises(ValueError, match="takes no literal"):
@@ -208,7 +210,7 @@ def test_stats_cols_validation(spark, mk_table):
     with pytest.raises(ValueError, match="not in schema"):
         M.write_table(df, t, stats_cols=["nope"])
     with pytest.raises(ValueError, match="unsupported skip op"):
-        filestats.prune_files(["f"], {"f": {}}, [("id", "!=", 1)])
+        filestats.prune_files(["f"], {"f": {}}, [("id", "like", 1)])
     with pytest.raises(ValueError, match="non-null literal"):
         filestats.prune_files(["f"], {"f": {}}, [("id", "==", None)])
 

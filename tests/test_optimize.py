@@ -1,0 +1,102 @@
+"""Incremental small-file OPTIMIZE (round 10 — manifest.optimize_table,
+the Delta bin-packing shape): only small files rewrite, right-sized
+files carry with zero I/O, WHERE scopes the pass, DVs on rewritten
+files materialize, stats/bloom survive, SQL front door dispatches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.sinks import filestats
+from cashback_data_pipeline_spark.sinks import manifest as M
+from cashback_data_pipeline_spark.sinks import sql_dml
+
+
+def _seed(spark, path, n_small=6):
+    """One big clustered file (50k rows) + n_small one-file appends."""
+    t = str(path)
+    big = spark.range(50_000).selectExpr("id AS k", "CAST(id % 9 AS DOUBLE) AS v")
+    M.write_table(big.coalesce(1), t, stats_cols=["k"])
+    for i in range(n_small):
+        M.write_table(
+            spark.range(50_000 + i * 100, 50_000 + (i + 1) * 100)
+            .selectExpr("id AS k", "CAST(id % 9 AS DOUBLE) AS v")
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+    return t
+
+
+def test_optimize_packs_only_small_files(spark, tmp_path):
+    t = _seed(spark, tmp_path / "t")
+    before = M.read_manifest(t, M.current_version(t))["files"]
+    v = M.optimize_table(spark, t, target_rows=10_000)
+    m = M.read_manifest(t, v)
+    meta = m["meta"]["optimize"]
+    assert meta == {"rewritten": 6, "carried": 1, "n_out": 1, "target_rows": 10_000}
+    # the big file carried VERBATIM (same path — zero I/O)
+    assert set(before) & set(m["files"])
+    assert len(m["files"]) == 2
+    assert M.read_table(spark, t).count() == 50_600
+    # stats survive: key pruning still fires on the optimized layout
+    _, skipped = filestats.prune_files(m["files"], m["stats"], [("k", "<", 10)])
+    assert skipped >= 1
+    # idempotent: nothing small remains below a tighter target
+    assert M.optimize_table(spark, t, target_rows=500) == v
+
+
+def test_optimize_where_scopes_the_pass(spark, tmp_path):
+    t = _seed(spark, tmp_path / "t", n_small=4)
+    # two more small files OUTSIDE the scope predicate
+    for i in range(2):
+        M.write_table(
+            spark.range(-100 * (i + 1), -100 * i)
+            .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v")
+            .coalesce(1),
+            t,
+            mode="append",
+        )
+    v = M.optimize_table(spark, t, target_rows=10_000, predicates=[("k", ">=", 0)])
+    meta = M.read_manifest(t, v)["meta"]["optimize"]
+    # the 4 in-scope appends packed; the big file carried (too big),
+    # the 2 negative-key files carried (out of scope)
+    assert meta["rewritten"] == 4 and meta["carried"] == 3
+    assert M.read_table(spark, t).count() == 50_600
+
+
+def test_optimize_materializes_dvs_on_rewritten_files(spark, tmp_path):
+    t = _seed(spark, tmp_path / "t")
+    M.delete_where(spark, t, ("k", ">=", 50_550), mode="merge_on_read")
+    assert M._dv_set(M.read_manifest(t, M.current_version(t)))
+    v = M.optimize_table(spark, t, target_rows=10_000)
+    out = M.read_table(spark, t)
+    assert out.count() == 50_550
+    assert out.filter(F.col("k") >= 50_550).count() == 0
+    # a second optimize over the materialized layout is a no-op
+    assert M.optimize_table(spark, t, target_rows=10_000) == v
+
+
+def test_optimize_no_churn_below_min_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    M.write_table(
+        spark.range(100).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v").coalesce(1),
+        t,
+    )
+    assert M.optimize_table(spark, t, target_rows=10_000) == 1  # 1 file < min_files
+    with pytest.raises(ValueError):
+        M.optimize_table(spark, t, predicates=[("k", "bogus_op", 1)])
+
+
+def test_optimize_sql_front_door(spark, tmp_path):
+    t = _seed(spark, tmp_path / "t")
+    cat = {"t": t}
+    v = sql_dml.execute(spark, "OPTIMIZE t TARGET 10000 ROWS WHERE k >= 50000", cat)
+    meta = M.read_manifest(t, v)["meta"]["optimize"]
+    assert meta["rewritten"] == 6 and meta["carried"] == 1
+    ops = [r["operation"] for r in M.table_history(spark, t).orderBy("version").collect()]
+    assert ops[-1] == "optimize"
+    # bare OPTIMIZE keeps the full-compaction semantics
+    v2 = sql_dml.execute(spark, "OPTIMIZE t", cat)
+    assert len(M.read_manifest(t, v2)["files"]) <= 4

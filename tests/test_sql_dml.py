@@ -181,8 +181,12 @@ def test_optimize_and_alter_statements(spark, tmp_path):
     v4 = sql_dml.execute(spark, "ALTER TABLE t DROP COLUMN v", {"t": t})
     assert M.read_manifest(t, v4)["files"] == files_before
     assert M.read_table(spark, t).columns == ["k", "amount"]
+    # ADD COLUMN is SUPPORTED since r10 (metadata-only, null-fill)
+    v5 = sql_dml.execute(spark, "ALTER TABLE t ADD COLUMN x INT", {"t": t})
+    assert M.read_manifest(t, v5)["files"] == files_before
+    assert M.read_table(spark, t).columns == ["k", "amount", "x"]
     with pytest.raises(ValueError, match="malformed ALTER"):
-        sql_dml.execute(spark, "ALTER TABLE t ADD COLUMN x INT", {"t": t})
+        sql_dml.execute(spark, "ALTER TABLE t SET TBLPROPERTIES (x=1)", {"t": t})
 
 
 def test_update_without_where_and_unknown_table_rejected(spark, tmp_path):

@@ -549,6 +549,41 @@ class _MorDeleteFixed:
         return dt
 
 
+class _OptimizeIncremental:
+    """INCREMENTAL OPTIMIZE of a FIXED set of small files on a GROWING
+    table (round 10, manifest.optimize_table): the big clustered bulk
+    grows with the corpus and must CARRY with zero I/O; the timed
+    section packs the same 6 one-file micro-appends at every scale, so
+    the cost tracks the small-file set, not the table (exponent ≈ 0).
+    A whole-snapshot compact_table on the same history is the ≈-linear
+    contrast (manifest_compact)."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        table = tempfile.mkdtemp(prefix="scale_optinc_") + "/t"
+        M.write_table(docs, table, cluster_by=["doc_id"], cluster_files=max(16, n // 5000))
+        # appends (100 rows) stay under target_rows=200 at every scale;
+        # the clustered bulk files (>= BASE_DOCS/16 = 312 rows at 1x)
+        # stay above it, so the carried/rewritten split is scale-stable
+        small = docs.limit(100).coalesce(1)
+        for _ in range(6):
+            M.write_table(small, table, mode="append")
+        t0 = time.time()
+        v = M.optimize_table(spark, table, target_rows=200)
+        dt = round(time.time() - t0, 3)
+        meta = M.read_manifest(table, v).get("meta", {}).get("optimize", {})
+        shutil.rmtree(table, ignore_errors=True)
+        if meta.get("rewritten") != 6 or not meta.get("carried"):
+            raise RuntimeError(f"optimize packed the wrong set: {meta}")
+        return dt
+
+
 class _LogCommitFixed:
     """Per-commit LOG cost under a GROWING table file count (VERDICT r8
     item 1): the manifest carries #files ∝ corpus — synthetic immutable
@@ -609,6 +644,7 @@ SPECIAL_OPS = {
     "bloom_point_read": _BloomPointRead(),
     "cdf_tail_commit": _CdfTailCommit(),
     "mor_delete_fixed": _MorDeleteFixed(),
+    "optimize_incremental": _OptimizeIncremental(),
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
