@@ -147,6 +147,11 @@ HEADLINE = [
     "manifest_merge_clauses",
     "manifest_batch_read_sql",
     "manifest_add_column",
+    # round-10 second wave: incremental bin-packing OPTIMIZE, the batch
+    # change-feed window read, and write-path CHECK constraints
+    "manifest_optimize_incremental",
+    "manifest_cdf_batch_window",
+    "manifest_check_constraints",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume

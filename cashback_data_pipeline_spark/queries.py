@@ -2948,6 +2948,81 @@ def manifest_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_check_constraints",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (round 10 — the Delta constraint shape):
+    ``ALTER TABLE .. ADD CONSTRAINT .. CHECK (..)`` through the SQL
+    front door records a table property (metadata-only — the query
+    RAISES unless the commit's file list is byte-identical) that every
+    batch write path then enforces on the rows it is about to commit,
+    with SQL CHECK null semantics. The RAISES guards prove enforcement
+    is load-bearing: a violating append AND a violating UPDATE must
+    both refuse WITHOUT committing (version and row count unchanged),
+    while the compliant append lands. Oracle = the monthly aggregate
+    over the full source — the final table is exactly the good data."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    kmod = F.col("o_orderkey") % 4
+    table = tempfile.mkdtemp(prefix="manifest_cons_")
+    cat = {"orders_t": table}
+    try:
+        M.write_table(orders.filter(kmod != 0), table)
+        v = sql_dml.execute(
+            spark,
+            "ALTER TABLE orders_t ADD CONSTRAINT price_pos "
+            "CHECK (o_totalprice > CAST(0.0 AS DOUBLE))",
+            cat,
+        )
+        if M.read_manifest(table, v)["files"] != M.read_manifest(table, 1)["files"]:
+            raise ValueError("ADD CONSTRAINT moved data — must be metadata-only")
+        M.write_table(orders.filter(kmod == 0), table, mode="append")
+        v_ok = M.current_version(table)
+        n_ok = M.read_table(spark, table).count()
+        bad = orders.filter(kmod == 1).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ).withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+        refused = 0
+        try:
+            M.write_table(bad, table, mode="append")
+        except ValueError:
+            refused += 1
+        try:
+            sql_dml.execute(
+                spark,
+                "UPDATE orders_t SET o_totalprice = o_totalprice - "
+                "CAST(10000000.0 AS DOUBLE) WHERE o_orderkey < 1000",
+                cat,
+            )
+        except ValueError:
+            refused += 1
+        if refused != 2:
+            raise ValueError(f"constraint enforcement let {2 - refused} bad write(s) in")
+        if M.current_version(table) != v_ok or M.read_table(spark, table).count() != n_ok:
+            raise ValueError("a refused write still committed something")
+        back = M.read_table(spark, table)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
     "manifest_cdf_batch_window",
     sql=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
@@ -7674,6 +7749,7 @@ _ROUND10_WINDOW = [
     "manifest_dml_negation",
     "manifest_optimize_incremental",
     "manifest_cdf_batch_window",
+    "manifest_check_constraints",
     "manifest_batch_read_sql",
     "manifest_merge_clauses",
     "manifest_add_column",
@@ -7722,7 +7798,6 @@ _ROUND10_WINDOW = [
     "left_join_enrich",
     "lenient_casts",
     "manifest_changes_feed",
-    "manifest_stats_skipping",
 ]
 
 

@@ -201,7 +201,10 @@ def _encode_checkpoint(snap: dict, meta_latest: dict | None = None) -> bytes:
         payloads.append(None)
     table_row = {
         k: snap[k]
-        for k in ("version", "parent", "schema", "meta", "bloom_conf", "column_mapping")
+        for k in (
+            "version", "parent", "schema", "meta", "bloom_conf",
+            "column_mapping", "constraints",
+        )
         if snap.get(k) is not None
     }
     table_row.setdefault("version", snap["version"])
@@ -259,6 +262,8 @@ def _decode_checkpoint(data: bytes) -> dict:
         snap["bloom_conf"] = table_row["bloom_conf"]
     if table_row.get("column_mapping"):
         snap["column_mapping"] = table_row["column_mapping"]
+    if table_row.get("constraints"):
+        snap["constraints"] = table_row["constraints"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -298,6 +303,8 @@ def _apply_action(base: dict, doc: dict) -> dict:
         snap["bloom_conf"] = doc["bloom_conf"]
     if doc.get("column_mapping"):
         snap["column_mapping"] = doc["column_mapping"]
+    if doc.get("constraints"):
+        snap["constraints"] = doc["constraints"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -523,6 +530,7 @@ def _try_commit(
     dv_files: list[str] | None = None,
     operation: str | None = None,
     column_mapping=_INHERIT_MAPPING,
+    constraints=_INHERIT_MAPPING,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -559,6 +567,10 @@ def _try_commit(
         meta = {**(meta or {}), "operation": operation}
     if column_mapping is _INHERIT_MAPPING:
         column_mapping = parent_snap.get("column_mapping") if parent_snap else None
+    if constraints is _INHERIT_MAPPING:
+        # CHECK constraints auto-carry like the mapping: a table
+        # property every write path keeps without threading it
+        constraints = parent_snap.get("constraints") if parent_snap else None
     doc = {
         "format": 2,
         "version": version,
@@ -573,6 +585,8 @@ def _try_commit(
         doc["bloom_conf"] = bloom_conf
     if column_mapping:
         doc["column_mapping"] = column_mapping
+    if constraints:
+        doc["constraints"] = constraints
     dv_add = sorted(dv_set - parent_dv)
     dv_remove = sorted(parent_dv - dv_set)
     if dv_add:
@@ -1038,6 +1052,7 @@ def write_table(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
+    _check_constraints(df, _constraints(cur0_doc), "this write")
     files = _write_data_files(df, table, mapping=mapping)
     schema_json = df.schema.json()
     stats = None
@@ -1247,6 +1262,7 @@ def rename_column(table: str, old: str, new: str) -> int:
             raise ValueError(f"no column {old!r} in {table} (have {names})")
         if new in names:
             raise ValueError(f"column {new!r} already exists in {table}")
+        _refuse_constrained_column_change(m, old, "rename")
         conf = _bloom_table_conf(m)
         if conf and old in (conf.get("cols") or []):
             raise ValueError(
@@ -1296,6 +1312,7 @@ def drop_column(table: str, col: str) -> int:
             raise ValueError(f"no column {col!r} in {table} (have {names})")
         if len(names) == 1:
             raise ValueError(f"cannot drop the last column of {table}")
+        _refuse_constrained_column_change(m, col, "drop")
         conf = _bloom_table_conf(m)
         if conf and col in (conf.get("cols") or []):
             raise ValueError(
@@ -1442,6 +1459,134 @@ def widen_column(table: str, name: str, new_type: "T.DataType | str") -> int:
             return cur + 1
 
 
+_CONSTRAINT_NAME_RE = None  # compiled lazily (module avoids importing re at top)
+
+
+def _constraints(m: dict | None) -> dict:
+    """The table's CHECK constraints as of manifest ``m`` —
+    ``{name: sql_expr}``, carried by every commit once set."""
+    return dict((m or {}).get("constraints") or {})
+
+
+def _check_constraints(df: DataFrame, cons: dict, context: str) -> None:
+    """Enforce CHECK constraints on rows about to commit: a constraint
+    is VIOLATED only when its expression evaluates FALSE (SQL CHECK
+    semantics — NULL passes, like Delta). One combined column-pruned
+    pass over the incoming rows (never the table), stopping at the
+    first violation."""
+    if not cons:
+        return
+    names = sorted(cons)
+    checks = [
+        F.expr(cons[n]).eqNullSafe(F.lit(False)).alias(f"__viol_{i}")
+        for i, n in enumerate(names)
+    ]
+    probe = df.select(*checks)
+    any_viol = None
+    for i in range(len(names)):
+        c = F.col(f"__viol_{i}")
+        any_viol = c if any_viol is None else (any_viol | c)
+    hit = probe.filter(any_viol).limit(1).collect()
+    if hit:
+        row = hit[0]
+        bad = [names[i] for i in range(len(names)) if row[f"__viol_{i}"]]
+        raise ValueError(
+            f"CHECK constraint {bad} violated by {context}: "
+            + "; ".join(f"{n}: {cons[n]!r}" for n in bad)
+        )
+
+
+def add_constraint(spark: SparkSession, table: str, name: str, expr: str) -> int:
+    """``ALTER TABLE .. ADD CONSTRAINT name CHECK (expr)`` — the Delta
+    CHECK-constraint shape (round 10): a metadata-only commit records
+    the constraint as a table property; EVERY batch write path
+    (write_table / upsert_table / merge_table / append_table_if_absent
+    / update_where / stage_commit / the foreachBatch streaming routes)
+    enforces it on the rows it is about to commit — one column-pruned
+    pass over the incoming data, never the table. Violation = the
+    expression evaluates FALSE (NULL passes — SQL CHECK semantics).
+    Like Delta, ADDING a constraint first verifies the CURRENT rows
+    satisfy it (one scan), so a green add means the whole table
+    complies from that version on. The raw ``writeStream.format(
+    "manifest")`` sink REFUSES constrained tables loudly (its executors
+    stream Arrow batches with no SQL engine to evaluate expressions) —
+    route through foreachBatch for enforced streaming writes."""
+    import re as _re
+
+    if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name):
+        raise ValueError(f"constraint name {name!r} must be an identifier")
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        cons = _constraints(m)
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+        # existing rows must comply — the Delta ADD CONSTRAINT contract
+        _check_constraints(
+            read_table(spark, table, cur), {name: expr},
+            f"the existing rows of {table} v{cur}",
+        )
+        cons[name] = expr
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            m["schema"],
+            meta={"add_constraint": {"name": name, "expr": expr}},
+            stats=m.get("stats") or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
+            operation="add_constraint",
+            constraints=cons,
+        ):
+            return cur + 1
+
+
+def drop_constraint(table: str, name: str) -> int:
+    """``ALTER TABLE .. DROP CONSTRAINT name`` — metadata-only."""
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        cons = _constraints(m)
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r} on {table} (have {sorted(cons)})")
+        cons.pop(name)
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            m["schema"],
+            meta={"drop_constraint": {"name": name}},
+            stats=m.get("stats") or None,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=_dv_set(m),
+            operation="drop_constraint",
+            # explicit value (None when empty) — never inherit the old set
+            constraints=cons or None,
+        ):
+            return cur + 1
+
+
+def _refuse_constrained_column_change(m: dict, col: str, what: str) -> None:
+    """rename/drop of a column a CHECK constraint mentions would break
+    the expression — refuse loudly (conservative word-boundary text
+    match; a false positive refuses, never corrupts)."""
+    import re as _re
+
+    for name, expr in _constraints(m).items():
+        if _re.search(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_`])", expr):
+            raise ValueError(
+                f"cannot {what} column {col!r}: CHECK constraint {name!r} "
+                f"references it ({expr!r}); drop the constraint first"
+            )
+
+
 def restore_table(table: str, version: int | None = None, as_of_ts: float | None = None) -> int:
     """``RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF`` (the Delta
     RESTORE shape): publish a NEW version whose file list, schema,
@@ -1551,6 +1696,7 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     cur = current_version(table)
     cur_doc = read_manifest(table, cur) if cur is not None else None
     mapping = _extend_mapping(_mapping(cur_doc), df.columns)
+    _check_constraints(df, _constraints(cur_doc), "this staged write")
     files = _write_data_files(df, table, mapping=mapping)
     stats = None
     if stats_cols:
@@ -2273,6 +2419,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
                 return 1
             continue
         m = read_manifest(table, cur)
+        _check_constraints(incoming_unique, _constraints(m), "the MERGE source")
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         if cand:
             target = _read_files(
@@ -2470,6 +2617,7 @@ def merge_table(
             cols.append((chain.otherwise(base) if chain is not None else base).alias(c))
         merged = j.select(*cols)
 
+        _check_constraints(merged, _constraints(m), "the MERGE result")
         new_files = _write_data_files(merged, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
@@ -2562,6 +2710,9 @@ def append_table_if_absent(
                 )
             else:
                 fresh = incoming_unique  # no existing file can hold these keys
+        _check_constraints(
+            fresh, _constraints(m) if m else {}, "the NOT-EXISTS load"
+        )
         fresh = fresh.cache()
         try:
             n = fresh.count()
@@ -2635,6 +2786,8 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
             schema_json=m["schema"],
         )
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
+        if meta_key == "update":
+            _check_constraints(rewritten, _constraints(m), "the UPDATE result")
         new_files = _write_data_files(rewritten, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(

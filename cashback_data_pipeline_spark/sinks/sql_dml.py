@@ -27,6 +27,8 @@ Supported statements (case-insensitive keywords)::
     ALTER TABLE <t> DROP COLUMN <col>
     ALTER TABLE <t> ADD COLUMN <col> <type>
     ALTER TABLE <t> ALTER COLUMN <col> TYPE <type>      -- widening only
+    ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)
+    ALTER TABLE <t> DROP CONSTRAINT <name>
 
 ``<t>`` resolves through the caller's ``catalog`` (name → manifest table
 root); a name containing ``/`` or a URI scheme is taken as a direct
@@ -561,10 +563,28 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
                 m.group(2).strip("`"),
                 m.group(3).strip(),
             )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$",
+            text,
+        )
+        if m:
+            return M.add_constraint(
+                spark,
+                _resolve_table(m.group(1).strip("`"), catalog),
+                m.group(2),
+                m.group(3).strip(),
+            )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+DROP\s+CONSTRAINT\s+(\w+)$", text
+        )
+        if m:
+            return M.drop_constraint(
+                _resolve_table(m.group(1).strip("`"), catalog), m.group(2)
+            )
         raise ValueError(
             "malformed ALTER (supported: RENAME COLUMN old TO new / DROP "
-            "COLUMN col / ADD COLUMN col type / ALTER COLUMN col TYPE type): "
-            f"{text!r}"
+            "COLUMN col / ADD COLUMN col type / ALTER COLUMN col TYPE type / "
+            f"ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name): {text!r}"
         )
 
     raise ValueError(

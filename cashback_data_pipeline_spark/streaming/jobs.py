@@ -470,6 +470,10 @@ def route_batch_to_manifest(
         m = M.read_manifest(table, cur) if cur is not None else None
         mapping = M._extend_mapping(M._mapping(m), batch.columns)
         if files is None:
+            # CHECK constraints enforce on the foreachBatch streaming
+            # path too (round 10): fail the micro-batch BEFORE writing —
+            # the checkpoint replays it after the producer is fixed
+            M._check_constraints(batch, M._constraints(m), "this micro-batch")
             files = M._write_data_files(batch, table, mapping=mapping)
             schema_json = batch.schema.json()
             used_mapping = mapping
@@ -578,6 +582,7 @@ def _merge_aggregate_delta(
             return False
         merged = _merge_view(spark, delta, table, cur, keys)
         m_cur = M.read_manifest(table, cur) if cur is not None else None
+        M._check_constraints(merged, M._constraints(m_cur), "the maintained view")
         mapping = M._extend_mapping(M._mapping(m_cur), merged.columns)
         files = M._write_data_files(merged, table, mapping=mapping)
         if M._try_commit(

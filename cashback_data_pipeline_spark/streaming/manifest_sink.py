@@ -93,10 +93,20 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
         # under a streamed append; a rename landing mid-stream is
         # detected at commit time (fail the batch, checkpoint replays)
         cur = mf.current_version(self._table)
-        table_map = (
-            mf._mapping(mf.read_manifest(self._table, cur)) if cur is not None else None
-        )
+        m0 = mf.read_manifest(self._table, cur) if cur is not None else None
+        table_map = mf._mapping(m0)
         self._mapping = mf._extend_mapping(table_map, [f.name for f in schema.fields])
+        if mf._constraints(m0):
+            # executors stream Arrow batches with no SQL engine to
+            # evaluate CHECK expressions — refuse loudly rather than
+            # silently skip enforcement; route_stream_to_manifest
+            # (foreachBatch) is the enforced streaming write path
+            raise ValueError(
+                f"{self._table} carries CHECK constraints "
+                f"{sorted(mf._constraints(m0))}: the raw manifest sink "
+                "cannot enforce them — write through foreachBatch "
+                "(streaming.route_stream_to_manifest) instead"
+            )
 
     # -- phase 1: executors ------------------------------------------------
     def write(self, iterator: Iterator) -> ManifestWriteMessage:
