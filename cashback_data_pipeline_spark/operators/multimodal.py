@@ -1571,12 +1571,6 @@ def image_near_dups(
     a_id < b_id, one row per pair."""
     import pandas as pd
 
-    if not 0 <= max_hamming <= 3:
-        raise ValueError(
-            f"max_hamming={max_hamming}: 4 bands guarantee exact recall only "
-            "for Hamming <= 3 (pigeonhole); raise the band count for more"
-        )
-
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -1587,15 +1581,36 @@ def image_near_dups(
             )
 
     hashes = df.select(id_col, payload_col).mapInPandas(kernel, "id long, dhash long")
+    return hamming_band_pairs(hashes, "dhash", max_hamming)
+
+
+def hamming_band_pairs(
+    hashes: DataFrame, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs over any 64-bit perceptual hash column via BANDED
+    Hamming LSH (shared by the image dHash and audio fingerprint paths):
+    each hash splits into FOUR 16-bit bands, candidates come from four
+    equi-joins on (band_index, band_value) — by pigeonhole,
+    ``max_hamming ≤ 3`` bit flips cannot touch all four bands, so every
+    qualifying pair shares at least one band and RECALL IS EXACT — and
+    the exact Hamming re-check (``bit_count(a XOR b)``, whole-stage
+    codegen) keeps precision exact. Input: (id, <hash_col>) — the
+    shuffle carries 8-byte hashes, never payloads. Returns
+    (a_id, b_id, hamming), a_id < b_id, one row per pair."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4 bands guarantee exact recall only "
+            "for Hamming <= 3 (pigeonhole); raise the band count for more"
+        )
     bands = hashes.select(
         "id",
-        "dhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("dhash", 16 * i)
+                        F.shiftrightunsigned(hash_col, 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("val"),
                     )
@@ -1603,7 +1618,7 @@ def image_near_dups(
                 ]
             )
         ).alias("b"),
-    ).select("id", "dhash", "b.band", "b.val")
+    ).select("id", hash_col, "b.band", "b.val")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -1615,12 +1630,73 @@ def image_near_dups(
         .select(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
-            F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).alias("hamming"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may share several bands; one row per pair
     )
     return pairs
+
+
+def audio_fingerprint(payload: bytes, n_frames: int = 65) -> int:
+    """Perceptual audio fingerprint from REAL decoded WAV samples — the
+    time-energy simplification of the Haitsma–Kalker robust-hash idea
+    (public: "A Highly Robust Audio Fingerprint", 2002 — sign of energy
+    differences): the absolute-amplitude stream splits into
+    ``n_frames`` frames (integer ``i*N//n_frames`` boundaries, the
+    image-dhash grid discipline) and each of the 64 bits records
+    whether a frame is LOUDER than its successor. Frame loudness is the
+    exact INTEGER sum of absolute sample values (interleaved across
+    channels — channel-count-agnostic), so the hash is invariant to
+    uniform volume scaling and shifting and a DuckDB oracle can
+    recompute it arithmetically. Returned as a signed 64-bit int, like
+    :func:`image_dhash`."""
+    audio = decode_audio_real(payload)
+    samples = audio["samples"]
+    if audio["sample_width"] == 1:
+        samples = [s - 128 for s in samples]  # 8-bit WAV stores unsigned
+    n = len(samples)
+    if n < n_frames:
+        raise ValueError(f"audio with {n} samples is too short for {n_frames} frames")
+    bounds = [i * n // n_frames for i in range(n_frames + 1)]
+    loud = [
+        sum(abs(s) for s in samples[bounds[i] : bounds[i + 1]]) for i in range(n_frames)
+    ]
+    bits = 0
+    for i in range(n_frames - 1):
+        if loud[i] > loud[i + 1]:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def audio_near_dups(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Audio near-duplicate pairs: fingerprint in one Arrow-batched
+    kernel (the shuffle carries 8-byte hashes, never waveforms), then
+    the shared banded Hamming LSH (:func:`hamming_band_pairs`) — the
+    audio twin of :func:`image_near_dups`, for the re-encoded /
+    volume-shifted copies a crawled audio corpus carries."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "fp": pdf[payload_col].map(lambda p: audio_fingerprint(bytes(p))),
+                }
+            )
+
+    hashes = df.select(id_col, payload_col).mapInPandas(kernel, "id long, fp long")
+    return hamming_band_pairs(hashes, "fp", max_hamming)
 
 
 def frame_sample_plan(

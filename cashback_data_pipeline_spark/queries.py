@@ -4562,6 +4562,87 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audio_fingerprint_near_dups",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 38 AS g, (doc_id % 38 = 19) AS odd
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    k AS (SELECT i FROM generate_series(0, 64) t(i)),
+    frames AS (
+      SELECT d.doc_id, k.i,
+             (CASE WHEN d.odd AND k.i = 0 THEN ((d.g * 41 + 13) % 120) + 1
+                   WHEN d.odd AND k.i = 1 THEN ((d.g * 41) % 120) + 1
+                   ELSE ((d.g * 41 + 13 * k.i) % 120) + 1 END)
+             * CASE WHEN d.odd THEN 2 ELSE 1 END AS v
+      FROM d, k
+    ),
+    bits AS (
+      SELECT l.doc_id,
+             CAST(sum(CASE WHEN l.i < 32 AND l.v > r.v
+                           THEN (CAST(1 AS BIGINT) << l.i) ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN l.i >= 32 AND l.v > r.v
+                           THEN (CAST(1 AS BIGINT) << (l.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM frames l JOIN frames r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+      GROUP BY l.doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+             AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+    """,
+)
+def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection via the energy-envelope
+    fingerprint over REAL decoded WAV samples (round 10 —
+    operators.multimodal.audio_fingerprint / audio_near_dups, the audio
+    twin of the r9 image dHash path; public design: Haitsma–Kalker
+    sign-of-energy-difference hashing simplified to the time envelope):
+    each selected document manufactures a 65-frame mono PCM WAV with
+    constant per-frame amplitude — frame loudness (exact integer |s|
+    sums) is therefore exact arithmetic, which is what makes a
+    perceptual hash DuckDB-oracle-able. Documents pair up per 38-id
+    block: the odd member is VOLUME-DOUBLED (fingerprint-invariant by
+    construction — energy-delta signs cannot move under uniform
+    scaling) plus ONE swapped frame pair, flipping exactly the bits the
+    oracle recomputes. Pairs within Hamming ≤ 3 surface through the
+    SHARED four-band Hamming LSH (hamming_band_pairs — exact recall by
+    pigeonhole, the shuffle carries 8-byte hashes, never waveforms),
+    then the exact ``bit_count(XOR)`` re-check. Oracle = the same frame
+    arithmetic + pairwise Hamming in SQL."""
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(19)) == 0
+    ).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, odd = doc_id // 38, (doc_id % 38 == 19)
+                amps = [((g * 41 + 13 * i) % 120) + 1 for i in range(65)]
+                if odd:
+                    amps[0], amps[1] = amps[1], amps[0]
+                    amps = [a * 2 for a in amps]  # scale-invariance, live
+                samples = []
+                for a in amps:
+                    samples.extend((a, -a, a, -a))
+                out.append(
+                    (doc_id, multimodal.encode_wav(samples, 8000, 1, 2))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    pairs = multimodal.audio_near_dups(media, max_hamming=3)
+    return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "multimodal_wav_decode",
     sql="""
     WITH d AS (
@@ -7750,6 +7831,7 @@ _ROUND10_WINDOW = [
     "manifest_optimize_incremental",
     "manifest_cdf_batch_window",
     "manifest_check_constraints",
+    "audio_fingerprint_near_dups",
     "manifest_batch_read_sql",
     "manifest_merge_clauses",
     "manifest_add_column",
@@ -7797,7 +7879,6 @@ _ROUND10_WINDOW = [
     "json_field_extract",
     "left_join_enrich",
     "lenient_casts",
-    "manifest_changes_feed",
 ]
 
 

@@ -272,3 +272,68 @@ def test_decode_image_real_dispatch_and_features(spark):
     assert feats[1][0] == pytest.approx(16 / 65535.0)
     assert feats[1][3] == pytest.approx(expected_mean)
     assert feats[2] == pytest.approx([b / 255.0 for b in __import__("hashlib").sha256(b"not media").digest()[:8]])
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (round 10 — the audio twin of the dHash path):
+# energy-envelope delta-sign hash over real decoded WAV samples.
+# ---------------------------------------------------------------------------
+
+
+def _wav_of(amps, m=4, channels=1, width=2, bias=0):
+    samples = []
+    for a in amps:
+        frame = [bias + a, bias - a] * (m // 2)
+        if channels == 2:
+            frame = [v for v in frame for _ in range(2)]
+        samples.extend(frame)
+    return mm.encode_wav(samples, 8000, channels, width)
+
+
+def test_audio_fingerprint_invariances_and_locality():
+    amps = [((7 + 13 * i) % 120) + 1 for i in range(65)]
+    fp = mm.audio_fingerprint(_wav_of(amps))
+    # uniform volume scaling and shifting cannot move delta signs
+    assert mm.audio_fingerprint(_wav_of([a * 2 for a in amps])) == fp
+    assert mm.audio_fingerprint(_wav_of([a + 50 for a in amps])) == fp
+    # channel interleave is loudness-transparent
+    assert mm.audio_fingerprint(_wav_of(amps, channels=2)) == fp
+    # 8-bit WAV (unsigned storage, bias 128) hashes like 16-bit
+    small = [a % 100 + 1 for a in amps]
+    assert mm.audio_fingerprint(
+        _wav_of(small, width=1, bias=128)
+    ) == mm.audio_fingerprint(_wav_of(small))
+    # one swapped frame pair flips only local bits
+    sw = list(amps)
+    sw[10], sw[11] = sw[11], sw[10]
+    d = bin((fp ^ mm.audio_fingerprint(_wav_of(sw))) & ((1 << 64) - 1)).count("1")
+    assert 1 <= d <= 3
+    with pytest.raises(ValueError, match="too short"):
+        mm.audio_fingerprint(mm.encode_wav([1, 2, 3], 8000, 1, 2))
+
+
+def test_audio_near_dups_banding_matches_brute_force(spark):
+    import itertools
+
+    rows = []
+    for g in range(6):
+        amps = [((g * 41 + 13 * i) % 120) + 1 for i in range(65)]
+        rows.append((g * 2, _wav_of(amps)))
+        near = list(amps)
+        near[0], near[1] = near[1], near[0]
+        rows.append((g * 2 + 1, _wav_of([a * 3 for a in near])))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in mm.audio_near_dups(df, max_hamming=3).collect()
+    }
+    fps = {i: mm.audio_fingerprint(bytes(p)) for i, p in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(fps), 2):
+        h = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    assert got == want
+    assert all(a // 2 == b // 2 for a, b, _ in got)  # pairs are the planted twins
+    with pytest.raises(ValueError, match="band"):
+        mm.audio_near_dups(df, max_hamming=4)
