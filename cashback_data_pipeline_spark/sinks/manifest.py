@@ -203,7 +203,7 @@ def _encode_checkpoint(snap: dict, meta_latest: dict | None = None) -> bytes:
         k: snap[k]
         for k in (
             "version", "parent", "schema", "meta", "bloom_conf",
-            "column_mapping", "constraints",
+            "column_mapping", "constraints", "layout",
         )
         if snap.get(k) is not None
     }
@@ -264,6 +264,8 @@ def _decode_checkpoint(data: bytes) -> dict:
         snap["column_mapping"] = table_row["column_mapping"]
     if table_row.get("constraints"):
         snap["constraints"] = table_row["constraints"]
+    if table_row.get("layout"):
+        snap["layout"] = table_row["layout"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -305,6 +307,8 @@ def _apply_action(base: dict, doc: dict) -> dict:
         snap["column_mapping"] = doc["column_mapping"]
     if doc.get("constraints"):
         snap["constraints"] = doc["constraints"]
+    if doc.get("layout"):
+        snap["layout"] = doc["layout"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -531,6 +535,7 @@ def _try_commit(
     operation: str | None = None,
     column_mapping=_INHERIT_MAPPING,
     constraints=_INHERIT_MAPPING,
+    layout=_INHERIT_MAPPING,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -571,6 +576,12 @@ def _try_commit(
         # CHECK constraints auto-carry like the mapping: a table
         # property every write path keeps without threading it
         constraints = parent_snap.get("constraints") if parent_snap else None
+    if layout is _INHERIT_MAPPING:
+        # the declared clustering layout ({"cluster_by": [...]} or
+        # {"zorder_by": [...]}) auto-carries too — maintenance ops read
+        # it to RE-LAY what they rewrite (optimize/compact), so a
+        # clustered table stays clustered without re-passing columns
+        layout = parent_snap.get("layout") if parent_snap else None
     doc = {
         "format": 2,
         "version": version,
@@ -587,6 +598,8 @@ def _try_commit(
         doc["column_mapping"] = column_mapping
     if constraints:
         doc["constraints"] = constraints
+    if layout:
+        doc["layout"] = layout
     dv_add = sorted(dv_set - parent_dv)
     dv_remove = sorted(parent_dv - dv_set)
     if dv_add:
@@ -1035,16 +1048,20 @@ def write_table(
     # column mapping resolves BEFORE the data write: files of a mapped
     # table store physical names, whatever mode/layout follows
     mapping = _extend_mapping(_mapping(cur0_doc), df.columns)
+    layout = _INHERIT_MAPPING  # carry the declared layout unless this
+    # write declares one (maintenance ops re-lay rewrites by it)
     if zorder_by:
         if cluster_by:
             raise ValueError("pass cluster_by or zorder_by, not both")
         df = _zorder_layout(df, list(zorder_by), cluster_files)
+        layout = {"zorder_by": list(zorder_by)}
         if stats_cols is None:
             stats_cols = list(zorder_by)
     if cluster_by:
         from cashback_data_pipeline_spark.sinks import filestats
 
         filestats.validate_stats_cols(df.schema, list(cluster_by))
+        layout = {"cluster_by": list(cluster_by)}
         if stats_cols is None:
             stats_cols = list(cluster_by)
         if cluster_files:
@@ -1153,6 +1170,7 @@ def write_table(
             dv_files=_dv_set(base_doc),
             operation=mode,
             column_mapping=mapping,
+            layout=layout,
         ):
             return (cur or 0) + 1
 
@@ -2151,11 +2169,19 @@ def compact_table(
             stats_cols = list(cluster_by)
     if zorder_by and stats_cols is None:
         stats_cols = list(zorder_by)
+    explicit_layout = bool(cluster_by or zorder_by)
     while True:
         cur = current_version(table)
         if cur is None:
             raise FileNotFoundError(f"no committed version in {table}")
         m = read_manifest(table, cur)
+        if not explicit_layout:
+            # a bare OPTIMIZE keeps the DECLARED layout (the table
+            # property write_table recorded) instead of degrading a
+            # clustered table to an unordered coalesce
+            lay = m.get("layout") or {}
+            cluster_by = lay.get("cluster_by")
+            zorder_by = lay.get("zorder_by")
         snapshot = read_table(spark, table, cur)
         if cluster_by:
             from cashback_data_pipeline_spark.sinks import filestats
@@ -2204,6 +2230,11 @@ def compact_table(
             stats=stats,
             bloom_conf=_bloom_table_conf(m),
             operation="compact",
+            layout=(
+                {"cluster_by": list(cluster_by)} if cluster_by
+                else {"zorder_by": list(zorder_by)} if zorder_by
+                else _INHERIT_MAPPING
+            ),
         ):
             return cur + 1
 
@@ -2272,7 +2303,18 @@ def optimize_table(
         packed = _read_files(
             spark, table, small, _dv_set(m), mapping=_mapping_pairs(m),
             schema_json=m["schema"],
-        ).coalesce(n_out)
+        )
+        lay = m.get("layout") or {}
+        if lay.get("cluster_by"):
+            # the declared layout survives maintenance: packed files
+            # come out range-clustered, keeping them skip-prunable
+            packed = packed.repartitionByRange(
+                n_out, *lay["cluster_by"]
+            ).sortWithinPartitions(*lay["cluster_by"])
+        elif lay.get("zorder_by"):
+            packed = _zorder_layout(packed, list(lay["zorder_by"]), n_out)
+        else:
+            packed = packed.coalesce(n_out)
         new_files = _write_data_files(packed, table, mapping=_mapping(m))
         merged_stats = _refresh_stats(
             spark, table, m.get("stats") or {}, carried, new_files

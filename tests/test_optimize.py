@@ -100,3 +100,37 @@ def test_optimize_sql_front_door(spark, tmp_path):
     # bare OPTIMIZE keeps the full-compaction semantics
     v2 = sql_dml.execute(spark, "OPTIMIZE t", cat)
     assert len(M.read_manifest(t, v2)["files"]) <= 4
+
+
+def test_declared_layout_survives_maintenance(spark, tmp_path):
+    """write_table(cluster_by=) records a LAYOUT table property;
+    optimize_table re-lays what it packs by it and a bare compact_table
+    keeps it — a clustered table stays skip-prunable under maintenance
+    without re-passing columns."""
+    t = str(tmp_path / "t")
+    big = spark.range(50_000).selectExpr("id AS k", "CAST(id % 9 AS DOUBLE) AS v")
+    M.write_table(big, t, cluster_by=["k"], cluster_files=4)
+    assert M.read_manifest(t, 1)["layout"] == {"cluster_by": ["k"]}
+    # small scattered appends (each spans the whole key range)
+    for i in range(4):
+        M.write_table(
+            spark.range(50_000).filter((F.col("id") % 40) == i)
+            .selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v").coalesce(1),
+            t, mode="append",
+        )
+    v = M.optimize_table(spark, t, target_rows=10_000)
+    m = M.read_manifest(t, v)
+    assert m["layout"] == {"cluster_by": ["k"]}
+    meta = m["meta"]["optimize"]
+    assert meta["rewritten"] == 4 and meta["carried"] == 4
+    # the PACKED files are range-clustered: a keyed point probe prunes
+    # all but one of them (scattered appends were unprunable before)
+    packed = [f for f in m["files"] if f not in set(M.read_manifest(t, 1)["files"])]
+    kept, _ = filestats.prune_files(packed, m["stats"], [("k", "<", 100)])
+    assert len(kept) == 1, (len(kept), len(packed))
+    # bare compact keeps the declared layout and stays prunable
+    v2 = M.compact_table(spark, t, n_files=6)
+    m2 = M.read_manifest(t, v2)
+    assert m2["layout"] == {"cluster_by": ["k"]}
+    _, skipped = filestats.prune_files(m2["files"], m2["stats"], [("k", "<", 100)])
+    assert skipped >= 4
