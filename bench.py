@@ -153,6 +153,7 @@ HEADLINE = [
     "manifest_cdf_batch_window",
     "manifest_check_constraints",
     "audio_fingerprint_near_dups",
+    "multimodal_video_decode",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume

@@ -119,10 +119,10 @@ def decode_image_real(payload: bytes) -> dict:
     trips per filter type and channel count); JPEG is exact for
     quantization-exact content (constant 8×8 tiles, the oracle's
     payload class) and bounded-error for general content (pytest pins
-    the bound). Other formats raise NotImplementedError with the
-    dependency note (video/exotic codecs are not in this environment);
-    unsupported PNG shapes (16-bit, palette, interlaced) and corrupt
-    payloads raise ValueError, progressive JPEG NotImplementedError."""
+    the bound; progressive JPEG decodes bit-identically to baseline —
+    round 10). Other formats raise NotImplementedError with the
+    dependency note; unsupported PNG shapes (16-bit, palette,
+    interlaced) and corrupt payloads raise ValueError."""
     if payload and payload.startswith(JPEG_SOI):
         return decode_jpeg(payload)
     if not payload or not payload.startswith(PNG_SIG):
@@ -252,9 +252,9 @@ def encode_png(
 # matrix sandwich). Scope: baseline (SOF0, 8-bit) with any 1/2 sampling
 # factors (4:4:4 and 4:2:0 covered), standard Annex-K quantization +
 # Huffman tables on the encode side, arbitrary DQT/DHT on the decode
-# side, restart intervals honored. Progressive (SOF2) raises
-# NotImplementedError — the documented boundary; hierarchical/
-# arithmetic/12-bit raise ValueError. The encoder exists as the
+# side, restart intervals honored. Progressive (SOF2) decodes fully
+# (round 10 — spectral selection + successive approximation, encoder
+# twin included); hierarchical/arithmetic/12-bit raise ValueError. The encoder exists as the
 # decoder's test twin and the oracled query's payload factory (exactly
 # like encode_png): constant 8×8 tiles with EVEN gray values survive
 # quantization EXACTLY (DC = 8·(c−128), divisible by the Annex-K DC
@@ -1718,4 +1718,175 @@ def frame_sample_plan(
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI (round 10). AVI is a RIFF container (the same
+# chunk grammar the WAV path already walks — public spec: the Microsoft
+# AVI RIFF form) and an MJPEG stream's frames are ordinary baseline
+# JPEGs, so the existing T.81 decoder IS the frame codec. This closes
+# the last documented multimodal NotImplementedError boundary with a
+# real decode path; formats needing external codecs (H.264/VP9/...)
+# keep the dependency-note seam.
+# ---------------------------------------------------------------------------
+
+AVI_RIFF = b"RIFF"
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Minimal MJPEG AVI writer (the video decoder's test twin and the
+    oracled query's payload factory): RIFF('AVI ' hdrl(avih strl(strh
+    strf)) movi('00dc' <jpeg>)*), word-aligned chunks. ``frames`` are
+    complete JPEG payloads (:func:`encode_jpeg`)."""
+    if not frames:
+        raise ValueError("an AVI needs at least one frame")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<10I", usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0)[:40]
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return AVI_RIFF + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """(fourcc, body_start, body_size) triples of one RIFF level —
+    word-aligned, truncation-checked (the WAV walk's discipline)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated AVI chunk {fourcc!r}")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def decode_video_real(payload: bytes, frame_indices: list[int] | None = None) -> dict:
+    """REAL video decode for MJPEG AVI: RIFF walk to the ``movi`` list,
+    each ``00dc``/``00db`` chunk is one baseline/progressive JPEG frame
+    decoded through :func:`decode_jpeg`. ``frame_indices`` decodes only
+    the named frames (the frame-sampling path's contract: container
+    walk is metadata-cheap, per-frame decode pays only for sampled
+    frames — pass None for all). Returns ``{"width", "height", "fps",
+    "n_frames", "frames": [{"index", "pixels", "channels"}...]}``.
+    Non-AVI payloads raise NotImplementedError with the dependency
+    note; non-MJPEG AVIs and corrupt containers raise ValueError."""
+    if not payload or not payload.startswith(AVI_RIFF) or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only MJPEG AVI decodes in this environment; other video "
+            "formats need a codec library (ffmpeg/pyav) plugged into this seam"
+        )
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size)
+    fps = None
+    n_declared = None
+    w = h = None
+    frame_chunks: list[tuple[int, int]] = []
+    for fourcc, start, size in _riff_chunks(payload, 12, end):
+        if fourcc != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for f2, s2, z2 in _riff_chunks(payload, start + 4, start + size):
+                if f2 == b"avih" and z2 >= 40:
+                    usec, _, _, _, n_declared, _, _, _, w, h = struct.unpack(
+                        "<10I", payload[s2 : s2 + 40]
+                    )
+                    fps = round(1_000_000 / usec) if usec else None
+                elif f2 == b"LIST" and payload[s2 : s2 + 4] == b"strl":
+                    for f3, s3, z3 in _riff_chunks(payload, s2 + 4, s2 + z2):
+                        if f3 == b"strh" and z3 >= 8:
+                            if payload[s3 : s3 + 4] == b"vids" and payload[
+                                s3 + 4 : s3 + 8
+                            ] not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+                                raise ValueError(
+                                    f"AVI video handler {payload[s3 + 4:s3 + 8]!r} "
+                                    "is not MJPG"
+                                )
+        elif kind == b"movi":
+            for f2, s2, z2 in _riff_chunks(payload, start + 4, start + size):
+                if f2[2:4] in (b"dc", b"db"):
+                    frame_chunks.append((s2, z2))
+    if not frame_chunks:
+        raise ValueError("AVI has no video frames in its movi list")
+    want = range(len(frame_chunks)) if frame_indices is None else frame_indices
+    frames = []
+    for i in want:
+        if not 0 <= i < len(frame_chunks):
+            raise ValueError(f"frame index {i} out of range ({len(frame_chunks)} frames)")
+        s2, z2 = frame_chunks[i]
+        img = decode_jpeg(payload[s2 : s2 + z2])
+        if w is None:
+            w, h = img["width"], img["height"]
+        frames.append(
+            {"index": i, "pixels": img["pixels"], "channels": img["channels"]}
+        )
+    return {
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "n_frames": len(frame_chunks),
+        "frames": frames,
+    }
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Per-sampled-frame features from REAL decoded MJPEG-AVI frames:
+    one Arrow-batched kernel walks each container (metadata-cheap),
+    decodes every ``every_n``-th frame, and emits (id, frame_index,
+    width, height, n_frames, sum_px) — the executable successor of
+    :func:`frame_sample_plan`'s plan-only contract. Payloads never
+    shuffle; the output is rows of numbers."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p)
+                head = decode_video_real(payload, frame_indices=[])
+                idxs = list(range(0, head["n_frames"], every_n))
+                v = decode_video_real(payload, frame_indices=idxs)
+                for fr in v["frames"]:
+                    out.append(
+                        (
+                            int(mid), fr["index"], v["width"], v["height"],
+                            v["n_frames"], int(sum(fr["pixels"])),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["id", "frame_index", "width", "height", "n_frames", "sum_px"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        "id long, frame_index int, width int, height int, n_frames int, sum_px long",
     )

@@ -4562,6 +4562,68 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_decode",
+    sql="""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+    f AS (SELECT fi FROM generate_series(0, 2) t(fi)),
+    k AS (SELECT k FROM generate_series(0, 5) t(k))
+    SELECT d.doc_id, CAST(f.fi AS INT) AS frame_index,
+           24 AS width, 16 AS height, 3 AS n_frames,
+           CAST(sum(64 * (((d.doc_id + 31 * f.fi + 17 * k.k) % 128) * 2)) AS BIGINT)
+             AS sum_px
+    FROM d, f, k
+    GROUP BY d.doc_id, f.fi
+    """,
+)
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the oracle (round 10 —
+    operators.multimodal.decode_video_real / video_frame_features,
+    MJPEG-in-AVI: the RIFF container walk the WAV path already speaks,
+    with frames that are ordinary JPEGs through the T.81 decoder —
+    closing the last documented multimodal NotImplementedError
+    boundary): each selected document manufactures a 3-frame 24×16 AVI
+    of CONSTANT 8×8 tiles with EVEN values (frame f, tile k =
+    ((doc_id + 31f + 17k) mod 128)·2 — the quantization-exact class),
+    alternating baseline and PROGRESSIVE frame encodings; the kernel
+    walks each container, decodes every frame, and emits per-frame
+    pixel sums the DuckDB oracle recomputes arithmetically — a hash
+    match proves container parse + per-frame Huffman/IDCT end to end.
+    Payloads never shuffle; the output is rows of numbers."""
+    import pandas as pd
+
+    from cashback_data_pipeline_spark.operators import multimodal
+
+    docs = read_testdata(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(23)) == 0
+    ).select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frames = []
+                for f in range(3):
+                    vals = [((doc_id + 31 * f + 17 * k) % 128) * 2 for k in range(6)]
+                    px = bytes(
+                        vals[(y // 8) * 3 + (x // 8)]
+                        for y in range(16) for x in range(24)
+                    )
+                    frames.append(
+                        multimodal.encode_jpeg(px, 24, 16, 1, progressive=(f % 2 == 1))
+                    )
+                out.append((doc_id, multimodal.encode_avi_mjpeg(frames, 24, 16, fps=5)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    feats = multimodal.video_frame_features(media, every_n=1)
+    return feats.select(
+        F.col("id").alias("doc_id"), "frame_index", "width", "height",
+        "n_frames", "sum_px",
+    )
+
+
+@query(
     "audio_fingerprint_near_dups",
     sql="""
     WITH d AS (
@@ -7832,6 +7894,7 @@ _ROUND10_WINDOW = [
     "manifest_cdf_batch_window",
     "manifest_check_constraints",
     "audio_fingerprint_near_dups",
+    "multimodal_video_decode",
     "manifest_batch_read_sql",
     "manifest_merge_clauses",
     "manifest_add_column",
@@ -7878,7 +7941,6 @@ _ROUND10_WINDOW = [
     "indexed_bm25_delta",
     "json_field_extract",
     "left_join_enrich",
-    "lenient_casts",
 ]
 
 

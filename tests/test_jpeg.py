@@ -337,3 +337,42 @@ def test_audio_near_dups_banding_matches_brute_force(spark):
     assert all(a // 2 == b // 2 for a, b, _ in got)  # pairs are the planted twins
     with pytest.raises(ValueError, match="band"):
         mm.audio_near_dups(df, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Video: MJPEG-in-AVI (round 10) — RIFF walk + per-frame JPEG decode.
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_roundtrip_bit_exact():
+    frames_px = [
+        _tiles(24, 16, [((f * 31 + 17 * k) % 128) * 2 for k in range(6)])
+        for f in range(4)
+    ]
+    jpegs = [
+        mm.encode_jpeg(px, 24, 16, 1, progressive=(i % 2 == 1))
+        for i, px in enumerate(frames_px)
+    ]
+    avi = mm.encode_avi_mjpeg(jpegs, 24, 16, fps=5)
+    v = mm.decode_video_real(avi)
+    assert (v["width"], v["height"], v["fps"], v["n_frames"]) == (24, 16, 5, 4)
+    for fr, px in zip(v["frames"], frames_px):
+        assert fr["pixels"] == px
+    # sampled decode pays only for the named frames
+    sampled = mm.decode_video_real(avi, frame_indices=[3, 1])
+    assert [f["index"] for f in sampled["frames"]] == [3, 1]
+    assert sampled["frames"][0]["pixels"] == frames_px[3]
+    assert sampled["n_frames"] == 4
+
+
+def test_mjpeg_avi_rejections():
+    with pytest.raises(NotImplementedError, match="MJPEG AVI"):
+        mm.decode_video_real(b"\x1a\x45\xdf\xa3" + b"\x00" * 64)  # matroska magic
+    px = _tiles(8, 8, [100])
+    avi = mm.encode_avi_mjpeg([mm.encode_jpeg(px, 8, 8, 1)], 8, 8)
+    with pytest.raises(ValueError, match="out of range"):
+        mm.decode_video_real(avi, frame_indices=[5])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_video_real(avi[:60] + b"\x00\x00")
+    with pytest.raises(ValueError):
+        mm.encode_avi_mjpeg([], 8, 8)
