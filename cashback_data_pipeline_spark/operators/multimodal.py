@@ -938,6 +938,7 @@ def decode_jpeg(payload: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     sof = None
     coefs = None  # progressive: per-component coefficient accumulators
+    saw_eoi = False
     restart = 0
     pos = 2
     data = payload
@@ -948,7 +949,8 @@ def decode_jpeg(payload: bytes) -> dict:
         if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill before a marker
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / RSTn are standalone — no length segment follows
@@ -1022,6 +1024,11 @@ def decode_jpeg(payload: bytes) -> dict:
         # APPn/COM/anything else: skip
         pos += 2 + ln
     if coefs is not None:
+        if not saw_eoi:
+            # a progressive payload cut between scans would otherwise
+            # render partial accumulators as if complete (round-10
+            # review) — corrupt payloads must raise, not degrade
+            raise ValueError("truncated progressive JPEG (no EOI after scans)")
         return _jpeg_render(np, sof, qt, coefs)
     raise ValueError("JPEG has no SOS scan")
 

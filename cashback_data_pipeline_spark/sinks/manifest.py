@@ -983,6 +983,46 @@ def read_store(
     return out
 
 
+def _reconcile_append_schema(parent_schema_json: str, df_schema: T.StructType) -> str:
+    """The committed schema of an APPEND: the parent's schema widened by
+    the batch, never narrowed (round-10 review finding — previously an
+    old-shape append committed its own schema verbatim, silently
+    REVERTING a metadata-only ADD COLUMN or type widening, and under
+    the pinned-schema scan a reverted widening even breaks reads of the
+    wider files). Rules per column: present in both with equal types →
+    unchanged; one side wider under the parquet-resolvable promotions
+    (:data:`_WIDENINGS`) → the wider type wins; incompatible retype →
+    loud error. Parent-only columns stay (old files and the batch both
+    null-fill); batch-only columns append at the end (additive
+    evolution, the previous implicit-ADD behavior)."""
+    parent = T.StructType.fromJson(json.loads(parent_schema_json))
+    by_name = {f.name: f for f in df_schema.fields}
+    out = []
+    for f in parent.fields:
+        g = by_name.get(f.name)
+        if g is None or g.dataType == f.dataType:
+            out.append(f)
+            continue
+        fs, gs = f.dataType.simpleString(), g.dataType.simpleString()
+        if gs in _WIDENINGS.get(fs, ()):
+            out.append(T.StructField(f.name, g.dataType, True, f.metadata))
+        elif fs in _WIDENINGS.get(gs, ()):
+            out.append(f)  # parent already wider — keep it
+        else:
+            raise ValueError(
+                f"append retypes column {f.name!r} from {fs} to {gs}: only "
+                "widening promotions reconcile; anything else needs an "
+                "explicit overwrite"
+            )
+    parent_names = {f.name for f in parent.fields}
+    out.extend(
+        T.StructField(g.name, g.dataType, True, g.metadata)
+        for g in df_schema.fields
+        if g.name not in parent_names
+    )
+    return T.StructType(out).json()
+
+
 def write_table(
     df: DataFrame,
     table: str,
@@ -1069,7 +1109,8 @@ def write_table(
         else:
             df = df.repartitionByRange(*cluster_by)
         df = df.sortWithinPartitions(*cluster_by)
-    _check_constraints(df, _constraints(cur0_doc), "this write")
+    checked_cons = _constraints(cur0_doc)
+    _check_constraints(df, checked_cons, "this write")
     files = _write_data_files(df, table, mapping=mapping)
     schema_json = df.schema.json()
     stats = None
@@ -1144,7 +1185,20 @@ def write_table(
                 f"column mapping of {table} changed concurrently with this "
                 "write; re-run the write against the new table schema"
             )
+        if _constraints(cur_doc) != checked_cons:
+            # a constraint landed between the pre-write check and this
+            # CAS attempt — rows must never commit under a constraint
+            # they were not checked against (round-10 review)
+            checked_cons = _constraints(cur_doc)
+            _check_constraints(df, checked_cons, "this write")
         base_doc = None if mode == "overwrite" else cur_doc
+        # appends commit the RECONCILED schema (parent widened by the
+        # batch, never narrowed) — resolved against the parent this CAS
+        # attempt actually lands on
+        commit_schema = (
+            schema_json if base_doc is None
+            else _reconcile_append_schema(base_doc["schema"], df.schema)
+        )
         base = [] if base_doc is None else base_doc["files"]
         base_set = set(base)
         merged_stats = dict(stats or {})
@@ -1161,7 +1215,7 @@ def write_table(
             (cur or 0) + 1,
             base + files,
             cur,
-            schema_json,
+            commit_schema,
             meta=meta,
             stats=merged_stats or None,
             bloom_conf=commit_conf,
@@ -1260,6 +1314,28 @@ def apply_changes(
         delta.unpersist()
 
 
+def _rename_in_layout(layout: dict | None, old: str, new: str):
+    """The declared layout with ``old`` renamed to ``new`` — explicit
+    None (clears) when there was none; commit-arg shaped."""
+    if not layout:
+        return None
+    return {
+        k: [new if c == old else c for c in cols] for k, cols in layout.items()
+    }
+
+
+def _drop_from_layout(layout: dict | None, col: str):
+    """The declared layout without ``col``; a layout emptied by the drop
+    clears entirely (maintenance falls back to plain coalesce)."""
+    if not layout:
+        return None
+    out = {
+        k: [c for c in cols if c != col] for k, cols in layout.items()
+    }
+    out = {k: cols for k, cols in out.items() if cols}
+    return out or None
+
+
 def rename_column(table: str, old: str, new: str) -> int:
     """``ALTER TABLE .. RENAME COLUMN`` with ZERO data rewrite (VERDICT
     r8 item 3 — Delta/Iceberg column mapping, name mode): one
@@ -1296,6 +1372,9 @@ def rename_column(table: str, old: str, new: str) -> int:
         # identity default for any column a partial historical mapping
         # missed (ADVICE r9) — a partial mapping stays usable
         mapping = {f["name"]: mapping.get(f["name"], f["name"]) for f in schema["fields"]}
+        # the declared layout FOLLOWS the rename (round-10 review: an
+        # unreconciled layout bricks every later bare OPTIMIZE/compact)
+        layout = _rename_in_layout(m.get("layout"), old, new)
         if _try_commit(
             table,
             cur + 1,
@@ -1308,6 +1387,7 @@ def rename_column(table: str, old: str, new: str) -> int:
             dv_files=_dv_set(m),
             operation="rename_column",
             column_mapping=mapping,
+            layout=layout,
         ):
             return cur + 1
 
@@ -1341,6 +1421,7 @@ def drop_column(table: str, col: str) -> int:
         mapping.pop(col, None)
         schema["fields"] = [f for f in schema["fields"] if f["name"] != col]
         mapping = {f["name"]: mapping.get(f["name"], f["name"]) for f in schema["fields"]}
+        layout = _drop_from_layout(m.get("layout"), col)
         if _try_commit(
             table,
             cur + 1,
@@ -1353,6 +1434,7 @@ def drop_column(table: str, col: str) -> int:
             dv_files=_dv_set(m),
             operation="drop_column",
             column_mapping=mapping,
+            layout=layout,
         ):
             return cur + 1
 
@@ -1477,9 +1559,6 @@ def widen_column(table: str, name: str, new_type: "T.DataType | str") -> int:
             return cur + 1
 
 
-_CONSTRAINT_NAME_RE = None  # compiled lazily (module avoids importing re at top)
-
-
 def _constraints(m: dict | None) -> dict:
     """The table's CHECK constraints as of manifest ``m`` —
     ``{name: sql_expr}``, carried by every commit once set."""
@@ -1598,7 +1677,10 @@ def _refuse_constrained_column_change(m: dict, col: str, what: str) -> None:
     import re as _re
 
     for name, expr in _constraints(m).items():
-        if _re.search(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_`])", expr):
+        # backticks are quoting, not part of the identifier — strip them
+        # so `price` and price both match (round-10 review)
+        bare = expr.replace("`", "")
+        if _re.search(rf"(?<![A-Za-z0-9_]){_re.escape(col)}(?![A-Za-z0-9_])", bare):
             raise ValueError(
                 f"cannot {what} column {col!r}: CHECK constraint {name!r} "
                 f"references it ({expr!r}); drop the constraint first"
@@ -1643,9 +1725,14 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             bloom_conf=_bloom_table_conf(target),
             dv_files=_dv_set(target),
             operation="restore",
-            # the restored version's OWN mapping (explicitly None for a
-            # pre-mapping target — restoring must restore the names too)
+            # the restored version's OWN table properties, explicitly
+            # (None clears): inheriting the CURRENT parent's constraints
+            # or layout could reference columns the restored schema no
+            # longer has, bricking every later write/OPTIMIZE (round-10
+            # review)
             column_mapping=_mapping(target),
+            constraints=target.get("constraints"),
+            layout=target.get("layout"),
         ):
             return cur + 1
 
@@ -2289,7 +2376,9 @@ def optimize_table(
         if unknown:
             fresh = filestats.collect_file_stats(spark, table, unknown, [])
             for f, e in fresh.items():
-                stats.setdefault(f, {}).update(rows=e.get("rows"))
+                # fresh entry dicts, never in-place: snapshot-cache
+                # entries are shared shallowly across readers
+                stats[f] = {**stats.get(f, {}), "rows": e.get("rows")}
         small = [
             f for f in scope
             if (stats.get(f, {}).get("rows") or 0) < target_rows

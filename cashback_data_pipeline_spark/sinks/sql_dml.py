@@ -298,22 +298,35 @@ def _find_keyword(text: str, word: str) -> int:
     return -1
 
 
-def _split_when_clauses(tail: str) -> list[str]:
-    """The MERGE tail split into WHEN-clause texts (top-level WHENs,
-    outside strings/parens)."""
-    pieces = []
-    rest = tail
+_WHEN_CLAUSE_RE = re.compile(r"(?is)^WHEN\s+(NOT\s+)?MATCHED\b")
+
+
+def _clause_when_positions(tail: str) -> list[int]:
+    """Offsets of the top-level ``WHEN [NOT] MATCHED`` clause starts —
+    a bare WHEN inside an assignment's CASE expression is NOT a clause
+    boundary (round-10 review: ``SET x = CASE WHEN ...`` must parse)."""
+    out = []
+    off = 0
     while True:
-        i = _find_keyword(rest, "WHEN")
+        i = _find_keyword(tail[off:], "WHEN")
         if i < 0:
-            break
-        j = _find_keyword(rest[i + 4 :], "WHEN")
-        if j < 0:
-            pieces.append(rest[i + 4 :])
-            break
-        pieces.append(rest[i + 4 : i + 4 + j])
-        rest = rest[i + 4 + j :]
-    return [p.strip() for p in pieces]
+            return out
+        j = off + i
+        if _WHEN_CLAUSE_RE.match(tail[j:]):
+            out.append(j)
+        off = j + 4
+
+
+def _split_when_clauses(tail: str) -> list[str]:
+    """The MERGE tail split into WHEN-clause texts (top-level
+    ``WHEN [NOT] MATCHED`` only, outside strings/parens)."""
+    pos = _clause_when_positions(tail)
+    if not pos:
+        return []
+    if tail[: pos[0]].strip():
+        raise ValueError(f"malformed MERGE tail before WHEN: {tail[:pos[0]]!r}")
+    bounds = pos + [len(tail)]
+    return [tail[a + 4 : b].strip() for a, b in zip(bounds, bounds[1:])]
 
 
 def _parse_set_assignments(set_text: str) -> dict:

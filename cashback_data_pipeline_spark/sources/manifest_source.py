@@ -272,6 +272,11 @@ class ManifestDataSource(DataSource):
         if not table:
             raise ValueError("manifest batch read needs .load(<table root>)")
         v = _resolve_version(table, dict(self.options))
+        # pin the version schema() resolved so reader() plans the SAME
+        # snapshot — without this a commit landing between planning and
+        # reader construction could widen the scan past the plan schema
+        # (round-10 review)
+        self._pinned_version = v
         pinned = T.StructType.fromJson(json.loads(mf.read_manifest(table, v)["schema"]))
         # all-nullable, like Spark's file sources: older files in an
         # evolved history null-fill late-added columns
@@ -280,7 +285,12 @@ class ManifestDataSource(DataSource):
         )
 
     def reader(self, schema: T.StructType) -> ManifestBatchReader:
-        return ManifestBatchReader(schema, dict(self.options))
+        opts = dict(self.options)
+        if getattr(self, "_pinned_version", None) is not None and not (
+            opts.get("versionasof") or opts.get("timestampasof")
+        ):
+            opts["versionasof"] = str(self._pinned_version)
+        return ManifestBatchReader(schema, opts)
 
 
 def register(spark) -> None:

@@ -475,9 +475,19 @@ def route_batch_to_manifest(
             # the checkpoint replays it after the producer is fixed
             M._check_constraints(batch, M._constraints(m), "this micro-batch")
             files = M._write_data_files(batch, table, mapping=mapping)
-            schema_json = batch.schema.json()
             used_mapping = mapping
-        elif mapping != used_mapping:
+            checked_cons = M._constraints(m)
+        # the committed schema reconciles against THIS attempt's parent
+        # (never narrows an evolved schema back — round-10 review)
+        schema_json = (
+            batch.schema.json() if m is None
+            else M._reconcile_append_schema(m["schema"], batch.schema)
+        )
+        if M._constraints(m) != checked_cons:
+            # a constraint landed between our check and this CAS attempt
+            M._check_constraints(batch, M._constraints(m), "this micro-batch")
+            checked_cons = M._constraints(m)
+        if mapping != used_mapping:
             # a rename/drop landed between this batch's write and its
             # CAS — the written physical layout is stale; fail the
             # micro-batch (the checkpoint replays it against the new
