@@ -1737,6 +1737,66 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             return cur + 1
 
 
+def describe_detail(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE DETAIL`` (the Delta shape): ONE row describing the
+    CURRENT version from metadata alone — version/parent/operation,
+    file + deletion-vector counts, total data bytes (store stat per
+    file, no data I/O), and every table property (schema, column
+    mapping, CHECK constraints, bloom conf, declared layout) as JSON
+    strings. The SQL front door dispatches ``DESCRIBE DETAIL <t>``."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table}")
+    m = read_manifest(table, cur)
+    store = get_log_store(table)
+    from cashback_data_pipeline_spark.sinks.filestats import _local_path
+
+    size = 0
+    for f in m["files"]:
+        p = _local_path(store.join(table, f))
+        if p is None:
+            size = None  # remote store: byte total needs a stat API
+            break
+        try:
+            size += os.path.getsize(p)
+        except OSError:
+            size = None
+            break
+    row = {
+        "location": table,
+        "version": cur,
+        "parent": m.get("parent"),
+        "operation": (m.get("meta") or {}).get("operation"),
+        "num_files": len(m["files"]),
+        "num_dv_files": len(_dv_set(m)),
+        "size_bytes": size,
+        "schema_json": m["schema"],
+        "column_mapping": json.dumps(_mapping(m)) if _mapping(m) else None,
+        "constraints": json.dumps(_constraints(m)) if _constraints(m) else None,
+        "layout": json.dumps(m.get("layout")) if m.get("layout") else None,
+        "bloom_conf": (
+            json.dumps(_bloom_table_conf(m)) if _bloom_table_conf(m) else None
+        ),
+    }
+    schema = T.StructType(
+        [
+            T.StructField("location", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("parent", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("num_files", T.LongType()),
+            T.StructField("num_dv_files", T.LongType()),
+            T.StructField("size_bytes", T.LongType()),
+            T.StructField("schema_json", T.StringType()),
+            T.StructField("column_mapping", T.StringType()),
+            T.StructField("constraints", T.StringType()),
+            T.StructField("layout", T.StringType()),
+            T.StructField("bloom_conf", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema)
+
+
 def table_history(spark: SparkSession, table: str) -> DataFrame:
     """``DESCRIBE HISTORY`` (the Delta shape): one row per surviving
     manifest version — version, parent, the operation every writer

@@ -20,6 +20,7 @@ Supported statements (case-insensitive keywords)::
     RESTORE TABLE <t> TO VERSION AS OF <n>
     RESTORE TABLE <t> TO TIMESTAMP AS OF <epoch seconds | 'ISO-8601'>
     DESCRIBE HISTORY <t>
+    DESCRIBE DETAIL <t>
     VACUUM <t> [RETAIN <n> VERSIONS]
     OPTIMIZE <t> [ZORDER BY (col, ...)]
     OPTIMIZE <t> [TARGET <n> ROWS] WHERE <predicate>   -- incremental bin-pack
@@ -502,9 +503,12 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
 
     if kw == "DESCRIBE":
         m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+(\S+)$", text)
-        if not m:
-            raise ValueError(f"malformed DESCRIBE (only DESCRIBE HISTORY t): {text!r}")
-        return M.table_history(spark, _resolve_table(m.group(1).strip("`"), catalog))
+        if m:
+            return M.table_history(spark, _resolve_table(m.group(1).strip("`"), catalog))
+        m = re.match(r"(?is)^DESCRIBE\s+DETAIL\s+(\S+)$", text)
+        if m:
+            return M.describe_detail(spark, _resolve_table(m.group(1).strip("`"), catalog))
+        raise ValueError(f"malformed DESCRIBE (DESCRIBE HISTORY t / DESCRIBE DETAIL t): {text!r}")
 
     if kw == "VACUUM":
         m = re.match(r"(?is)^VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", text)

@@ -155,3 +155,22 @@ def test_merge_set_accepts_case_when(spark, tmp_path):
         spark.catalog.dropTempView("case_src")
     rows = {r["k"]: r["price"] for r in M.read_table(spark, t).collect()}
     assert rows[1] == 100.0 and rows[2] == 2.0  # CASE picked the max
+
+
+def test_describe_detail(spark, tmp_path):
+    t = str(tmp_path / "t")
+    M.write_table(
+        spark.range(100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS price"),
+        t, cluster_by=["k"], cluster_files=2,
+    )
+    M.add_constraint(spark, t, "pos", "price >= 0.0")
+    M.delete_where(spark, t, ("k", "==", 5), mode="merge_on_read")
+    row = sql_dml.execute(spark, "DESCRIBE DETAIL t", {"t": t}).first()
+    assert row["version"] == 3 and row["operation"] == "delete"
+    assert row["num_files"] == 2 and row["num_dv_files"] == 1
+    assert row["size_bytes"] and row["size_bytes"] > 0
+    import json as _json
+
+    assert _json.loads(row["constraints"]) == {"pos": "price >= 0.0"}
+    assert _json.loads(row["layout"]) == {"cluster_by": ["k"]}
+    assert "price" in row["schema_json"]
