@@ -584,6 +584,43 @@ class _OptimizeIncremental:
         return dt
 
 
+class _BatchSourcePrunedRead:
+    """FIXED key-window read through the batch manifest DataSource
+    (round 10, sources/manifest_source.py) on a GROWING key-clustered
+    table: pushFilters translates the range to the skip tree and
+    partitions() drops every non-straddling file from manifest stats
+    BEFORE any worker starts, so the bytes touched track the WINDOW,
+    not the table (exponent ≈ 0). The table build is untimed."""
+
+    def __init__(self) -> None:
+        self.tables: dict[str, str] = {}
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import tempfile
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+        from cashback_data_pipeline_spark.sources import manifest_source as MS
+
+        if sf_dir not in self.tables:
+            docs = _docs(spark, sf_dir)
+            n = docs.count()
+            table = tempfile.mkdtemp(prefix="scale_batchsrc_") + "/t"
+            M.write_table(
+                docs, table, cluster_by=["doc_id"], cluster_files=max(16, n // 5000)
+            )
+            self.tables[sf_dir] = table
+        table = self.tables[sf_dir]
+        MS.register_view(spark, "scale_batchsrc_v", table)
+        t0 = time.time()
+        spark.sql(
+            "SELECT doc_id, length(text) AS n FROM scale_batchsrc_v "
+            "WHERE doc_id >= 100 AND doc_id < 300"
+        ).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        spark.catalog.dropTempView("scale_batchsrc_v")
+        return dt
+
+
 class _LogCommitFixed:
     """Per-commit LOG cost under a GROWING table file count (VERDICT r8
     item 1): the manifest carries #files ∝ corpus — synthetic immutable
@@ -645,6 +682,7 @@ SPECIAL_OPS = {
     "cdf_tail_commit": _CdfTailCommit(),
     "mor_delete_fixed": _MorDeleteFixed(),
     "optimize_incremental": _OptimizeIncremental(),
+    "batch_source_pruned_read": _BatchSourcePrunedRead(),
     "index_build": _IndexBuild(),
     "index_search": _IndexSearch(),
     "index_delta": _IndexDelta(),
