@@ -3136,6 +3136,7 @@ def vacuum(
     keep_last: int = 2,
     min_age_s: float = 600.0,
     prune_manifests: bool = False,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data dirs unreferenced by the last ``keep_last`` versions
     (readers pinned within that horizon stay safe — the Delta retention
@@ -3157,7 +3158,11 @@ def vacuum(
     already un-time-travelable (their data dirs are vacuum fodder), so
     this only reclaims the metadata; the latest ``keep_last`` versions
     always survive, and history walkers (``committed_meta_values``)
-    already tolerate the gaps."""
+    already tolerate the gaps.
+
+    ``dry_run=True`` (the Delta ``VACUUM .. DRY RUN`` safety) reports
+    the data dirs that WOULD be removed — nothing is deleted, the
+    pointer does not move, and manifest pruning is skipped entirely."""
     import time
 
     store = get_log_store(table)
@@ -3207,7 +3212,8 @@ def vacuum(
             continue
         if now - store.mtime(d) < min_age_s:
             continue  # possibly an in-flight commit's data — not ours to take
-        store.delete_recursive(d)
+        if not dry_run:
+            store.delete_recursive(d)
         removed.append(d)
     manifest_dir = store.join(table, _MANIFEST_DIR)
     try:
@@ -3240,7 +3246,7 @@ def vacuum(
             and v < horizon
             and _aged(n)
         ]
-        if prune_manifests
+        if prune_manifests and not dry_run
         else []
     )
     if prunable:
@@ -3274,7 +3280,7 @@ def vacuum(
                 )
     for name in manifest_names:
         if name.startswith(TMP_PREFIX):
-            if _aged(name):
+            if _aged(name) and not dry_run:
                 store.delete_file(store.join(manifest_dir, name))
             continue
     if prune_manifests:

@@ -21,7 +21,7 @@ Supported statements (case-insensitive keywords)::
     RESTORE TABLE <t> TO TIMESTAMP AS OF <epoch seconds | 'ISO-8601'>
     DESCRIBE HISTORY <t>
     DESCRIBE DETAIL <t>
-    VACUUM <t> [RETAIN <n> VERSIONS]
+    VACUUM <t> [RETAIN <n> VERSIONS] [DRY RUN]
     OPTIMIZE <t> [ZORDER BY (col, ...)]
     OPTIMIZE <t> [TARGET <n> ROWS] WHERE <predicate>   -- incremental bin-pack
     ALTER TABLE <t> RENAME COLUMN <old> TO <new>
@@ -511,12 +511,16 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
         raise ValueError(f"malformed DESCRIBE (DESCRIBE HISTORY t / DESCRIBE DETAIL t): {text!r}")
 
     if kw == "VACUUM":
-        m = re.match(r"(?is)^VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", text)
+        m = re.match(
+            r"(?is)^VACUUM\s+(\S+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(?:\s+(DRY\s+RUN))?$",
+            text,
+        )
         if not m:
             raise ValueError(f"malformed VACUUM: {text!r}")
         table = _resolve_table(m.group(1).strip("`"), catalog)
         keep = int(m.group(2)) if m.group(2) else 2
-        return M.vacuum(table, keep_last=keep)
+        return M.vacuum(table, keep_last=keep, dry_run=bool(m.group(3)))
 
     if kw == "OPTIMIZE":
         m = re.match(r"(?is)^OPTIMIZE\s+(\S+)\s+ZORDER\s+BY\s*\(([^)]+)\)$", text)
