@@ -2392,6 +2392,7 @@ def optimize_table(
     target_rows: int = 1_000_000,
     min_files: int = 2,
     predicates=None,
+    max_dv_ratio: float = 0.2,
 ) -> int:
     """INCREMENTAL small-file compaction — the Delta ``OPTIMIZE``
     bin-packing shape, the maintenance op that actually works at 100 TB
@@ -2443,6 +2444,26 @@ def optimize_table(
             f for f in scope
             if (stats.get(f, {}).get("rows") or 0) < target_rows
         ]
+        # heavily TOMBSTONED files rejoin the rewrite set regardless of
+        # size (the Delta DV-reclaim policy): a merge-on-read history
+        # accumulates deletion vectors on right-sized files forever
+        # unless maintenance materializes them — files whose deleted
+        # fraction reaches max_dv_ratio rewrite here, reclaiming the
+        # dead rows and the per-read anti-join
+        dvs = _dv_set(m)
+        if dvs and max_dv_ratio is not None:
+            store2 = get_log_store(table)
+            dv_counts = {
+                r["file"]: r["n"]
+                for r in spark.read.parquet(*[store2.join(table, f) for f in dvs])
+                .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            small_set0 = set(small)
+            for f in scope:
+                r = stats.get(f, {}).get("rows")
+                c = dv_counts.get(f, 0)
+                if f not in small_set0 and r and c and c / r >= max_dv_ratio:
+                    small.append(f)
         if len(small) < min_files:
             return cur  # nothing worth packing — no version churn
         small_rows = sum(stats[f].get("rows") or 0 for f in small)
@@ -2473,6 +2494,20 @@ def optimize_table(
             T.StructType.fromJson(json.loads(m["schema"])),
             _bloom_table_conf(m), merged_stats,
         )
+        # tombstone relations whose every referenced file was rewritten
+        # are dead — drop them so reads stop paying the anti-join
+        keep_dvs = _dv_set(m)
+        if keep_dvs:
+            carried_set = set(carried)
+            store2 = get_log_store(table)
+            referenced = {
+                r["file"]
+                for r in spark.read.parquet(
+                    *[store2.join(table, f) for f in keep_dvs]
+                ).select("file").distinct().collect()
+            }
+            if not (referenced & carried_set):
+                keep_dvs = []
         meta = dict(m.get("meta") or {})
         meta["optimize"] = {
             "rewritten": len(small),
@@ -2490,8 +2525,9 @@ def optimize_table(
             stats=merged_stats or None,
             bloom_conf=_bloom_table_conf(m),
             # untouched files keep their tombstones; entries naming the
-            # rewritten files match nothing (materialized by the read)
-            dv_files=_dv_set(m),
+            # rewritten files match nothing (materialized by the read),
+            # and fully-dead relations drop entirely
+            dv_files=keep_dvs,
             operation="optimize",
         ):
             return cur + 1

@@ -134,3 +134,29 @@ def test_declared_layout_survives_maintenance(spark, tmp_path):
     assert m2["layout"] == {"cluster_by": ["k"]}
     _, skipped = filestats.prune_files(m2["files"], m2["stats"], [("k", "<", 100)])
     assert skipped >= 4
+
+
+def test_optimize_rewrites_heavily_tombstoned_files(spark, tmp_path):
+    """A right-sized file whose deleted fraction reaches max_dv_ratio
+    rewrites (the Delta DV-reclaim policy), and tombstone relations
+    whose every referenced file was rewritten DROP from the commit —
+    reads stop paying the anti-join."""
+    t = _seed(spark, tmp_path / "t")  # 1 big (50k) + 6 small files
+    M.delete_where(spark, t, [("k", ">=", 0), ("k", "<", 20_000)], mode="merge_on_read")
+    m0 = M.read_manifest(t, M.current_version(t))
+    assert M._dv_set(m0)
+    v = M.optimize_table(spark, t, target_rows=10_000, max_dv_ratio=0.2)
+    m = M.read_manifest(t, v)
+    # the big file (40% tombstoned) rewrote alongside the 6 small ones
+    assert m["meta"]["optimize"]["rewritten"] == 7
+    assert not M._dv_set(m), "dead tombstone relations must drop"
+    out = M.read_table(spark, t)
+    assert out.count() == 30_600
+    assert out.filter(F.col("k") < 20_000).count() == 0
+    # below the ratio, a big tombstoned file carries with its DVs
+    t2 = _seed(spark, tmp_path / "t2")
+    M.delete_where(spark, t2, [("k", ">=", 0), ("k", "<", 100)], mode="merge_on_read")
+    v2 = M.optimize_table(spark, t2, target_rows=10_000, max_dv_ratio=0.2)
+    m2 = M.read_manifest(t2, v2)
+    assert m2["meta"]["optimize"]["carried"] == 1 and M._dv_set(m2)
+    assert M.read_table(spark, t2).count() == 50_500
