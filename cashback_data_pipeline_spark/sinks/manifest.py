@@ -1023,6 +1023,42 @@ def _reconcile_append_schema(parent_schema_json: str, df_schema: T.StructType) -
     return T.StructType(out).json()
 
 
+def create_table(
+    table: str,
+    schema: "T.StructType | str",
+    if_not_exists: bool = False,
+    meta: dict | None = None,
+) -> int:
+    """``CREATE TABLE [IF NOT EXISTS]`` as a manifest commit (VERDICT
+    r10 item 1 — the reference's serving lambda issues exactly this
+    statement before its NOT-EXISTS load, ref:
+    load_to_redshift_lambda.py:78-84): version 1 carries the declared
+    schema and an EMPTY file list, so the table exists, reads as zero
+    rows, and every later write reconciles against the declared schema
+    (an append that retypes a column fails loudly instead of silently
+    redefining the table). ``schema`` is a StructType or a DDL string
+    (``"a INT, b STRING"``). With ``if_not_exists`` an existing table is
+    a no-op returning its CURRENT version — the idempotent serving-DDL
+    shape; without it, an existing table raises. Metadata-only either
+    way; concurrency rides the commit CAS (two racing creators
+    serialize — one creates, the other sees the winner)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    while True:
+        cur = current_version(table)
+        if cur is not None:
+            if if_not_exists:
+                return cur
+            raise ValueError(
+                f"table already exists at {table} (v{cur}); use IF NOT EXISTS "
+                "for the idempotent form"
+            )
+        if _try_commit(
+            table, 1, [], None, schema.json(), meta=meta, operation="create"
+        ):
+            return 1
+
+
 def write_table(
     df: DataFrame,
     table: str,
@@ -2954,12 +2990,19 @@ def append_table_if_absent(
             merged_stats = _build_bloom_sidecar(
                 spark, table, files, fresh.schema, _bloom_table_conf(m), merged_stats
             )
+            # commit the RECONCILED schema (parent widened by the batch,
+            # never narrowed) — the write_table append discipline; an
+            # old-shape idempotent load must not revert an ADD COLUMN
+            commit_schema = (
+                fresh.schema.json() if m is None
+                else _reconcile_append_schema(m["schema"], fresh.schema)
+            )
             if _try_commit(
                 table,
                 (cur or 0) + 1,
                 base + files,
                 cur,
-                fresh.schema.json(),
+                commit_schema,
                 stats=merged_stats or None,
                 bloom_conf=_bloom_table_conf(m),
                 dv_files=_dv_set(m),

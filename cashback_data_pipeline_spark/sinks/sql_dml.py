@@ -11,6 +11,9 @@ concurrency, file pruning, and audit-log stamping unchanged.
 
 Supported statements (case-insensitive keywords)::
 
+    CREATE TABLE [IF NOT EXISTS] <t> (col type [, ...])
+    INSERT INTO <t> SELECT ... [WHERE NOT EXISTS
+        (SELECT 1 FROM <t> r WHERE r.k = s.k)]
     DELETE FROM <t> WHERE <predicate>
     UPDATE <t> SET col = <spark sql expr> [, ...] WHERE <predicate>
     MERGE INTO <t> [AS a] USING <temp view> [AS b] ON a.k = b.k
@@ -45,6 +48,25 @@ min == max == v; a bare NOT pushes to the leaves at normalization) —
 exactly Delta's split between row matching and file skipping. UPDATE
 assignment right-hand sides pass through to ``F.expr`` untouched, so
 any Spark SQL scalar expression works there.
+
+CREATE TABLE and INSERT INTO .. SELECT are the reference's ONLY
+hand-written SQL (ref: load_to_redshift_lambda.py:78-98), so they run
+verbatim here (modulo table names). CREATE TABLE commits version 1
+with the declared schema and an empty file list
+(``manifest.create_table``); IF NOT EXISTS makes it the idempotent
+serving-DDL no-op. INSERT evaluates its SELECT body via ``spark.sql``
+— every catalog name appearing in the body is auto-registered as a
+view over the manifest batch source (sources/manifest_source.py), so
+the SELECT can read manifest tables and temp views alike — and then
+dispatches by shape: the reference's idempotent NOT-EXISTS form
+(``WHERE NOT EXISTS (SELECT 1 FROM <target> r WHERE r.k = s.k)`` as
+the entire top-level WHERE, correlated back to the INSERT target on
+one key equality) strips the subquery and routes to
+``manifest.append_table_if_absent`` — the FILE-PRUNED, CAS-serialized
+anti-join load, returning the number of rows inserted (the
+``cursor.rowcount`` the reference logs); any other SELECT evaluates
+as written and appends via ``write_table(mode="append")``, returning
+the committed version.
 
 MERGE accepts the general clause list (VERDICT r9 item 3 — the
 standard CDC-with-deletes shape): conditional ``WHEN MATCHED [AND
@@ -392,17 +414,107 @@ def _parse_merge_when(tail: str):
     return wm, wnm
 
 
+_WORD_RE_CACHE: dict[str, re.Pattern] = {}
+
+
+def _register_catalog_views(spark, select_text: str, catalog: dict | None) -> None:
+    """Auto-register every catalog table the SELECT body references as a
+    view over the manifest batch source, so ``spark.sql`` resolves it —
+    the Spectrum-schema-in-Redshift analog. Names already bound to a
+    temp view are left alone (a caller's staged view wins)."""
+    from cashback_data_pipeline_spark.sources import manifest_source
+
+    for name, path in (catalog or {}).items():
+        pat = _WORD_RE_CACHE.get(name)
+        if pat is None:
+            pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+            _WORD_RE_CACHE[name] = pat
+        if not pat.search(select_text):
+            continue
+        try:
+            spark.table(name)
+            continue  # already resolvable (caller-staged view)
+        except Exception:
+            pass
+        manifest_source.register_view(spark, name, path)
+
+
+_NOT_EXISTS_RE = re.compile(
+    r"(?is)^WHERE\s+NOT\s+EXISTS\s*\(\s*SELECT\s+1\s+FROM\s+(\S+?)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+WHERE\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*\)\s*$"
+)
+
+
+def _split_not_exists_load(text_sel: str, target_name: str, catalog: dict | None):
+    """If the SELECT's entire top-level WHERE is the reference's
+    idempotent NOT-EXISTS screen against the INSERT target itself
+    (one key equality correlated through the subquery alias), return
+    ``(select_without_where, key)``; else None."""
+    w = _find_keyword(text_sel, "WHERE")
+    if w < 0:
+        return None
+    m = _NOT_EXISTS_RE.match(text_sel[w:])
+    if not m:
+        return None
+    sub_name, sub_alias, q1, k1, q2, k2 = m.groups()
+    sub_name = sub_name.strip("`").rstrip(";")
+    # the subquery must scan the INSERT target (by name or by path)
+    is_target = sub_name == target_name or (
+        catalog is not None
+        and catalog.get(sub_name) is not None
+        and catalog.get(sub_name) == catalog.get(target_name, target_name)
+    )
+    if not is_target:
+        return None
+    if k1 != k2:
+        return None  # correlation must equate the SAME key column
+    sub_q = sub_alias or sub_name
+    if sub_q not in (q1, q2):
+        return None  # neither side references the subquery's own scan
+    return text_sel[:w].rstrip(), k1
+
+
 def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
     """Dispatch one SQL DML/utility statement onto the manifest APIs.
 
     Returns what the underlying API returns: the committed version
-    (int) for DELETE/UPDATE/MERGE/RESTORE, a DataFrame for DESCRIBE
-    HISTORY, the removed-dirs list for VACUUM."""
+    (int) for CREATE/DELETE/UPDATE/MERGE/RESTORE and the plain
+    INSERT..SELECT append, the ROWS INSERTED for the idempotent
+    NOT-EXISTS INSERT (the reference's rowcount), a DataFrame for
+    DESCRIBE HISTORY, the removed-dirs list for VACUUM."""
     text = statement.strip().rstrip(";").strip()
     head = text.split(None, 2)
     if not head:
         raise ValueError("empty statement")
     kw = head[0].upper()
+
+    if kw == "CREATE":
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\S+)\s*\((.+)\)\s*$",
+            text,
+        )
+        if not m:
+            raise ValueError(
+                f"malformed CREATE (CREATE TABLE [IF NOT EXISTS] t (col type, ...)): {text!r}"
+            )
+        table = _resolve_table(m.group(2).strip("`"), catalog)
+        return M.create_table(
+            table, m.group(3).strip(), if_not_exists=bool(m.group(1))
+        )
+
+    if kw == "INSERT":
+        m = re.match(r"(?is)^INSERT\s+INTO\s+(\S+)\s+(SELECT\b.*)$", text)
+        if not m:
+            raise ValueError(f"malformed INSERT (INSERT INTO t SELECT ...): {text!r}")
+        target_name = m.group(1).strip("`")
+        table = _resolve_table(target_name, catalog)
+        sel = m.group(2).strip()
+        _register_catalog_views(spark, sel, catalog)
+        idem = _split_not_exists_load(sel, target_name, catalog)
+        if idem is not None:
+            body, key = idem
+            return M.append_table_if_absent(spark, spark.sql(body), table, key=key)
+        return M.write_table(spark.sql(sel), table, mode="append")
 
     if kw == "DELETE":
         p = _Parser(text)
@@ -609,7 +721,7 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
         )
 
     raise ValueError(
-        f"unsupported statement {kw!r}; supported: DELETE FROM, UPDATE, "
-        "MERGE INTO, RESTORE TABLE, DESCRIBE HISTORY, VACUUM, OPTIMIZE, "
-        "ALTER TABLE RENAME/DROP COLUMN"
+        f"unsupported statement {kw!r}; supported: CREATE TABLE, INSERT "
+        "INTO .. SELECT, DELETE FROM, UPDATE, MERGE INTO, RESTORE TABLE, "
+        "DESCRIBE HISTORY, VACUUM, OPTIMIZE, ALTER TABLE RENAME/DROP COLUMN"
     )
