@@ -3334,6 +3334,183 @@ def manifest_sql_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_partitioned_table",
+    sql=f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_totalprice
+      FROM orders
+    ),
+    cur AS (
+      SELECT order_year,
+             CASE WHEN order_year = 2000 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price
+      FROM base
+      WHERE order_year <> 1995
+        AND NOT (order_year = 1997 AND o_totalprice > 150000.0)
+    )
+    SELECT order_year, count(*) AS n, {sql_dsum2('price')} AS sum_price
+    FROM cur GROUP BY 1
+    """,
+)
+def manifest_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class PARTITION COLUMNS on manifest tables (VERDICT r10
+    item 3 — the date-partitioned lifecycle of the reference's
+    warehouse, ref: glue_script.py:77): ``write_table(partition_by=
+    ["order_year"])`` lays data hive-style, injects EXACT path-derived
+    per-file stats (partition pruning rides the one stats engine), and
+    the lifecycle ops are load-bearing under RAISES guards —
+
+    - a partition-scoped SQL DELETE must carry every file OUTSIDE the
+      partition untouched (zero read/write I/O outside it);
+    - ``ALTER TABLE .. DROP PARTITION`` must be a METADATA-ONLY commit
+      (child files = parent files minus the partition, no new files);
+    - dynamic partition overwrite (``mode="overwrite_partitions"``)
+      must replace exactly the batch's partition and carry the rest
+      byte-identical.
+
+    Oracle = the same year-partitioned lifecycle restated over orders:
+    drop 1995, delete the 1997 tail over 150k, rewrite 2000 prices
+    +100."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    table = tempfile.mkdtemp(prefix="manifest_part_")
+    cat = {"orders_t": table}
+    try:
+        M.write_table(
+            orders, table, partition_by=["order_year"], stats_cols=["o_orderkey"]
+        )
+        m1 = M.read_manifest(table, 1)
+        if not all("order_year=" in f for f in m1["files"]):
+            raise ValueError("partitioned write must lay files hive-style")
+        v2 = sql_dml.execute(
+            spark,
+            "DELETE FROM orders_t WHERE order_year = 1997 "
+            "AND o_totalprice > 150000.0",
+            cat,
+        )
+        m2 = M.read_manifest(table, v2)
+        outside = {f for f in m1["files"] if "order_year=1997" not in f}
+        if not outside <= set(m2["files"]):
+            raise ValueError(
+                "partition-scoped DELETE rewrote files outside the partition"
+            )
+        if not m2["meta"]["delete"]["carried"] >= len(outside):
+            raise ValueError("partition pruning did not reach the DELETE")
+        v3 = sql_dml.execute(
+            spark, "ALTER TABLE orders_t DROP PARTITION (order_year = 1995)", cat
+        )
+        m3 = M.read_manifest(table, v3)
+        want = [f for f in m2["files"] if "order_year=1995" not in f]
+        if sorted(m3["files"]) != sorted(want):
+            raise ValueError("DROP PARTITION must be metadata-only (no new files)")
+        patch = orders.filter(F.col("order_year") == 2000).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        )
+        v4 = M.write_table(patch, table, mode="overwrite_partitions")
+        m4 = M.read_manifest(table, v4)
+        kept = {f for f in m3["files"] if "order_year=2000" not in f}
+        new = set(m4["files"]) - set(m3["files"])
+        if not (kept <= set(m4["files"]) and all("order_year=2000" in f for f in new)):
+            raise ValueError(
+                "dynamic partition overwrite must replace exactly the batch's "
+                "partition"
+            )
+        back = M.read_table(spark, table)
+        agg = back.groupBy("order_year").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum2(F.col("o_totalprice")).alias("sum_price"),
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+@query(
+    "manifest_shallow_clone",
+    sql=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2(
+               "CASE WHEN o_orderkey < 1000 THEN o_totalprice + 50.0 "
+               "ELSE o_totalprice END"
+           )} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (VERDICT r10 item 4 — the Delta
+    fork-and-experiment primitive): ``CREATE TABLE t2 SHALLOW CLONE t``
+    through the SQL front door publishes a manifest that REFERENCES the
+    source's files — the query RAISES unless the clone commit adds ZERO
+    local data files (O(metadata) however large the source). The fork
+    is then proven independent both ways under RAISES guards: a
+    file-pruned UPDATE on the clone must leave the source's manifest
+    and every physical source file untouched, and a post-clone DELETE +
+    append on the SOURCE must not leak into the clone's snapshot.
+    Oracle = the cloned two-commit snapshot with the clone's own update
+    applied — and nothing of the source's later history."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    src = tempfile.mkdtemp(prefix="manifest_clone_src_")
+    dst = tempfile.mkdtemp(prefix="manifest_clone_dst_") + "/t2"
+    cat = {"orders_src": src, "orders_fork": dst}
+    try:
+        half = F.col("o_orderkey") % 2
+        M.write_table(
+            orders.filter(half == 0), src, cluster_by=["o_orderkey"], cluster_files=4
+        )
+        M.write_table(orders.filter(half == 1), src, mode="append")
+        sql_dml.execute(spark, "CREATE TABLE orders_fork SHALLOW CLONE orders_src", cat)
+        m1 = M.read_manifest(dst, 1)
+        if any(f.startswith("data/") for f in m1["files"]) or _os.path.exists(
+            _os.path.join(dst, "data")
+        ):
+            raise ValueError("shallow clone must add zero local data files")
+        src_cur = M.current_version(src)
+        src_files = M.read_manifest(src, src_cur)["files"]
+        # the clone diverges: a file-pruned UPDATE localizes some files
+        sql_dml.execute(
+            spark,
+            "UPDATE orders_fork SET o_totalprice = o_totalprice + "
+            "CAST(50.0 AS DOUBLE) WHERE o_orderkey < 1000",
+            cat,
+        )
+        store = M.get_log_store(src)
+        if M.current_version(src) != src_cur or not all(
+            _os.path.exists(store.join(src, f)) for f in src_files
+        ):
+            raise ValueError("a write to the clone touched the source")
+        # the source diverges too: neither change may leak into the fork
+        sql_dml.execute(
+            spark, "DELETE FROM orders_src WHERE o_orderkey < 5000", cat
+        )
+        back = M.read_table(spark, dst)
+        agg = back.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
+        rows = agg.collect()  # materialize before the temp tables are deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+@query(
     "incremental_append",
     sql="""
     SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice

@@ -791,9 +791,24 @@ def collect_file_stats(
         validate_stats_cols(schema, stats_cols)
     store = get_log_store(table)
     abs_by_rel = {rel: store.join(table, rel) for rel in rel_files}
-    rel_by_base = {os.path.basename(rel): rel for rel in rel_files}
-    if len(rel_by_base) != len(rel_files):  # spark part-file names are uuid-unique
-        raise ValueError("duplicate basenames in one commit's file list")
+    # keyed by the EXACT path handed to the reader (basenames repeat
+    # across a partitioned commit's key=value dirs — same task, same
+    # part number, different partition)
+    rel_by_abs = {p: rel for rel, p in abs_by_rel.items()}
+
+    def _rel_of_uri(path: str) -> str | None:
+        """Resolve a scan's _metadata.file_path URI back to the relative
+        entry by unique path suffix (the URI rendering differs from the
+        store's join)."""
+        p = path.replace("\\", "/")
+        matches = [
+            rel
+            for rel, norm in norm_by_rel.items()
+            if p.endswith("/" + norm) or p == norm
+        ]
+        return matches[0] if len(matches) == 1 else None
+
+    norm_by_rel = {rel: rel.replace(os.sep, "/") for rel in rel_files}
 
     local = {rel: _local_path(p) for rel, p in abs_by_rel.items()}
     if all(p is not None for p in local.values()):
@@ -818,9 +833,10 @@ def collect_file_stats(
         collected = paths_df.mapInPandas(_read, "path string, rows long, stats_json string").collect()
         import json as _json
 
+        rel_by_local = {lp: rel for rel, lp in local.items()}
         out = {}
         for r in collected:
-            rel = rel_by_base[os.path.basename(r["path"])]
+            rel = rel_by_local[r["path"]]
             out[rel] = {"rows": r["rows"], "cols": _json.loads(r["stats_json"])}
         return out
 
@@ -829,9 +845,7 @@ def collect_file_stats(
     if len(rel_files) <= HADOOP_FOOTER_MAX_FILES:
         try:
             by_abs = _hadoop_footer_stats(spark, list(abs_by_rel.values()), stats_cols)
-            return {
-                rel_by_base[os.path.basename(p)]: st for p, st in by_abs.items()
-            }
+            return {rel_by_abs[p]: st for p, st in by_abs.items()}
         except Exception:
             pass  # fall through to the one-pass distributed scan
 
@@ -852,7 +866,7 @@ def collect_file_stats(
     )
     out = {}
     for r in rows:
-        rel = rel_by_base.get(os.path.basename(r["__path"]))
+        rel = _rel_of_uri(r["__path"])
         if rel is None:
             continue
         cols = {}

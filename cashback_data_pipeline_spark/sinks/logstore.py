@@ -241,7 +241,16 @@ class HadoopFsLogStore:
 
     # -- path algebra ---------------------------------------------------
     def join(self, base: str, *parts: str) -> str:
-        return "/".join([base.rstrip("/")] + [p.strip("/") for p in parts])
+        # os.path.join semantics: an absolute part (scheme:// or /-rooted)
+        # RESTARTS the path — how a shallow clone's foreign file entries
+        # resolve through the same join every reader already uses
+        out = base.rstrip("/")
+        for p in parts:
+            if _SCHEME_RE.match(p) or p.startswith("/"):
+                out = p.rstrip("/")
+            else:
+                out = out + "/" + p.strip("/")
+        return out
 
     def relativize(self, base: str, child: str) -> str:
         # normalize through Hadoop Path URIs so "file:///x" and

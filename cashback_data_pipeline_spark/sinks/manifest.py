@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -203,7 +204,8 @@ def _encode_checkpoint(snap: dict, meta_latest: dict | None = None) -> bytes:
         k: snap[k]
         for k in (
             "version", "parent", "schema", "meta", "bloom_conf",
-            "column_mapping", "constraints", "layout",
+            "column_mapping", "constraints", "layout", "partitioning",
+            "generated",
         )
         if snap.get(k) is not None
     }
@@ -266,6 +268,10 @@ def _decode_checkpoint(data: bytes) -> dict:
         snap["constraints"] = table_row["constraints"]
     if table_row.get("layout"):
         snap["layout"] = table_row["layout"]
+    if table_row.get("partitioning"):
+        snap["partitioning"] = table_row["partitioning"]
+    if table_row.get("generated"):
+        snap["generated"] = table_row["generated"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -309,6 +315,10 @@ def _apply_action(base: dict, doc: dict) -> dict:
         snap["constraints"] = doc["constraints"]
     if doc.get("layout"):
         snap["layout"] = doc["layout"]
+    if doc.get("partitioning"):
+        snap["partitioning"] = doc["partitioning"]
+    if doc.get("generated"):
+        snap["generated"] = doc["generated"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -536,6 +546,7 @@ def _try_commit(
     column_mapping=_INHERIT_MAPPING,
     constraints=_INHERIT_MAPPING,
     layout=_INHERIT_MAPPING,
+    partitioning=_INHERIT_MAPPING,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -582,6 +593,11 @@ def _try_commit(
         # it to RE-LAY what they rewrite (optimize/compact), so a
         # clustered table stays clustered without re-passing columns
         layout = parent_snap.get("layout") if parent_snap else None
+    if partitioning is _INHERIT_MAPPING:
+        # declared partition columns auto-carry (the Delta partition
+        # metadata): an append/DML/maintenance commit keeps the layout
+        # without re-declaring it; an overwrite states it explicitly
+        partitioning = parent_snap.get("partitioning") if parent_snap else None
     doc = {
         "format": 2,
         "version": version,
@@ -600,6 +616,8 @@ def _try_commit(
         doc["constraints"] = constraints
     if layout:
         doc["layout"] = layout
+    if partitioning:
+        doc["partitioning"] = list(partitioning)
     dv_add = sorted(dv_set - parent_dv)
     dv_remove = sorted(parent_dv - dv_set)
     if dv_add:
@@ -608,15 +626,22 @@ def _try_commit(
         doc["dv_add"] = dv_add
     if dv_remove:
         doc["dv_remove"] = dv_remove
-    if stats:
-        # per-file column stats (sinks/filestats.py) — optional, additive:
-        # readers treat a missing entry as "keep the file", so mixed
-        # stats/no-stats histories stay correct. Only ADDED files'
-        # entries ride in the record; carried files keep the parent's
-        # (the setdefault-carry discipline, now structural).
-        add_stats = {f: stats[f] for f in doc["add"] if f in stats}
-        if add_stats:
-            doc["add_stats"] = add_stats
+    # per-file column stats (sinks/filestats.py) — optional, additive:
+    # readers treat a missing entry as "keep the file", so mixed
+    # stats/no-stats histories stay correct. Only ADDED files'
+    # entries ride in the record; carried files keep the parent's
+    # (the setdefault-carry discipline, now structural).
+    add_stats = {f: stats[f] for f in doc["add"] if f in stats} if stats else {}
+    if partitioning:
+        # EXACT partition-value stats from the added files' paths (zero
+        # I/O) + the loud mixed-layout guard — every write path funnels
+        # through here, so partition pruning can never erode
+        add_stats = _inject_partition_stats(
+            doc["add"], add_stats, list(partitioning), schema_json,
+            column_mapping,
+        )
+    if add_stats:
+        doc["add_stats"] = add_stats
     ok = store.publish_atomic(
         store.join(table, _MANIFEST_DIR), _version_name(version), json.dumps(doc)
     )
@@ -626,20 +651,31 @@ def _try_commit(
 
 
 def _write_data_files(
-    df: DataFrame, table: str, mapping: dict | None = None
+    df: DataFrame,
+    table: str,
+    mapping: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> list[str]:
     """Write one commit's immutable data dir; return table-relative file
     paths. Files exist but are INVISIBLE until a manifest references
     them — a crash here leaves only unreferenced files for vacuum.
     ``mapping`` (logical→physical) renames the frame to its physical
     column names before writing, so every data file of a column-mapped
-    table uniformly stores physical names."""
+    table uniformly stores physical names. ``partition_by`` (PHYSICAL
+    names — callers pass :func:`_phys_partitioning`) lays the commit
+    out hive-style (``dt=value/`` segments under the commit dir) for a
+    partitioned table; :func:`_try_commit` refuses a partitioned
+    table's commit whose files lack the segments, so no write path can
+    silently skip this."""
     if mapping:
         df = df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
     store = get_log_store(table)
     commit_id = uuid.uuid4().hex[:12]
     data_dir = store.join(table, "data", commit_id)
-    df.write.parquet(data_dir)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     return [
         store.relativize(table, p)
         for p in store.list_files_recursive(data_dir, suffix=".parquet")
@@ -770,6 +806,168 @@ def _extend_mapping(mapping: dict | None, logical_cols: list[str]) -> dict | Non
     return out
 
 
+# ---------------------------------------------------------------------------
+# Partition columns (VERDICT r10 item 3 — the Delta/Iceberg first-class
+# partitioning the reference's warehouse relies on for lifecycle ops,
+# ref: glue_script.py:77 date-partitioned layout): ``write_table(
+# partition_by=["dt"])`` lays every commit's data files out
+# hive-style (``data/<commit>/dt=2024-01-01/part-*.parquet``) and
+# records ``partitioning`` as an auto-carried table property. The
+# partition VALUES live in the paths, so:
+#
+# - every commit gets EXACT per-file stats for the partition columns
+#   injected from the path alone (min == max == value, zero I/O) —
+#   partition pruning is just stats pruning, shared by read_table(skip=),
+#   every DML op, and the batch source's pushFilters, no second pruning
+#   engine;
+# - ``drop_partition`` and dynamic partition overwrite
+#   (``mode="overwrite_partitions"``) are METADATA-ONLY commits that
+#   select files by parsed path values — retention on a 100 TB
+#   date-partitioned history never opens a data file;
+# - scans recover the partition columns via Spark's standard hive-layout
+#   discovery (``basePath`` + pinned schema), and the Python batch
+#   source reads them from the path segments it already parses.
+#
+# Every data-writing path threads the table's partitioning into
+# ``_write_data_files``; ``_try_commit`` REFUSES any added data file
+# that lacks the expected ``key=value`` segments, so a forgotten path
+# fails loudly instead of committing a mixed layout.
+# ---------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_PARTITION_OK_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.StringType,
+    T.DateType,
+    T.BooleanType,
+)
+
+
+def _partitioning(m: dict | None) -> list[str]:
+    """The table's declared partition columns (LOGICAL names), or []."""
+    return list((m or {}).get("partitioning") or [])
+
+
+def _phys_partitioning(m: dict | None) -> list[str] | None:
+    """Partition columns as PHYSICAL names (what paths and data files
+    store), or None for an unpartitioned table — the ``partition_by``
+    argument every write path hands to :func:`_write_data_files`."""
+    p = _partitioning(m)
+    return _phys_cols(_mapping(m), p) if p else None
+
+
+def _validate_partition_cols(schema: T.StructType, cols: list[str]) -> None:
+    by_name = {f.name: f.dataType for f in schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in schema {sorted(by_name)}")
+        if not isinstance(by_name[c], _PARTITION_OK_TYPES):
+            raise ValueError(
+                f"partition column {c!r} has type {by_name[c].simpleString()}; "
+                "hive-layout partitioning needs an int/string/date/boolean "
+                "column (timestamps/doubles don't render to stable path "
+                "segments — derive a date/string column instead)"
+            )
+
+
+def _partition_values_from_path(rel_path: str) -> dict[str, str | None]:
+    """RAW ``key=value`` segments of one data file's table-relative path
+    (unquoted; hive NULL sentinel → None). Paths are authoritative for
+    partition values — files store only the non-partition columns."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel_path.replace(os.sep, "/").split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _hive_render(value) -> str | None:
+    """A Python literal as hive writes it into a path segment (None for
+    SQL NULL — callers compare against the sentinel separately)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (_dt.date, _dt.datetime)):
+        return value.isoformat()
+    return str(value)
+
+
+def _coerce_partition_stat(raw: str | None, simple_type: str):
+    """A raw path value coerced into the stats comparison domain of the
+    column's type (sinks/filestats._coerce): ints as int, booleans as
+    bool, dates as ISO strings (the _json_val rendering), strings as-is.
+    None (unparseable) keeps pruning conservative."""
+    if raw is None:
+        return None
+    try:
+        if simple_type in (
+            "byte", "short", "integer", "long",  # schema-JSON names
+            "tinyint", "smallint", "int", "bigint",  # DDL names
+        ):
+            return int(raw)
+        if simple_type == "boolean":
+            return raw.lower() == "true"
+        return raw  # string / date (ISO string is the stats rendering)
+    except ValueError:
+        return None
+
+
+def _inject_partition_stats(
+    add_files: list[str],
+    add_stats: dict,
+    partitioning: list[str],
+    schema_json: str,
+    mapping: dict | None,
+) -> dict:
+    """EXACT stats for the partition columns of a commit's added files,
+    parsed from the paths alone (min == max == value, nulls == 0 for a
+    non-null partition) — what makes partition pruning ride the one
+    stats engine. Raises if an added file lacks a partition segment:
+    a write path that forgot the layout must fail loudly, never commit
+    a mixed-layout table."""
+    types = {
+        f["name"]: f["type"] if isinstance(f["type"], str) else "string"
+        for f in json.loads(schema_json)["fields"]
+    }
+    pmap = mapping or {}
+    out = dict(add_stats)
+    for rel in add_files:
+        vals = _partition_values_from_path(rel)
+        entry = dict(out.get(rel) or {})
+        cols = dict(entry.get("cols") or {})
+        for c in partitioning:
+            phys = pmap.get(c, c)
+            if phys not in vals:
+                raise RuntimeError(
+                    f"data file {rel!r} lacks the {phys}= partition segment "
+                    f"of this table's declared partitioning {partitioning}; "
+                    "the write path that produced it did not thread "
+                    "partition_by through _write_data_files"
+                )
+            raw = vals[phys]
+            if raw is None:
+                st: dict = {"min": None, "max": None}
+                if entry.get("rows") is not None:
+                    st["nulls"] = entry["rows"]
+            else:
+                v = _coerce_partition_stat(raw, types.get(c, "string"))
+                st = {"min": v, "max": v, "nulls": 0}
+            cols[phys] = st
+        entry["cols"] = cols
+        out[rel] = entry
+    return out
+
+
 def _build_bloom_sidecar(
     spark: SparkSession,
     table: str,
@@ -825,6 +1023,83 @@ def _rel_file_col() -> F.Column:
     )
 
 
+def _physical_scan(
+    spark: SparkSession,
+    table: str,
+    rel_files: list[str],
+    schema_json: str | None = None,
+    mapping: dict | None = None,
+    partitioning: list[str] | None = None,
+    with_meta: bool = False,
+):
+    """PHYSICAL-name scan of a manifest file list — ONE scan relation
+    however many commits the list spans. ``schema_json`` (the commit's
+    logical schema) pins the scan schema under the column mapping.
+
+    Partition columns are NOT in the files (the hive layout) and Spark's
+    directory discovery cannot span multiple commit dirs (its base-path
+    walk stops at the first non-``key=value`` segment, so a two-commit
+    partitioned list reads as "conflicting directory structures").
+    Instead the values are recovered from ``_metadata.file_path`` with
+    ``regexp_extract`` + ``url_decode`` + a cast to the committed type —
+    pure whole-stage-codegen expressions over the one scan, no
+    discovery, and it works identically for files referenced across
+    table roots (shallow clones). ``with_meta`` adds ``__row_file`` /
+    ``__row_ri`` (the deletion-vector join keys) in the same projection,
+    so metadata columns never need to survive a later node."""
+    store = get_log_store(table)
+    pmap = dict(mapping) if mapping else {}
+    part_set = set(partitioning or [])
+    if part_set and schema_json is None:
+        raise ValueError("partitioned scans need the committed schema")
+    logical = (
+        T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    reader = spark.read
+    if logical is not None:
+        reader = reader.schema(
+            T.StructType(
+                [
+                    T.StructField(
+                        pmap.get(f.name, f.name), f.dataType, True, f.metadata
+                    )
+                    for f in logical.fields
+                    if f.name not in part_set
+                ]
+            )
+        )
+    out = reader.parquet(*[store.join(table, f) for f in rel_files])
+    if not part_set and not with_meta:
+        return out
+    rel = _rel_file_col()
+    if logical is not None:
+        cols = []
+        for f in logical.fields:
+            phys = pmap.get(f.name, f.name)
+            if f.name in part_set:
+                raw = F.regexp_extract(
+                    rel, "(?:^|/)" + _re.escape(phys) + "=([^/]+)/", 1
+                )
+                cols.append(
+                    F.when(
+                        (raw == "") | (raw == F.lit(_HIVE_NULL)), F.lit(None)
+                    )
+                    .otherwise(F.url_decode(raw))
+                    .cast(f.dataType)
+                    .alias(phys)
+                )
+            else:
+                cols.append(F.col(phys))
+    else:
+        cols = [F.col(c) for c in out.columns]
+    extra = (
+        [rel.alias("__row_file"), F.col("_metadata.row_index").alias("__row_ri")]
+        if with_meta
+        else []
+    )
+    return out.select(*cols, *extra)
+
+
 def _read_files(
     spark: SparkSession,
     table: str,
@@ -832,6 +1107,7 @@ def _read_files(
     dv_files: list[str] | None,
     mapping: list[tuple[str, str]] | None = None,
     schema_json: str | None = None,
+    partitioning: list[str] | None = None,
 ) -> DataFrame:
     """Scan a pinned file list with the version's DELETION VECTORS
     applied (the Delta merge-on-read read path): rows whose
@@ -852,7 +1128,12 @@ def _read_files(
     widening promotions (Spark 4: int→long, float→double) resolve
     narrower old files under the committed wider type. Without it a
     mixed-physical-schema file list would resolve to whichever file the
-    reader sampled."""
+    reader sampled.
+
+    ``partitioning`` (the manifest's declared partition columns) makes
+    the scan recover those columns from the hive ``key=value`` path
+    segments (:func:`_physical_scan`) — they are NOT in the files,
+    exactly like Delta."""
 
     def _logical(df: DataFrame) -> DataFrame:
         if not mapping:
@@ -860,29 +1141,16 @@ def _read_files(
         return df.select(*[F.col(p).alias(n) for n, p in mapping])
 
     store = get_log_store(table)
-    reader = spark.read
-    if schema_json:
-        logical = T.StructType.fromJson(json.loads(schema_json))
-        pmap = dict(mapping) if mapping else {}
-        reader = reader.schema(
-            T.StructType(
-                [
-                    T.StructField(pmap.get(f.name, f.name), f.dataType, True, f.metadata)
-                    for f in logical.fields
-                ]
-            )
-        )
-    out = reader.parquet(*[store.join(table, f) for f in rel_files])
+    tagged = _physical_scan(
+        spark, table, rel_files, schema_json=schema_json,
+        mapping=dict(mapping) if mapping else None,
+        partitioning=partitioning, with_meta=bool(dv_files),
+    )
     if not dv_files:
-        return _logical(out)
-    cols = out.columns
+        return _logical(tagged)
+    cols = [c for c in tagged.columns if c not in ("__row_file", "__row_ri")]
     dv = spark.read.parquet(*[store.join(table, f) for f in dv_files]).select(
         F.col("file").alias("__dv_file"), F.col("row_index").alias("__dv_ri")
-    )
-    tagged = out.select(
-        *cols,
-        _rel_file_col().alias("__row_file"),
-        F.col("_metadata.row_index").alias("__row_ri"),
     )
     kept = tagged.join(
         dv,
@@ -1028,6 +1296,7 @@ def create_table(
     schema: "T.StructType | str",
     if_not_exists: bool = False,
     meta: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """``CREATE TABLE [IF NOT EXISTS]`` as a manifest commit (VERDICT
     r10 item 1 — the reference's serving lambda issues exactly this
@@ -1041,9 +1310,14 @@ def create_table(
     a no-op returning its CURRENT version — the idempotent serving-DDL
     shape; without it, an existing table raises. Metadata-only either
     way; concurrency rides the commit CAS (two racing creators
-    serialize — one creates, the other sees the winner)."""
+    serialize — one creates, the other sees the winner). ``partition_by``
+    declares the hive partition columns up front (the
+    ``write_table(partition_by=)`` property) so the first INSERT already
+    lands partitioned."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
+    if partition_by:
+        _validate_partition_cols(schema, list(partition_by))
     while True:
         cur = current_version(table)
         if cur is not None:
@@ -1054,7 +1328,84 @@ def create_table(
                 "for the idempotent form"
             )
         if _try_commit(
-            table, 1, [], None, schema.json(), meta=meta, operation="create"
+            table, 1, [], None, schema.json(), meta=meta, operation="create",
+            partitioning=list(partition_by) if partition_by else None,
+        ):
+            return 1
+
+
+def clone_table(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (VERDICT r10 item 4 — the Delta ``CREATE TABLE ..
+    SHALLOW CLONE`` shape): publish ``dst`` version 1 whose manifest
+    REFERENCES ``src``'s data files (and deletion vectors, stats, bloom
+    sidecars, and every table property) at ``version`` (default
+    current) — an O(metadata) commit, ZERO data movement, however large
+    the source. The fork-and-experiment primitive before risky
+    maintenance on a 100 TB table: reads of the clone answer exactly as
+    the source did at the cloned version, while writes/DML/OPTIMIZE on
+    the clone land NEW files under the clone's own root and never touch
+    the source's.
+
+    Mechanics: foreign entries are stored as ABSOLUTE paths (the
+    stores' ``join`` restarts at an absolute part, so every existing
+    reader resolves them unchanged); partition values still parse from
+    the path tail, deletion-vector relations still match on the
+    ``data/..``-relative suffix.
+
+    OWNERSHIP RULE (the Delta shallow-clone contract, stated not
+    hidden): the SOURCE owns the shared files. ``vacuum`` on the clone
+    can never remove them (it only sweeps the clone's own data root,
+    and foreign entries are never "unreferenced local dirs"), but a
+    vacuum or destructive rewrite on the SOURCE can orphan the clone's
+    references — retain the cloned version on the source, or compact
+    the clone (rewriting localizes the data) before vacuuming the
+    source."""
+    src_cur = current_version(src)
+    if src_cur is None:
+        raise FileNotFoundError(f"no committed version in {src}")
+    v = src_cur if version is None else version
+    m = read_manifest(src, v)
+    src_store = get_log_store(src)
+
+    def _absolute(rel: str) -> str:
+        p = src_store.join(src, rel)
+        # a relative LOCAL source root would make entries depend on the
+        # reader's CWD — resolve once, at clone time
+        if "://" not in p and not os.path.isabs(p):
+            p = os.path.abspath(p)
+        return p
+
+    files = [_absolute(f) for f in m["files"]]
+    abs_of = dict(zip(m["files"], files))
+    stats = None
+    if m.get("stats"):
+        stats = {}
+        for rel, e in m["stats"].items():
+            if rel not in abs_of:
+                continue
+            e = dict(e)
+            if e.get("bloom"):
+                e["bloom"] = _absolute(e["bloom"])
+            stats[abs_of[rel]] = e
+    dv = [_absolute(f) for f in _dv_set(m)]
+    while True:
+        if current_version(dst) is not None:
+            raise ValueError(f"clone target {dst} already exists")
+        if _try_commit(
+            dst,
+            1,
+            files,
+            None,
+            m["schema"],
+            meta={"clone": {"source": src, "of_version": v}},
+            stats=stats,
+            bloom_conf=_bloom_table_conf(m),
+            dv_files=dv,
+            operation="clone",
+            column_mapping=_mapping(m),
+            constraints=m.get("constraints"),
+            layout=m.get("layout"),
+            partitioning=m.get("partitioning"),
         ):
             return 1
 
@@ -1070,9 +1421,16 @@ def write_table(
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
     zorder_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version. ``overwrite`` replaces the file
-    list; ``append`` unions with the current version's. Returns the
+    list; ``append`` unions with the current version's;
+    ``overwrite_partitions`` is DYNAMIC PARTITION OVERWRITE on a
+    partitioned table — exactly the partitions the batch carries are
+    replaced, every other partition's files carry forward untouched
+    (selected from path metadata alone, zero data I/O — the Delta
+    ``replaceWhere``/dynamic-overwrite shape the reference's
+    date-partitioned reload needs, ref: glue_script.py:77). Returns the
     committed version. Concurrency: data files land once; only the CAS
     retries, so a losing appender re-commits WITHOUT rewriting data.
 
@@ -1116,11 +1474,46 @@ def write_table(
     min/max pruning stays selective for a predicate on ANY of them — a
     lexicographic ``cluster_by`` clusters only its leading column.
     Implies ``stats_cols=zorder_by`` unless given; ``cluster_files``
-    pins the file count as for ``cluster_by``."""
-    if mode not in ("overwrite", "append"):
+    pins the file count as for ``cluster_by``.
+
+    ``partition_by`` declares (or re-declares, on overwrite) hive-style
+    PARTITION COLUMNS — a table property every later commit carries (see
+    the partitioning section above :func:`_partitioning`): data files
+    land under ``key=value`` segments, partition values become exact
+    per-file stats injected from the paths, and appends inherit the
+    layout without re-passing it (an append declaring a DIFFERENT
+    layout refuses). Composes with cluster_by/zorder_by (ordering
+    within partitions) and stats/bloom on OTHER columns; bloom on a
+    partition column is refused (its values are not in the files —
+    exact path stats already prune equality on it)."""
+    if mode not in ("overwrite", "append", "overwrite_partitions"):
         raise ValueError(f"unsupported mode {mode!r}")
     cur0 = current_version(table)
     cur0_doc = read_manifest(table, cur0) if cur0 is not None else None
+    parent_part = _partitioning(cur0_doc)
+    if mode == "overwrite":
+        partitioning = list(partition_by) if partition_by else None
+    else:
+        if partition_by is not None and list(partition_by) != parent_part:
+            raise ValueError(
+                f"{mode} declares partition_by={list(partition_by)} but the "
+                f"table is partitioned by {parent_part}; re-partitioning "
+                "needs an explicit overwrite"
+            )
+        partitioning = parent_part or None
+        if mode == "overwrite_partitions" and not partitioning:
+            raise ValueError(
+                "overwrite_partitions needs a partitioned table (declare "
+                "partition_by on the initial overwrite)"
+            )
+    if partitioning:
+        _validate_partition_cols(df.schema, partitioning)
+        if bloom_cols and set(bloom_cols) & set(partitioning):
+            raise ValueError(
+                f"bloom_cols {sorted(set(bloom_cols) & set(partitioning))} "
+                "are partition columns — their values live in paths, not "
+                "files; exact path stats already prune them"
+            )
     # column mapping resolves BEFORE the data write: files of a mapped
     # table store physical names, whatever mode/layout follows
     mapping = _extend_mapping(_mapping(cur0_doc), df.columns)
@@ -1147,8 +1540,20 @@ def write_table(
         df = df.sortWithinPartitions(*cluster_by)
     checked_cons = _constraints(cur0_doc)
     _check_constraints(df, checked_cons, "this write")
-    files = _write_data_files(df, table, mapping=mapping)
+    files = _write_data_files(
+        df, table, mapping=mapping,
+        partition_by=_phys_cols(mapping, partitioning) if partitioning else None,
+    )
     schema_json = df.schema.json()
+    touched: set[tuple] | None = None
+    if mode == "overwrite_partitions":
+        # the batch's own partitions, rendered as hive path values — a
+        # driver collect bounded by the number of partitions TOUCHED,
+        # never the table's (the dynamic-overwrite contract)
+        touched = {
+            tuple(_hive_render(r[c]) for c in partitioning)
+            for r in df.select(*partitioning).distinct().collect()
+        }
     stats = None
     phys_stats_cols: list[str] = []
     if stats_cols:
@@ -1202,6 +1607,14 @@ def write_table(
         # table-property semantic; otherwise one plain append would
         # silently erode the point-lookup path file by file)
         bloom_conf = _bloom_table_conf(cur0_doc)
+    if bloom_conf and partitioning and set(bloom_conf.get("cols") or []) & set(
+        partitioning
+    ):
+        raise ValueError(
+            "the table's bloom property covers a partition column; "
+            "partition values live in paths, not files — rebuild without "
+            "bloom on that column before partitioning on it"
+        )
     if bloom_conf:
         # sidecar written into the IMMUTABLE data tree BEFORE the
         # manifest CAS: any reader that can see the commit can see its
@@ -1227,6 +1640,11 @@ def write_table(
             # they were not checked against (round-10 review)
             checked_cons = _constraints(cur_doc)
             _check_constraints(df, checked_cons, "this write")
+        if mode != "overwrite" and _partitioning(cur_doc) != parent_part:
+            raise RuntimeError(
+                f"partitioning of {table} changed concurrently with this "
+                "write; re-run against the new table layout"
+            )
         base_doc = None if mode == "overwrite" else cur_doc
         # appends commit the RECONCILED schema (parent widened by the
         # batch, never narrowed) — resolved against the parent this CAS
@@ -1236,6 +1654,17 @@ def write_table(
             else _reconcile_append_schema(base_doc["schema"], df.schema)
         )
         base = [] if base_doc is None else base_doc["files"]
+        if touched is not None:
+            # dynamic partition overwrite: the batch's partitions drop
+            # their old files (path metadata alone — zero I/O), every
+            # other partition carries forward
+            phys_part = _phys_cols(_mapping(cur_doc), parent_part)
+            base = [
+                f for f in base
+                if tuple(
+                    _partition_values_from_path(f).get(c) for c in phys_part
+                ) not in touched
+            ]
         base_set = set(base)
         merged_stats = dict(stats or {})
         if base_doc is not None:
@@ -1261,8 +1690,78 @@ def write_table(
             operation=mode,
             column_mapping=mapping,
             layout=layout,
+            # overwrite states the layout explicitly (None CLEARS a
+            # previous partitioning); append/dynamic-overwrite restate
+            # the parent's, verified unchanged above
+            partitioning=partitioning,
         ):
             return (cur or 0) + 1
+
+
+def drop_partition(table: str, values: dict) -> int:
+    """``ALTER TABLE .. DROP PARTITION (col = value, ...)`` — partition
+    retention as ONE METADATA-ONLY commit: files whose path-encoded
+    partition values match ``values`` (a subset of the declared
+    partition columns selects every matching composite partition) drop
+    from the manifest without being read, rewritten, or deleted —
+    storage reclaim is vacuum's job, time travel still reaches the
+    dropped data, and the commit is O(#files) path matching. The
+    lifecycle op a date-partitioned 100 TB history runs daily; at that
+    scale the difference between this and ``delete_where`` is a JSON
+    commit vs reading the partition. Returns the committed version
+    (unchanged if no file matches)."""
+    if not values:
+        raise ValueError("DROP PARTITION needs at least one col=value pair")
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        part = _partitioning(m)
+        unknown = [c for c in values if c not in part]
+        if unknown:
+            raise ValueError(
+                f"DROP PARTITION names non-partition column(s) {unknown}; "
+                f"{table} is partitioned by {part or 'nothing'}"
+            )
+        pmap = _mapping(m) or {}
+        want = {
+            pmap.get(c, c): (None if v is None else _hive_render(v))
+            for c, v in values.items()
+        }
+
+        def _matches(rel: str) -> bool:
+            vals = _partition_values_from_path(rel)
+            return all(vals.get(c, object()) == v for c, v in want.items())
+
+        dropped = [f for f in m["files"] if _matches(f)]
+        if not dropped:
+            return cur  # no matching partition — no version churn
+        dropped_set = set(dropped)
+        kept = [f for f in m["files"] if f not in dropped_set]
+        stats = {
+            f: e for f, e in (m.get("stats") or {}).items() if f not in dropped_set
+        }
+        meta = dict(m.get("meta") or {})
+        meta["drop_partition"] = {
+            "values": {c: _hive_render(v) for c, v in values.items()},
+            "files_dropped": len(dropped),
+        }
+        if _try_commit(
+            table,
+            cur + 1,
+            kept,
+            cur,
+            m["schema"],
+            meta=meta,
+            stats=stats or None,
+            bloom_conf=_bloom_table_conf(m),
+            # tombstones referencing dropped files match nothing; ones on
+            # kept files stay in effect
+            dv_files=_dv_set(m),
+            operation="drop_partition",
+        ):
+            return cur + 1
 
 
 def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -> int:
@@ -1287,13 +1786,16 @@ def delete_keys(spark: SparkSession, keys_df: DataFrame, table: str, key: str) -
         # treats NULL as a key group, so the DML surface must too
         target = _read_files(
             spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
-            schema_json=m["schema"],
+            schema_json=m["schema"], partitioning=_partitioning(m) or None,
         )
         dk = keys_only.select(F.col(key).alias("__del_key"))
         survivors = target.join(
             dk, on=target[key].eqNullSafe(dk["__del_key"]), how="left_anti"
         )
-        new_files = _write_data_files(survivors, table, mapping=_mapping(m))
+        new_files = _write_data_files(
+            survivors, table, mapping=_mapping(m),
+            partition_by=_phys_partitioning(m),
+        )
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, survivors.schema, _bloom_table_conf(m), merged_stats
@@ -1393,6 +1895,12 @@ def rename_column(table: str, old: str, new: str) -> int:
         if new in names:
             raise ValueError(f"column {new!r} already exists in {table}")
         _refuse_constrained_column_change(m, old, "rename")
+        if old in _partitioning(m):
+            raise ValueError(
+                f"column {old!r} is a partition column; its name is baked "
+                "into every data file's path — re-partition via an explicit "
+                "overwrite instead"
+            )
         conf = _bloom_table_conf(m)
         if conf and old in (conf.get("cols") or []):
             raise ValueError(
@@ -1447,6 +1955,11 @@ def drop_column(table: str, col: str) -> int:
         if len(names) == 1:
             raise ValueError(f"cannot drop the last column of {table}")
         _refuse_constrained_column_change(m, col, "drop")
+        if col in _partitioning(m):
+            raise ValueError(
+                f"column {col!r} is a partition column; drop the partitions "
+                "(or re-partition via an explicit overwrite) first"
+            )
         conf = _bloom_table_conf(m)
         if conf and col in (conf.get("cols") or []):
             raise ValueError(
@@ -1769,6 +2282,7 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             column_mapping=_mapping(target),
             constraints=target.get("constraints"),
             layout=target.get("layout"),
+            partitioning=target.get("partitioning"),
         ):
             return cur + 1
 
@@ -1810,6 +2324,9 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
         "column_mapping": json.dumps(_mapping(m)) if _mapping(m) else None,
         "constraints": json.dumps(_constraints(m)) if _constraints(m) else None,
         "layout": json.dumps(m.get("layout")) if m.get("layout") else None,
+        "partitioning": (
+            json.dumps(_partitioning(m)) if _partitioning(m) else None
+        ),
         "bloom_conf": (
             json.dumps(_bloom_table_conf(m)) if _bloom_table_conf(m) else None
         ),
@@ -1827,6 +2344,7 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
             T.StructField("column_mapping", T.StringType()),
             T.StructField("constraints", T.StringType()),
             T.StructField("layout", T.StringType()),
+            T.StructField("partitioning", T.StringType()),
             T.StructField("bloom_conf", T.StringType()),
         ]
     )
@@ -1898,7 +2416,9 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     cur_doc = read_manifest(table, cur) if cur is not None else None
     mapping = _extend_mapping(_mapping(cur_doc), df.columns)
     _check_constraints(df, _constraints(cur_doc), "this staged write")
-    files = _write_data_files(df, table, mapping=mapping)
+    files = _write_data_files(
+        df, table, mapping=mapping, partition_by=_phys_partitioning(cur_doc)
+    )
     stats = None
     if stats_cols:
         from cashback_data_pipeline_spark.sinks import filestats
@@ -1912,6 +2432,8 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     doc = {"files": files, "schema": df.schema.json()}
     if mapping:
         doc["column_mapping"] = mapping
+    if _partitioning(cur_doc):
+        doc["partitioning"] = _partitioning(cur_doc)
     if stats:
         doc["stats"] = stats
     store.publish_atomic(store.join(table, _STAGED_DIR), f"{token}.json", json.dumps(doc))
@@ -1927,11 +2449,14 @@ def read_staged(spark: SparkSession, table: str, token: str) -> DataFrame:
     """The staged rows, for the audit step — reads ONLY the stage's own
     files; the table's visible versions are untouched."""
     stage = _read_stage(table, token)
-    store = get_log_store(table)
+    schema = T.StructType.fromJson(json.loads(stage["schema"]))
     if not stage["files"]:
-        return spark.createDataFrame([], T.StructType.fromJson(json.loads(stage["schema"])))
-    out = spark.read.parquet(*[store.join(table, f) for f in stage["files"]])
+        return spark.createDataFrame([], schema)
     mapping = stage.get("column_mapping")
+    out = _physical_scan(
+        spark, table, stage["files"], schema_json=stage["schema"],
+        mapping=mapping, partitioning=stage.get("partitioning"),
+    )
     if mapping:
         fields = [f["name"] for f in json.loads(stage["schema"])["fields"]]
         out = out.select(*[F.col(mapping.get(n, n)).alias(n) for n in fields])
@@ -2141,7 +2666,7 @@ def read_table(
         return spark.createDataFrame([], schema)
     out = _read_files(
         spark, table, files, _dv_set(m), mapping=_mapping_pairs(m),
-        schema_json=m["schema"],
+        schema_json=m["schema"], partitioning=_partitioning(m) or None,
     )
     if skip:
         out = out.filter(filestats.skip_condition(skip))
@@ -2198,7 +2723,7 @@ def read_changes(
         return spark.createDataFrame([], schema)
     return _read_files(
         spark, table, added, None, mapping=_mapping_pairs(m_to),
-        schema_json=m_to["schema"],
+        schema_json=m_to["schema"], partitioning=_partitioning(m_to) or None,
     )
 
 
@@ -2253,7 +2778,7 @@ def read_changes_rows(
             return spark.createDataFrame([], out_schema)
         return _read_files(
             spark, table, added, None, mapping=_mapping_pairs(m_to),
-            schema_json=m_to["schema"],
+            schema_json=m_to["schema"], partitioning=_partitioning(m_to) or None,
         ).withColumn("_change_type", F.lit("insert"))
     if from_version == 0:
         # snapshot bootstrap: everything visible at to_v is an insert —
@@ -2377,7 +2902,10 @@ def compact_table(
             rewritten = _zorder_layout(snapshot, list(zorder_by), n_files)
         else:
             rewritten = snapshot.coalesce(n_files)
-        files = _write_data_files(rewritten, table, mapping=_mapping(m))
+        files = _write_data_files(
+            rewritten, table, mapping=_mapping(m),
+            partition_by=_phys_partitioning(m),
+        )
         # UNION the requested/layout stats columns with everything the
         # parent tracked: an OPTIMIZE must not erode data skipping (the
         # rewritten files REPLACE every stats-carrying file at once, so
@@ -2508,7 +3036,7 @@ def optimize_table(
         carried = [f for f in files if f not in small_set]
         packed = _read_files(
             spark, table, small, _dv_set(m), mapping=_mapping_pairs(m),
-            schema_json=m["schema"],
+            schema_json=m["schema"], partitioning=_partitioning(m) or None,
         )
         lay = m.get("layout") or {}
         if lay.get("cluster_by"):
@@ -2521,7 +3049,10 @@ def optimize_table(
             packed = _zorder_layout(packed, list(lay["zorder_by"]), n_out)
         else:
             packed = packed.coalesce(n_out)
-        new_files = _write_data_files(packed, table, mapping=_mapping(m))
+        new_files = _write_data_files(
+            packed, table, mapping=_mapping(m),
+            partition_by=_phys_partitioning(m),
+        )
         merged_stats = _refresh_stats(
             spark, table, m.get("stats") or {}, carried, new_files
         )
@@ -2687,7 +3218,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         if cand:
             target = _read_files(
                 spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
-                schema_json=m["schema"],
+                schema_json=m["schema"], partitioning=_partitioning(m) or None,
             )
             # NULL-SAFE key collision (ADVICE r8): the NULL group is a
             # key like any other (matching _one_row_per_key's window
@@ -2702,7 +3233,8 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         else:
             merged = incoming_unique  # every existing file provably collision-free
         new_files = _write_data_files(
-            merged, table, mapping=_extend_mapping(_mapping(m), merged.columns)
+            merged, table, mapping=_extend_mapping(_mapping(m), merged.columns),
+            partition_by=_phys_partitioning(m),
         )
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
@@ -2813,7 +3345,7 @@ def merge_table(
         if cand:
             target = _read_files(
                 spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
-                schema_json=m["schema"],
+                schema_json=m["schema"], partitioning=_partitioning(m) or None,
             )
         else:
             target = spark.createDataFrame([], schema)
@@ -2881,7 +3413,10 @@ def merge_table(
         merged = j.select(*cols)
 
         _check_constraints(merged, _constraints(m), "the MERGE result")
-        new_files = _write_data_files(merged, table, mapping=_mapping(m))
+        new_files = _write_data_files(
+            merged, table, mapping=_mapping(m),
+            partition_by=_phys_partitioning(m),
+        )
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, schema, _bloom_table_conf(m), merged_stats
@@ -2959,6 +3494,7 @@ def append_table_if_absent(
                     _read_files(
                         spark, table, cand, _dv_set(m),
                         mapping=_mapping_pairs(m), schema_json=m["schema"],
+                        partitioning=_partitioning(m) or None,
                     )
                     .select(F.col(key).alias("__seen_key"))
                     .distinct()
@@ -2982,7 +3518,8 @@ def append_table_if_absent(
             if n == 0:
                 return 0
             files = _write_data_files(
-                fresh, table, mapping=_extend_mapping(_mapping(m), fresh.columns)
+                fresh, table, mapping=_extend_mapping(_mapping(m), fresh.columns),
+                partition_by=_phys_partitioning(m),
             )
             base = [] if m is None else m["files"]
             stats = (m or {}).get("stats") or {}
@@ -3053,12 +3590,15 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
             return cur  # stats prove nothing matches — no version churn
         snap = _read_files(
             spark, table, cand, _dv_set(m), mapping=_mapping_pairs(m),
-            schema_json=m["schema"],
+            schema_json=m["schema"], partitioning=_partitioning(m) or None,
         )
         rewritten = transform(snap, cond.eqNullSafe(F.lit(True)))
         if meta_key == "update":
             _check_constraints(rewritten, _constraints(m), "the UPDATE result")
-        new_files = _write_data_files(rewritten, table, mapping=_mapping(m))
+        new_files = _write_data_files(
+            rewritten, table, mapping=_mapping(m),
+            partition_by=_phys_partitioning(m),
+        )
         merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
         merged_stats = _build_bloom_sidecar(
             spark,
@@ -3139,11 +3679,15 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
         # re-delete adds nothing). The scan sees PHYSICAL names, so the
         # match condition is the physical-translated predicate tree.
         matches = (
-            spark.read.parquet(*[store.join(table, f) for f in cand])
+            _physical_scan(
+                spark, table, cand, schema_json=m["schema"],
+                mapping=_mapping(m), partitioning=_partitioning(m) or None,
+                with_meta=True,
+            )
             .filter(filestats.skip_condition(phys_preds).eqNullSafe(F.lit(True)))
             .select(
-                _rel_file_col().alias("file"),
-                F.col("_metadata.row_index").alias("row_index"),
+                F.col("__row_file").alias("file"),
+                F.col("__row_ri").alias("row_index"),
             )
         )
         prior = _dv_set(m)

@@ -12,6 +12,8 @@ concurrency, file pruning, and audit-log stamping unchanged.
 Supported statements (case-insensitive keywords)::
 
     CREATE TABLE [IF NOT EXISTS] <t> (col type [, ...])
+        [PARTITIONED BY (col, ...)]
+    CREATE TABLE <t2> SHALLOW CLONE <t> [VERSION AS OF <n>]
     INSERT INTO <t> SELECT ... [WHERE NOT EXISTS
         (SELECT 1 FROM <t> r WHERE r.k = s.k)]
     DELETE FROM <t> WHERE <predicate>
@@ -31,6 +33,7 @@ Supported statements (case-insensitive keywords)::
     ALTER TABLE <t> DROP COLUMN <col>
     ALTER TABLE <t> ADD COLUMN <col> <type>
     ALTER TABLE <t> ALTER COLUMN <col> TYPE <type>      -- widening only
+    ALTER TABLE <t> DROP PARTITION (col = lit [, ...])
     ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)
     ALTER TABLE <t> DROP CONSTRAINT <name>
 
@@ -490,16 +493,37 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
 
     if kw == "CREATE":
         m = re.match(
-            r"(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\S+)\s*\((.+)\)\s*$",
+            r"(?is)^CREATE\s+TABLE\s+(\S+)\s+SHALLOW\s+CLONE\s+(\S+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
             text,
+        )
+        if m:
+            return M.clone_table(
+                _resolve_table(m.group(2).strip("`"), catalog),
+                _resolve_table(m.group(1).strip("`"), catalog),
+                version=int(m.group(3)) if m.group(3) else None,
+            )
+        body, pcols = text, None
+        pb = _find_keyword(text, "PARTITIONED")
+        if pb >= 0:
+            mp = re.match(r"(?is)^PARTITIONED\s+BY\s*\(([^)]+)\)\s*$", text[pb:])
+            if not mp:
+                raise ValueError(f"malformed PARTITIONED BY clause in: {text!r}")
+            pcols = [c.strip().strip("`") for c in mp.group(1).split(",") if c.strip()]
+            body = text[:pb].rstrip()
+        m = re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\S+)\s*\((.+)\)\s*$",
+            body,
         )
         if not m:
             raise ValueError(
-                f"malformed CREATE (CREATE TABLE [IF NOT EXISTS] t (col type, ...)): {text!r}"
+                "malformed CREATE (CREATE TABLE [IF NOT EXISTS] t (col type, "
+                f"...) [PARTITIONED BY (col, ...)]): {text!r}"
             )
         table = _resolve_table(m.group(2).strip("`"), catalog)
         return M.create_table(
-            table, m.group(3).strip(), if_not_exists=bool(m.group(1))
+            table, m.group(3).strip(), if_not_exists=bool(m.group(1)),
+            partition_by=pcols,
         )
 
     if kw == "INSERT":
@@ -677,6 +701,22 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
         if m:
             return M.drop_column(
                 _resolve_table(m.group(1).strip("`"), catalog), m.group(2).strip("`")
+            )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+DROP\s+PARTITION\s*\((.+)\)\s*$", text
+        )
+        if m:
+            p = _Parser(m.group(2))
+            values = {}
+            while True:
+                col = p.ident()
+                p.expect_op("=")
+                values[col] = p.literal()
+                if p.done():
+                    break
+                p.expect_op(",")
+            return M.drop_partition(
+                _resolve_table(m.group(1).strip("`"), catalog), values
             )
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\S+)\s+(.+)$", text

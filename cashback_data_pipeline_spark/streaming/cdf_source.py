@@ -271,15 +271,32 @@ def _read_file_partition(partition: ManifestFilePartition) -> Iterator:
                 "the pinned stream schema; restart the stream to pick up the "
                 "new schema"
             )
+    # hive-layout partition values live in the PATH, not the file (the
+    # manifest partition_by layout) — same recovery as the batch source
+    from urllib.parse import unquote
+
+    path_vals: dict[str, str | None] = {}
+    for seg in partition.path.replace("\\", "/").split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            path_vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
     for batch in pf.iter_batches():
         tbl = pa.Table.from_batches([batch])
+        n = len(tbl)
         arrays = []
         for field in target:
             phys = phys_of[field.name]
             if phys in file_cols:
                 arrays.append(tbl.column(phys).cast(field.type))
+            elif path_vals.get(phys) is not None:
+                const = pa.scalar(path_vals[phys], type=pa.string())
+                arrays.append(
+                    pa.chunked_array([pa.nulls(n, type=pa.string()).fill_null(const)]).cast(
+                        field.type
+                    )
+                )
             else:
-                arrays.append(pa.nulls(len(tbl), type=field.type))
+                arrays.append(pa.nulls(n, type=field.type))
         for out in pa.Table.from_arrays(arrays, schema=target).to_batches():
             yield out
 

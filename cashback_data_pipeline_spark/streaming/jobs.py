@@ -474,7 +474,10 @@ def route_batch_to_manifest(
             # path too (round 10): fail the micro-batch BEFORE writing —
             # the checkpoint replays it after the producer is fixed
             M._check_constraints(batch, M._constraints(m), "this micro-batch")
-            files = M._write_data_files(batch, table, mapping=mapping)
+            files = M._write_data_files(
+                batch, table, mapping=mapping,
+                partition_by=M._phys_partitioning(m),
+            )
             used_mapping = mapping
             checked_cons = M._constraints(m)
         # the committed schema reconciles against THIS attempt's parent
@@ -594,7 +597,10 @@ def _merge_aggregate_delta(
         m_cur = M.read_manifest(table, cur) if cur is not None else None
         M._check_constraints(merged, M._constraints(m_cur), "the maintained view")
         mapping = M._extend_mapping(M._mapping(m_cur), merged.columns)
-        files = M._write_data_files(merged, table, mapping=mapping)
+        files = M._write_data_files(
+            merged, table, mapping=mapping,
+            partition_by=M._phys_partitioning(m_cur),
+        )
         if M._try_commit(
             table,
             (cur or 0) + 1,

@@ -107,6 +107,15 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 "cannot enforce them — write through foreachBatch "
                 "(streaming.route_stream_to_manifest) instead"
             )
+        if mf._partitioning(m0):
+            # executors write flat Arrow files; a partitioned table needs
+            # the hive layout (write_table / foreachBatch) — refuse here
+            # rather than fail at the commit guard with a plumbing error
+            raise ValueError(
+                f"{self._table} is partitioned by {mf._partitioning(m0)}: "
+                "the raw manifest sink writes flat files — stream through "
+                "foreachBatch with write_table(mode='append') instead"
+            )
 
     # -- phase 1: executors ------------------------------------------------
     def write(self, iterator: Iterator) -> ManifestWriteMessage:
