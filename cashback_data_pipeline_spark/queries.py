@@ -567,6 +567,62 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_cjk_tokens",
+    sql="""
+    WITH m AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 60), ' ',
+                    translate(CAST(doc_id AS VARCHAR),
+                              '0123456789', '零一二三四五六七八九'),
+                    ' 数据管道') AS mixed
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(mixed, '<PAT>')) AS n_script,
+           len(string_split(mixed, ' ')) AS n_ws,
+           length(mixed) - length(regexp_replace(mixed, '[<CJK>]', '', 'g'))
+               AS n_cjk
+    FROM m
+    """.replace("<PAT>", text.SCRIPT_TOKEN_PATTERN).replace("<CJK>", text._CJK),
+)
+def text_cjk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-safe tokenization (VERDICT r10 item 7): ``tokens(mode=
+    "script")`` segments ideographic/kana/hangul codepoints per
+    CHARACTER while other scripts keep whole words, so word-level
+    operators stop under-segmenting unspaced text. The lang-mixed
+    input derives deterministically from the documents table (doc_id
+    digits transliterated to Chinese numerals + a fixed CJK tail
+    appended to each English prefix); the ONE pattern string — \\x{..}
+    codepoint classes, valid in Java regex AND RE2 — is shared verbatim
+    with the DuckDB oracle, so the segmentation itself is what's
+    checked. RAISES unless every mixed doc yields strictly MORE script
+    tokens than whitespace tokens (the whole point: whitespace
+    tokenization degenerates on CJK)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    mixed = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" "),
+        F.translate(F.col("doc_id").cast("string"), "0123456789", "零一二三四五六七八九"),
+        F.lit(" 数据管道"),
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(text.tokens(mixed, mode="script")).alias("n_script"),
+        F.size(F.split(mixed, " ")).alias("n_ws"),
+        (
+            F.length(mixed)
+            - F.length(F.regexp_replace(mixed, f"[{text._CJK}]", ""))
+        ).alias("n_cjk"),
+    )
+    if out.filter(F.col("n_script") <= F.col("n_ws")).count():
+        raise ValueError(
+            "script-aware tokenization must out-segment whitespace splitting "
+            "on CJK-bearing docs — the char fallback is not firing"
+        )
+    return out
+
+
+@query(
     "text_quality_scores",
     sql="""
     WITH t AS (
@@ -3508,6 +3564,111 @@ def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+@query(
+    "manifest_generated_columns",
+    sql=f"""
+    WITH allrows AS (
+      SELECT o_orderdate AS d, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderdate + INTERVAL 40 DAY AS d, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT strftime(d, '%Y-%m') AS order_month,
+           count(*) AS n,
+           {sql_dsum2('o_totalprice')} AS sum_price
+    FROM allrows
+    GROUP BY 1
+    """,
+)
+def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (VERDICT r10 item 6 — Delta's ``GENERATED
+    ALWAYS AS``): ``ALTER TABLE .. ADD COLUMN order_month string
+    GENERATED ALWAYS AS (date_format(o_orderdate, 'yyyy-MM'))`` on the
+    freshly created (empty) table; every write path then MATERIALIZES
+    the column when absent and VALIDATES it when supplied. RAISES
+    guards prove the contract is load-bearing:
+
+    - a batch supplying an INCONSISTENT value must refuse without
+      committing (version and row count unchanged);
+    - the stored derived column is auto-tracked in per-file stats, so a
+      predicate on ``order_month`` must PRUNE files of the
+      date-clustered layout (the Delta partition-pruning trick without
+      partitioning);
+    - an UPDATE shifting the underlying date must RECOMPUTE the
+      generated value (no stale months survive).
+
+    Oracle = seed ∪ appended batch with the update's 40-day shift
+    applied, grouped by the derived month."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_gen_")
+    cat = {"orders_t": table}
+    ddl = ", ".join(f.name + " " + f.dataType.simpleString() for f in orders.schema.fields)
+    try:
+        sql_dml.execute(spark, f"CREATE TABLE orders_t ({ddl})", cat)
+        sql_dml.execute(
+            spark,
+            "ALTER TABLE orders_t ADD COLUMN order_month string GENERATED "
+            "ALWAYS AS (date_format(o_orderdate, 'yyyy-MM'))",
+            cat,
+        )
+        M.write_table(
+            orders, table, mode="append", cluster_by=["o_orderdate"], cluster_files=8
+        )
+        m1 = M.read_manifest(table, M.current_version(table))
+        _, skipped = filestats.prune_files(
+            m1["files"], m1["stats"], ("order_month", "==", "1996-03")
+        )
+        if not skipped:
+            raise ValueError(
+                "a generated-column predicate pruned nothing — derived "
+                "columns are not reaching the per-file stats"
+            )
+        batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+        v_ok = M.current_version(table)
+        n_ok = M.read_table(spark, table).count()
+        try:
+            M.write_table(
+                batch.withColumn("order_month", F.lit("9999-99")), table, mode="append"
+            )
+            raise AssertionError("an inconsistent generated value must refuse")
+        except ValueError:
+            pass
+        if M.current_version(table) != v_ok or M.read_table(spark, table).count() != n_ok:
+            raise ValueError("the refused write still committed something")
+        M.write_table(
+            batch.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM")),
+            table, mode="append",
+        )
+        sql_dml.execute(
+            spark,
+            "UPDATE orders_t SET o_orderdate = date_add(o_orderdate, 40) "
+            "WHERE o_orderkey < 0",
+            cat,
+        )
+        back = M.read_table(spark, table)
+        if back.filter(
+            ~F.col("order_month").eqNullSafe(F.date_format("o_orderdate", "yyyy-MM"))
+        ).count():
+            raise ValueError("UPDATE left stale generated values behind")
+        agg = back.groupBy("order_month").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum2(F.col("o_totalprice")).alias("sum_price"),
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
 
 
 @query(

@@ -32,6 +32,7 @@ Supported statements (case-insensitive keywords)::
     ALTER TABLE <t> RENAME COLUMN <old> TO <new>
     ALTER TABLE <t> DROP COLUMN <col>
     ALTER TABLE <t> ADD COLUMN <col> <type>
+    ALTER TABLE <t> ADD COLUMN <col> <type> GENERATED ALWAYS AS (<expr>)
     ALTER TABLE <t> ALTER COLUMN <col> TYPE <type>      -- widening only
     ALTER TABLE <t> DROP PARTITION (col = lit [, ...])
     ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -717,6 +718,18 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
                 p.expect_op(",")
             return M.drop_partition(
                 _resolve_table(m.group(1).strip("`"), catalog), values
+            )
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\S+)\s+(.+?)\s+"
+            r"GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$",
+            text,
+        )
+        if m:
+            return M.add_generated_column(
+                _resolve_table(m.group(1).strip("`"), catalog),
+                m.group(2).strip("`"),
+                m.group(3).strip(),
+                m.group(4).strip(),
             )
         m = re.match(
             r"(?is)^ALTER\s+TABLE\s+(\S+)\s+ADD\s+COLUMN\s+(\S+)\s+(.+)$", text

@@ -107,6 +107,13 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 "cannot enforce them — write through foreachBatch "
                 "(streaming.route_stream_to_manifest) instead"
             )
+        if mf._generated(m0):
+            raise ValueError(
+                f"{self._table} declares generated columns "
+                f"{sorted(mf._generated(m0))}: the raw manifest sink cannot "
+                "materialize/validate them — write through foreachBatch "
+                "(streaming.route_stream_to_manifest) instead"
+            )
         if mf._partitioning(m0):
             # executors write flat Arrow files; a partitioned table needs
             # the hive layout (write_table / foreachBatch) — refuse here

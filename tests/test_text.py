@@ -345,3 +345,45 @@ def test_merge_bpe_rejects_duplicate_pairs(spark):
     df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError, match="duplicate merge pairs"):
         text_ops.merge_bpe_token_ids(df, merges=(("a", "b"), ("a", "b")))
+
+
+def test_script_tokens_segment_cjk_per_character(spark):
+    """VERDICT r10 item 7: tokens(mode='script') — CJK codepoints one
+    token each, other scripts whole words; whitespace mode unchanged."""
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "我爱数据"),                  # 4 Han chars → 4 tokens
+            (2, "spark は 速い engine です"),  # mixed kana/latin
+            (3, "한국어 텍스트"),              # Hangul → per character
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", text_ops.tokens("text", mode="script").alias("toks")
+        ).collect()
+    }
+    assert got[0] == ["the", "cat", "sat"]
+    assert got[1] == ["我", "爱", "数", "据"]
+    assert got[2] == ["spark", "は", "速", "い", "engine", "で", "す"]
+    assert got[3] == ["한", "국", "어", "텍", "스", "트"]
+    # word-level counting stops degenerating on unspaced scripts
+    n = df.select(text_ops.token_count("text", mode="script").alias("n")).collect()
+    assert [r["n"] for r in n] == [3, 4, 7, 6]
+    with_ws = df.select(text_ops.token_count("text").alias("n")).collect()
+    assert [r["n"] for r in with_ws] == [3, 1, 5, 2]
+
+
+def test_tokens_unknown_mode_refuses(spark):
+    import pytest
+
+    from cashback_data_pipeline_spark.operators import text as text_ops
+
+    with pytest.raises(ValueError, match="unknown tokenization mode"):
+        text_ops.tokens("text", mode="chars")
