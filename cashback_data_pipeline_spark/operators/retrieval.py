@@ -31,6 +31,12 @@ def _q6(c: Column) -> Column:
     return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
 
 
+def _toks(text_col, mode: str):
+    from cashback_data_pipeline_spark.operators.text import tokens
+
+    return tokens(F.col(text_col) if isinstance(text_col, str) else text_col, mode=mode)
+
+
 def _topk_ranked(scored: DataFrame, k: int, id_col: str, score_col: str) -> DataFrame:
     """Distributed global top-k WITH rank column: orderBy+limit compiles
     to TakeOrderedAndProject (per-partition heaps + driver merge — no
@@ -47,18 +53,33 @@ def _topk_ranked(scored: DataFrame, k: int, id_col: str, score_col: str) -> Data
     )
 
 
-def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "split",
+) -> DataFrame:
     """(id, term) pairs: whitespace tokenization (the corpus convention,
-    same as text.vocab_top_terms), empty terms and NULL texts dropped."""
+    same as text.vocab_top_terms), empty terms and NULL texts dropped.
+    ``mode="script"`` switches to the CJK-safe script-aware tokenizer
+    (operators.text.SCRIPT_TOKEN_PATTERN) so term-level retrieval over
+    unspaced scripts indexes per character instead of one giant "word"
+    per line — pass the SAME mode at index/query time."""
+    from cashback_data_pipeline_spark.operators.text import tokens
+
     return (
         docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col), mode=mode)).alias("term"))
         .filter(F.col("term") != "")
     )
 
 
 def tfidf_keywords(
-    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "split",
 ) -> DataFrame:
     """Top-k keywords per document by tf·idf (idf = ln(N/df), N = docs
     with text): the classic per-document summarization/indexing score.
@@ -67,7 +88,7 @@ def tfidf_keywords(
     (term, df) relation, one window."""
     base = docs.filter(F.col(text_col).isNotNull())
     n_docs = base.count()
-    terms = doc_terms(base, id_col, text_col)
+    terms = doc_terms(base, id_col, text_col, mode=mode)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(
@@ -91,6 +112,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "split",
 ) -> DataFrame:
     """BM25 document ranking for a bag of query terms (Lucene's
     parameterization: idf = ln(1 + (N − df + 0.5)/(df + 0.5)), tf
@@ -107,7 +129,7 @@ def bm25_topk(
     base = docs.filter(F.col(text_col).isNotNull())
     stats = base.select(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(F.filter(F.split(text_col, " "), lambda t: t != ""))).alias("avgdl"),
+        F.avg(F.size(F.filter(_toks(text_col, mode), lambda t: t != ""))).alias("avgdl"),
     ).first()
     if not stats["n"]:
         # no scorable documents — empty top-k, not a float(None) crash
@@ -123,7 +145,7 @@ def bm25_topk(
         return spark.createDataFrame([], schema)
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
-    terms = doc_terms(base, id_col, text_col)
+    terms = doc_terms(base, id_col, text_col, mode=mode)
     qterms = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "term string")
     tf = (
         terms.join(F.broadcast(qterms), "term")

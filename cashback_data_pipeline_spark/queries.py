@@ -3596,6 +3596,13 @@ def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
       predicate on ``order_month`` must PRUNE files of the
       date-clustered layout (the Delta partition-pruning trick without
       partitioning);
+    - the DERIVED-PREDICATE REWRITE must fire: a range predicate on the
+      BASE column (``o_orderdate``) — which has NO stats of its own
+      here (stats_cols pins only o_orderkey) — must still prune files
+      through a sound derived ``order_month`` conjunct
+      (:func:`manifest._augment_generated_predicates`), and the
+      augmented ``read_table(skip=)`` must return exactly the filtered
+      rows;
     - an UPDATE shifting the underlying date must RECOMPUTE the
       generated value (no stale months survive).
 
@@ -3621,7 +3628,8 @@ def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             cat,
         )
         M.write_table(
-            orders, table, mode="append", cluster_by=["o_orderdate"], cluster_files=8
+            orders, table, mode="append", cluster_by=["o_orderdate"],
+            cluster_files=8, stats_cols=["o_orderkey"],
         )
         m1 = M.read_manifest(table, M.current_version(table))
         _, skipped = filestats.prune_files(
@@ -3631,6 +3639,31 @@ def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(
                 "a generated-column predicate pruned nothing — derived "
                 "columns are not reaching the per-file stats"
+            )
+        # the derived-predicate rewrite, load-bearing: o_orderdate has NO
+        # stats of its own (only o_orderkey + the auto-tracked generated
+        # month), so pruning a date range can only come from the derived
+        # order_month conjunct
+        import datetime as _dt
+
+        date_spec = ("o_orderdate", ">=", _dt.date(2000, 6, 15))
+        _, sk_raw = filestats.prune_files(m1["files"], m1["stats"], date_spec)
+        if sk_raw:
+            raise ValueError("guard premise broken: base-column stats exist")
+        _, sk_aug = filestats.prune_files(
+            m1["files"], m1["stats"],
+            M._augment_generated_predicates(date_spec, m1),
+        )
+        if not sk_aug:
+            raise ValueError(
+                "a base-column range pruned nothing — the generated-column "
+                "derived-predicate rewrite is not firing"
+            )
+        n_pruned_read = M.read_table(spark, table, skip=date_spec).count()
+        n_truth = orders.filter(F.col("o_orderdate") >= F.lit(_dt.date(2000, 6, 15))).count()
+        if n_pruned_read != n_truth:
+            raise ValueError(
+                f"derived-predicate pruning changed results: {n_pruned_read} != {n_truth}"
             )
         batch = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
             "o_orderkey", -F.col("o_orderkey") - 1
@@ -8303,82 +8336,84 @@ def streaming_quality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # [0:50] in insertion order (verified against CORRECTNESS_r01-r04 keys).
 #
 # Round-9 rotation (VERDICT r8 item 5): the three new round-9 queries
-# (SQL DML, column rename, JPEG decode) plus ann_ivf_retrain_topk
-# (its oracle CHANGED — spill 3 → 4) lead the window; then the 17
-# queries whose latest driver check dates to round 4 (the staleness
-# tail the verdict listed); the remaining 29 slots backfill from the
-# round-6 cohort, preferring queries whose code paths moved this round
-# (manifest log format, brute-force cosine, similarity/index family).
-# After r9 lands, no query's latest driver check is older than r6.
+# Round-11 driver window (the driver samples registry slots [0:50]):
+# the five NEW r11 queries (SQL INSERT/CREATE front door, partition
+# columns, shallow clone, generated columns, CJK tokenization) lead;
+# then the 31 queries whose latest driver check dates to round 7 (the
+# staleness tail VERDICT r10 listed — after r11 no query's latest
+# check is older than r8); the remaining 14 slots backfill from the
+# round-8 cohort, preferring the manifest/streaming-manifest family
+# whose code paths moved this round (partitioning threading through
+# every write path, _physical_scan, generated-column enforcement).
 # Everything else stays covered by the local gate
 # (tools/check_correctness.py runs ALL queries).
-_ROUND10_WINDOW = [
-    # new in round 10 (negated DML, batch-read source, general MERGE,
-    # ADD COLUMN/widening) + the progressive-JPEG-extended query
-    "manifest_dml_negation",
-    "manifest_optimize_incremental",
-    "manifest_cdf_batch_window",
-    "manifest_check_constraints",
-    "audio_fingerprint_near_dups",
-    "multimodal_video_decode",
-    "manifest_batch_read_sql",
-    "manifest_merge_clauses",
-    "manifest_add_column",
-    "multimodal_jpeg_decode",
-    # stale since round 6 (VERDICT r9 item 4: these lead the window)
-    "null_safe_join",
-    "trailing_window_sum",
-    "window_value_functions",
-    "statistical_aggs",
-    "grouping_sets_summary",
-    "unpivot_event_bounds",
-    "sequence_explode",
-    "date_arithmetic",
-    "null_handling",
-    "decimal_exact_totals",
-    "distinct_users_salted",
-    "salted_join_orders",
-    "dq_violations",
-    "table_stats",
-    "array_agg_functions",
-    "text_char_classes",
-    "vocab_top_terms",
-    "quality_classifier_scores",
-    "temperature_mixture",
-    "grouped_corpus_split",
-    "token_budget_mixture_bpe",
-    "value_outliers",
-    # round-7 cohort backfill (23; the rest rotate at r11)
-    "ann_ivf_delta_topk",
-    "ann_ivf_quantized_topk",
-    "anti_join_absent_keys",
-    "count_filtered",
-    "csv_roundtrip",
-    "cube_summary",
-    "date_parts_projection",
-    "derived_conditional_price",
-    "distinct_agg",
-    "doc_fingerprints",
-    "donor_group_fill",
-    "embedding_near_dups",
-    "filter_neq_null_safe",
-    "first_match_per_group",
-    "incremental_append",
-    "indexed_bm25_delta",
-    "json_field_extract",
-    "left_join_enrich",
+_ROUND11_WINDOW = [
+    # new in round 11
+    "manifest_sql_insert_select",
+    "manifest_partitioned_table",
+    "manifest_shallow_clone",
+    "manifest_generated_columns",
+    "text_cjk_tokens",
+    # stale since round 7 (VERDICT r10: these lead the r11 window)
+    "lenient_casts",
+    "manifest_changes_feed",
+    "manifest_stats_skipping",
+    "math_functions",
+    "minhash_lsh_near_dups",
+    "minhash_trigram_near_dups",
+    "monthly_segment_summary",
+    "near_dup_jaccard",
+    "pivot_event_counts",
+    "pricing_summary",
+    "range_filter_events",
+    "reference_pipeline_parity",
+    "rollup_summary",
+    "semi_join_present_keys",
+    "sessionization",
+    "shipping_priority",
+    "simhash_near_dups",
+    "sliding_window_counts",
+    "sort_limit_offset",
+    "sql_api_order_stats",
+    "streaming_windowed_counts",
+    "string_functions",
+    "supplier_volume_by_nation",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "union_except_keys",
+    "value_percentiles",
+    "warehouse_roundtrip",
+    "window_analytics",
+    "window_topk_per_group",
+    # round-8 cohort backfill (14): the manifest/streaming-manifest
+    # family — their write/read paths changed most this round
+    "manifest_delete_where",
+    "manifest_update_where",
+    "manifest_delete_mor",
+    "manifest_restore",
+    "manifest_history",
+    "manifest_bloom_skipping",
+    "manifest_zorder_skipping",
+    "manifest_wap_publish",
+    "manifest_apply_changes",
+    "manifest_changes_rows",
+    "manifest_skip_disjunctive",
+    "streaming_manifest_sink",
+    "streaming_manifest_cdf",
+    "streaming_medallion_pipeline",
 ]
 
 
 def _apply_driver_window() -> None:
-    assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
-    assert len(set(_ROUND10_WINDOW)) == 50, "duplicate names in window"
-    unknown = [n for n in _ROUND10_WINDOW if n not in QUERIES]
+    assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)
+    assert len(set(_ROUND11_WINDOW)) == 50, "duplicate names in window"
+    unknown = [n for n in _ROUND11_WINDOW if n not in QUERIES]
     assert not unknown, f"window names not registered: {unknown}"
-    missing = [n for n in _ROUND10_WINDOW if n not in ORACLES]
+    missing = [n for n in _ROUND11_WINDOW if n not in ORACLES]
     assert not missing, f"driver window contains oracle-less queries: {missing}"
-    rest = [n for n in QUERIES if n not in set(_ROUND10_WINDOW)]
-    reordered = {n: QUERIES[n] for n in [*_ROUND10_WINDOW, *rest]}
+    rest = [n for n in QUERIES if n not in set(_ROUND11_WINDOW)]
+    reordered = {n: QUERIES[n] for n in [*_ROUND11_WINDOW, *rest]}
     QUERIES.clear()
     QUERIES.update(reordered)
 

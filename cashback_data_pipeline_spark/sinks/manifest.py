@@ -2318,6 +2318,128 @@ def _apply_generated(df: DataFrame, gen: dict, context: str) -> DataFrame:
     return df
 
 
+# Recognized MONOTONE generated-column expressions, for the derived-
+# predicate rewrite (the Delta generated-partition-pruning trick): a
+# predicate on the BASE column derives a sound conjunct on the derived
+# column, whose stats every commit auto-tracks. Only nondecreasing
+# date-family mappings qualify (month()/dayofweek() are cyclic).
+_MONO_PATTERNS = (
+    (_re.compile(r"(?is)^date_format\(\s*(\w+)\s*,\s*'(yyyy(?:-MM(?:-dd)?)?)'\s*\)$"),
+     "fmt"),
+    (_re.compile(r"(?is)^year\(\s*(\w+)\s*\)$"), "year"),
+    (_re.compile(r"(?is)^(?:to_date|date)\(\s*(\w+)\s*\)$"), "date"),
+    (_re.compile(r"(?is)^cast\(\s*(\w+)\s+as\s+date\s*\)$"), "date"),
+    (_re.compile(r"(?is)^date_trunc\(\s*'(year|month|day)'\s*,\s*(\w+)\s*\)$"),
+     "trunc"),
+)
+
+_FMT_STRFTIME = {"yyyy": "%Y", "yyyy-MM": "%Y-%m", "yyyy-MM-dd": "%Y-%m-%d"}
+
+
+def _parse_monotone_expr(expr: str):
+    """(base_col, F) for a recognized monotone generated expression, or
+    None. F maps a Python date/datetime literal into the derived
+    column's comparison domain (None when the literal type is unusable
+    — the caller simply derives nothing, staying conservative)."""
+    import datetime as _dt
+
+    e = expr.strip().strip("`")
+    for pat, kind in _MONO_PATTERNS:
+        m = pat.match(e)
+        if not m:
+            continue
+        if kind == "fmt":
+            col, fmt = m.group(1), _FMT_STRFTIME[m.group(2)]
+
+            def F(lit, fmt=fmt):
+                return lit.strftime(fmt) if isinstance(lit, (_dt.date, _dt.datetime)) else None
+        elif kind == "year":
+            col = m.group(1)
+
+            def F(lit):
+                return lit.year if isinstance(lit, (_dt.date, _dt.datetime)) else None
+        elif kind == "date":
+            col = m.group(1)
+
+            def F(lit):
+                if isinstance(lit, _dt.datetime):
+                    return lit.date()
+                return lit if isinstance(lit, _dt.date) else None
+        else:  # trunc
+            unit, col = m.group(1).lower(), m.group(2)
+
+            def F(lit, unit=unit):
+                if not isinstance(lit, (_dt.date, _dt.datetime)):
+                    return None
+                y, mo, d = lit.year, lit.month, lit.day
+                if unit == "year":
+                    return _dt.datetime(y, 1, 1)
+                if unit == "month":
+                    return _dt.datetime(y, mo, 1)
+                return _dt.datetime(y, mo, d)
+        return col, F
+    return None
+
+
+_DERIVE_OPS = {"==": "==", "=": "==", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+
+
+def _augment_generated_predicates(spec, m: dict | None):
+    """The skip spec with SOUND derived conjuncts added for generated
+    columns whose expressions are recognized monotone mappings of a
+    predicated base column — so a ``ts``-range query prunes via the
+    derived column's auto-tracked stats even when nothing tracks ``ts``
+    itself (the Delta generated-column partition-pruning rewrite).
+    Soundness: F nondecreasing ⇒ base < lit implies F(base) <= F(lit)
+    (and symmetrically), equality maps to equality; ``!=``/negations
+    derive nothing (F is not injective), and nothing derives under a
+    NOT node. The ORIGINAL spec always rides along — the rewrite can
+    only prune more, never change row semantics (callers filter rows
+    with the original predicate as ever)."""
+    gen = _generated(m)
+    if not gen or spec is None:
+        return spec
+    derivers: dict[str, list] = {}
+    for gcol, g in gen.items():
+        parsed = _parse_monotone_expr(g["expr"])
+        if parsed:
+            derivers.setdefault(parsed[0], []).append((gcol, parsed[1]))
+    if not derivers:
+        return spec
+
+    def leaf_derived(node):
+        if len(node) != 3 or node[0] not in derivers:
+            return []
+        col, op, lit = node
+        out = []
+        for gcol, F in derivers[col]:
+            if op == "in" and isinstance(lit, (list, tuple, set, frozenset)):
+                vals = [F(v) for v in lit]
+                if vals and all(v is not None for v in vals):
+                    out.append((gcol, "in", vals))
+            elif op in _DERIVE_OPS:
+                v = F(lit)
+                if v is not None:
+                    out.append((gcol, _DERIVE_OPS[op], v))
+        return out
+
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(s) for s in node]
+        if (
+            len(node) == 2
+            and node[0] in ("and", "or")
+            and isinstance(node[1], (list, tuple))
+        ):
+            return (node[0], [walk(s) for s in node[1]])
+        if len(node) == 2 and node[0] == "not":
+            return node  # never derive under negation
+        extra = leaf_derived(node)
+        return ("and", [node, *extra]) if extra else node
+
+    return walk(spec)
+
+
 def add_generated_column(table: str, name: str, dtype: "T.DataType | str", expr: str) -> int:
     """``ALTER TABLE .. ADD COLUMN name type GENERATED ALWAYS AS (expr)``
     — refused on a non-empty table (Delta's rule: generated columns are
@@ -2797,8 +2919,13 @@ def read_table(
     files = m["files"]
     if skip:
         # stats/blooms key by physical names; the residual filter below
-        # runs on the logical frame with the caller's own spec
-        phys_skip = _phys_predicates(skip, _mapping(m))
+        # runs on the logical frame with the caller's own spec. Derived
+        # generated-column conjuncts join the PRUNING spec only (they
+        # are implied by the original, so the residual stays the
+        # caller's own predicate)
+        phys_skip = _phys_predicates(
+            _augment_generated_predicates(skip, m), _mapping(m)
+        )
         files, _ = filestats.prune_files(files, m.get("stats"), phys_skip)
         # bloom refinement: equality/IN leaves consult the per-commit
         # sidecar filters (loaded lazily, once each) — prunes the
@@ -3138,7 +3265,9 @@ def optimize_table(
         stats = dict(m.get("stats") or {})
         scope = files
         if predicates is not None:
-            phys_preds = _phys_predicates(predicates, _mapping(m))
+            phys_preds = _phys_predicates(
+                _augment_generated_predicates(predicates, m), _mapping(m)
+            )
             scope, _ = filestats.prune_files(files, stats, phys_preds)
         # row counts: manifest stats first, one footer metadata read for
         # the rest (KBs per file, no data pages)
@@ -3733,9 +3862,12 @@ def _rewrite_where(spark: SparkSession, table: str, predicates, transform, meta_
         files = m["files"]
         stats = m.get("stats") or {}
         store = get_log_store(table)
-        # pruning consults PHYSICAL-keyed stats; the residual condition
-        # applies to the logical frame below
-        phys_preds = _phys_predicates(predicates, _mapping(m))
+        # pruning consults PHYSICAL-keyed stats (with sound derived
+        # generated-column conjuncts); the residual condition applies
+        # to the logical frame below, unaugmented
+        phys_preds = _phys_predicates(
+            _augment_generated_predicates(predicates, m), _mapping(m)
+        )
         cand, _ = filestats.prune_files(files, stats, phys_preds)
         # bloom refinement: a keyed DELETE/UPDATE on a bloom-indexed
         # table rewrites only the files whose filters admit the key
@@ -3824,8 +3956,11 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
         stats = m.get("stats") or {}
         store = get_log_store(table)
         phys_preds = _phys_predicates(predicates, _mapping(m))
-        cand, _ = filestats.prune_files(m["files"], stats, phys_preds)
-        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, phys_preds)
+        prune_preds = _phys_predicates(
+            _augment_generated_predicates(predicates, m), _mapping(m)
+        )
+        cand, _ = filestats.prune_files(m["files"], stats, prune_preds)
+        cand, _ = filestats.prune_files_bloom(store, table, cand, stats, prune_preds)
         if not cand:
             return cur  # stats prove nothing matches — no version churn
         # tombstones = (file, row_index) of the matching rows. The scan

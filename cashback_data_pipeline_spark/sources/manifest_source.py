@@ -177,8 +177,13 @@ class ManifestBatchReader(DataSourceReader):
         files = m["files"]
         stats = m.get("stats") or {}
         if self._pushed and stats:
-            # stats/bloom entries key PHYSICAL column names
-            phys = mf._phys_predicates(list(self._pushed), mf._mapping(m))
+            # stats/bloom entries key PHYSICAL column names; derived
+            # generated-column conjuncts sharpen the pruning (Spark
+            # re-applies the original filters post-scan regardless)
+            phys = mf._phys_predicates(
+                mf._augment_generated_predicates(list(self._pushed), m),
+                mf._mapping(m),
+            )
             files, _ = filestats.prune_files(files, stats, phys)
             files, _ = filestats.prune_files_bloom(store, self._table, files, stats, phys)
         mapping = mf._mapping(m) or {}

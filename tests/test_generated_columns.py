@@ -154,3 +154,85 @@ def test_restore_restores_generated_property(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="inconsistent"):
         M.write_table(bad, t, mode="append")
+
+
+def test_parse_monotone_expr_forms():
+    import datetime as dt
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    col, F_ = M._parse_monotone_expr("date_format(ts, 'yyyy-MM')")
+    assert col == "ts" and F_(dt.date(2024, 3, 9)) == "2024-03"
+    col, F_ = M._parse_monotone_expr("year(o_orderdate)")
+    assert col == "o_orderdate" and F_(dt.datetime(1997, 5, 1)) == 1997
+    col, F_ = M._parse_monotone_expr("CAST(ts AS DATE)")
+    assert col == "ts" and F_(dt.datetime(2024, 3, 9, 13)) == dt.date(2024, 3, 9)
+    col, F_ = M._parse_monotone_expr("date_trunc('month', ts)")
+    assert F_(dt.datetime(2024, 3, 9, 13)) == dt.datetime(2024, 3, 1)
+    # cyclic / arbitrary expressions derive nothing
+    assert M._parse_monotone_expr("month(ts)") is None
+    assert M._parse_monotone_expr("cents / 100.0") is None
+    # unusable literal type -> None (caller derives nothing)
+    col, F_ = M._parse_monotone_expr("year(ts)")
+    assert F_("not-a-date") is None
+
+
+def test_augment_generated_predicates_tree():
+    import datetime as dt
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+
+    m = {"generated": {"ym": {"expr": "date_format(ts, 'yyyy-MM')", "type": "string"}}}
+    lo = dt.datetime(2024, 3, 9)
+    aug = M._augment_generated_predicates(("ts", ">=", lo), m)
+    assert aug == ("and", [("ts", ">=", lo), ("ym", ">=", "2024-03")])
+    # strict < maps to <= on the derived column (monotone, not injective)
+    aug = M._augment_generated_predicates(("ts", "<", lo), m)
+    assert aug == ("and", [("ts", "<", lo), ("ym", "<=", "2024-03")])
+    # composites recurse; negations never derive; other leaves untouched
+    spec = ("or", [("ts", "==", lo), ("not", ("ts", ">", lo)), ("k", "<", 5)])
+    aug = M._augment_generated_predicates(spec, m)
+    assert aug == (
+        "or",
+        [
+            ("and", [("ts", "==", lo), ("ym", "==", "2024-03")]),
+            ("not", ("ts", ">", lo)),
+            ("k", "<", 5),
+        ],
+    )
+    # IN maps per element
+    aug = M._augment_generated_predicates(("ts", "in", [lo]), m)
+    assert aug == ("and", [("ts", "in", [lo]), ("ym", "in", ["2024-03"])])
+    # no generated property -> spec unchanged
+    assert M._augment_generated_predicates(("ts", ">=", lo), {}) == ("ts", ">=", lo)
+
+
+def test_derived_predicate_prunes_end_to_end(spark, tmp_path):
+    """A ts-range DELETE on a table with NO ts stats prunes files through
+    the derived generated-month conjunct — and deletes exactly the
+    matching rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks.filestats import prune_files
+
+    t = str(tmp_path / "t")
+    M.create_table(t, "k BIGINT, d DATE")
+    M.add_generated_column(t, "ym", "string", "date_format(d, 'yyyy-MM')")
+    df = spark.range(300).selectExpr(
+        "id AS k", "date_add(DATE'2024-01-01', CAST(id / 3 AS INT)) AS d"
+    )
+    M.write_table(
+        df, t, mode="append", cluster_by=["d"], cluster_files=6, stats_cols=["k"]
+    )
+    m = M.read_manifest(t, M.current_version(t))
+    spec = ("d", ">=", dt.date(2024, 4, 1))
+    assert prune_files(m["files"], m["stats"], spec)[1] == 0  # no d stats
+    v = M.delete_where(spark, t, spec)
+    meta = M.read_manifest(t, v)["meta"]["delete"]
+    assert meta["carried"] > 0  # derived-month pruning carried files
+    back = M.read_table(spark, t)
+    assert back.count() == df.filter(F.col("d") < dt.date(2024, 4, 1)).count()
+    assert back.filter(F.col("d") >= dt.date(2024, 4, 1)).count() == 0

@@ -323,3 +323,24 @@ def test_incremental_index_superseded_stats_are_vacuumable(spark, docs, tmp_path
 
     for f in m["files"]:
         assert os.path.exists(os.path.join(table, f))
+
+
+def test_bm25_script_mode_retrieves_cjk(spark):
+    """VERDICT r10 item 7 follow-through: BM25 with mode='script' hits
+    CJK query characters that whitespace tokenization can never index."""
+    from cashback_data_pipeline_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "我爱数据管道"),
+            (1, "他不喜欢延迟"),
+            (2, "plain english text"),
+        ],
+        "doc_id long, text string",
+    )
+    hit = retrieval.bm25_topk(docs, ["数"], k=3, mode="script").collect()
+    assert [r["doc_id"] for r in hit] == [0]
+    # whitespace mode can't see inside the unspaced line — no hits
+    assert retrieval.bm25_topk(docs, ["数"], k=3).count() == 0
+    kw = retrieval.tfidf_keywords(docs.filter("doc_id = 0"), k=3, mode="script")
+    assert all(len(r["term"]) == 1 for r in kw.collect())

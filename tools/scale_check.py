@@ -676,8 +676,115 @@ class _LogCommitFixed:
         return dt
 
 
+class _PartitionedTableCache:
+    """One hive-partitioned manifest table per scale dir, shared by the
+    round-11 partition/clone samplers (setup untimed): ``grp = doc_id //
+    500`` keeps every partition a FIXED 500 rows while the PARTITION
+    COUNT grows with the corpus — the honest layout for 'cost tracks the
+    partition, not the table' claims."""
+
+    def __init__(self) -> None:
+        self.tables: dict[str, str] = {}
+
+    def get(self, spark, sf_dir: str) -> str:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        if sf_dir not in self.tables:
+            docs = _docs(spark, sf_dir).withColumn(
+                "grp", (F.col("doc_id") / 500).cast("int")
+            )
+            n = docs.count()
+            table = tempfile.mkdtemp(prefix="scale_part_") + "/t"
+            M.write_table(
+                docs.repartition(max(4, n // 500), "grp"), table,
+                partition_by=["grp"], stats_cols=["doc_id"],
+            )
+            self.tables[sf_dir] = table
+        return self.tables[sf_dir]
+
+
+_PART_TABLES = _PartitionedTableCache()
+
+
+class _PartitionDmlFixed:
+    """Partition-scoped UPDATE on a GROWING partitioned table (round
+    11): the predicate names one FIXED-SIZE partition; path-injected
+    stats prune every other partition's files with zero I/O, so the
+    rewrite cost tracks the 500-row partition, not the table (exponent
+    ≈ 0). UPDATE rather than DELETE so repeats keep measuring the same
+    partition rewrite."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        table = _PART_TABLES.get(spark, sf_dir)
+        t0 = time.time()
+        v = M.update_where(
+            spark, table, {"text": "concat(text, '!')"}, ("grp", "==", 1)
+        )
+        dt = round(time.time() - t0, 3)
+        meta = M.read_manifest(table, v).get("meta", {}).get("update", {})
+        if not meta.get("carried"):
+            raise RuntimeError(f"partition UPDATE carried nothing: {meta}")
+        return dt
+
+
+class _DropPartitionFixed:
+    """METADATA-ONLY partition retention on a GROWING partitioned table
+    (round 11): one DROP PARTITION commit per sample (a fresh partition
+    each time — a drop is terminal), no data file read, written, or
+    deleted; the only O(table) term is path matching over the manifest's
+    file list (string work, exponent ≈ 0 at any realistic file count)."""
+
+    def __init__(self) -> None:
+        self.next_grp: dict[str, int] = {}
+
+    def sample(self, spark, sf_dir: str) -> float:
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        table = _PART_TABLES.get(spark, sf_dir)
+        grp = self.next_grp.get(sf_dir, 2)
+        self.next_grp[sf_dir] = grp + 1
+        cur = M.current_version(table)
+        t0 = time.time()
+        v = M.drop_partition(table, {"grp": grp})
+        dt = round(time.time() - t0, 3)
+        if v == cur:
+            raise RuntimeError(f"drop_partition({grp}) matched nothing")
+        return dt
+
+
+class _CloneCommitFixed:
+    """SHALLOW CLONE of a GROWING table (round 11): the commit
+    references every source file but moves zero data — O(#files)
+    manifest JSON, so the cost must stay near-flat while the source
+    grows 100× (the fork-before-maintenance claim)."""
+
+    def sample(self, spark, sf_dir: str) -> float:
+        import shutil
+        import tempfile
+        import uuid as _uuid
+
+        from cashback_data_pipeline_spark.sinks import manifest as M
+
+        table = _PART_TABLES.get(spark, sf_dir)
+        dst = tempfile.mkdtemp(prefix="scale_clone_") + f"/c{_uuid.uuid4().hex[:6]}"
+        t0 = time.time()
+        M.clone_table(table, dst)
+        dt = round(time.time() - t0, 3)
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+        return dt
+
+
 SPECIAL_OPS = {
     "log_commit_fixed": _LogCommitFixed(),
+    "partition_dml_fixed": _PartitionDmlFixed(),
+    "drop_partition_fixed": _DropPartitionFixed(),
+    "clone_commit_fixed": _CloneCommitFixed(),
     "bloom_point_read": _BloomPointRead(),
     "cdf_tail_commit": _CdfTailCommit(),
     "mor_delete_fixed": _MorDeleteFixed(),
