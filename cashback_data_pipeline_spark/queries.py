@@ -3705,6 +3705,111 @@ def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_convert_parquet",
+    sql=f"""
+    WITH kept AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') <> '1997-05'
+      UNION ALL
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
+      FROM orders WHERE o_orderkey % 9 = 0
+    )
+    SELECT order_month, count(*) AS n, {sql_dsum2('o_totalprice')} AS sum_price
+    FROM kept
+    GROUP BY 1
+    """,
+)
+def manifest_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO MANIFEST`` (the Delta ``CONVERT TO DELTA`` shape):
+    the reference's OWN warehouse layout — a hive month-partitioned
+    plain-parquet directory written by the K2 sink (ref:
+    glue_script.py:77) — becomes a manifest table IN PLACE through the
+    SQL front door. RAISES guards prove the conversion contract:
+
+    - ZERO COPY: the on-disk parquet listing is byte-identical before
+      and after, and the manifest references exactly those files;
+    - the hive partition columns convert intact — a month predicate
+      must PRUNE files from the path-derived stats immediately;
+    - the lifecycle is live: a partition-scoped SQL DELETE must carry
+      every file outside the month, and a post-conversion append lands
+      hive-partitioned in the native data tree.
+
+    Oracle = (warehouse ∪ appended batch) minus the deleted month.
+    Note the DELETE runs BEFORE the append, so appended rows of that
+    month legitimately reappear — the oracle keeps them."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import filestats
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+    from cashback_data_pipeline_spark.sinks.writers import write_warehouse
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    staged = orders.withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    table = tempfile.mkdtemp(prefix="manifest_convert_") + "/warehouse"
+    cat = {"wh": table}
+    try:
+        write_warehouse(staged, table, partition_by="order_month")
+        def _listing():
+            return sorted(
+                _os.path.join(r, f)
+                for r, _, fs in _os.walk(table)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        before = _listing()
+        sql_dml.execute(spark, "CONVERT TO MANIFEST wh", cat)
+        if _listing() != before:
+            raise ValueError("CONVERT moved data — it must be zero-copy")
+        m1 = M.read_manifest(table, 1)
+        if m1.get("partitioning") != ["order_month"] or len(m1["files"]) != len(before):
+            raise ValueError(
+                f"CONVERT must register the hive layout intact: {m1.get('partitioning')}"
+            )
+        kept, skipped = filestats.prune_files(
+            m1["files"], m1["stats"], ("order_month", "==", "1996-07")
+        )
+        if not skipped or not all("order_month=1996-07" in f for f in kept):
+            raise ValueError("converted partition stats must prune immediately")
+        v2 = sql_dml.execute(
+            spark, "DELETE FROM wh WHERE order_month = '1997-05'", cat
+        )
+        meta = M.read_manifest(table, v2)["meta"]["delete"]
+        if not meta.get("carried"):
+            raise ValueError("partition-scoped DELETE rewrote the whole import")
+        batch = staged.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+            "o_orderkey", -F.col("o_orderkey") - 1
+        )
+        v3 = M.write_table(batch, table, mode="append")
+        new = set(M.read_manifest(table, v3)["files"]) - set(
+            M.read_manifest(table, v2)["files"]
+        )
+        if not new or not all(
+            f.replace(_os.sep, "/").startswith("data/") and "order_month=" in f
+            for f in new
+        ):
+            raise ValueError(
+                "post-conversion appends must land hive-partitioned in the "
+                "native data tree"
+            )
+        back = M.read_table(spark, table)
+        agg = back.groupBy("order_month").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum2(F.col("o_totalprice")).alias("sum_price"),
+        )
+        rows = agg.collect()  # materialize before the temp table is deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(_os.path.dirname(table), ignore_errors=True)
+
+
+@query(
     "incremental_append",
     sql="""
     SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
@@ -8401,7 +8506,9 @@ _ROUND11_WINDOW = [
     "manifest_skip_disjunctive",
     "streaming_manifest_sink",
     "streaming_manifest_cdf",
-    "streaming_medallion_pipeline",
+    # CONVERT TO MANIFEST landed mid-round and takes the last slot
+    # (streaming_medallion_pipeline stays r8-latest, inside the bound)
+    "manifest_convert_parquet",
 ]
 
 

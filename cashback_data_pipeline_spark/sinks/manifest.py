@@ -1416,6 +1416,76 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
             return 1
 
 
+def convert_to_table(
+    spark: SparkSession, table: str, stats_cols: list[str] | None = None
+) -> int:
+    """``CONVERT TO MANIFEST`` (the Delta ``CONVERT TO DELTA`` shape):
+    register every parquet file already under ``table`` — a plain or
+    hive-partitioned warehouse directory like the reference's
+    (ref: glue_script.py:77) — as manifest version 1 IN PLACE: zero
+    copy, zero rewrite, one metadata commit. After conversion the
+    directory IS a manifest table: time travel, appends/DML/OPTIMIZE,
+    CHECK constraints, the SQL front door, and the batch/streaming
+    sources all work; new commits land under the native
+    ``data/<commit>/`` tree beside the imported files.
+
+    Hive ``key=value`` layouts convert with their partition columns
+    intact: Spark's own discovery types them, the ``partitioning``
+    property records them, and exact path-derived stats inject at the
+    commit — a converted date-partitioned warehouse is immediately
+    partition-prunable. ``stats_cols`` additionally collects per-file
+    footer min/max for the named data columns (no data scan).
+
+    Boundaries, stated: imported files are OWNED BY THE IMPORTER —
+    ``vacuum`` reclaims only manifest-native ``data/`` dirs, so files a
+    later rewrite drops remain on disk until removed out of band (the
+    Delta CONVERT posture: the original files are never deleted).
+    Merge-on-read DELETE refuses while imported files are candidates
+    (deletion-vector bookkeeping is native-layout-keyed) — run
+    ``compact_table``/``optimize_table`` first, which migrates data
+    into the native tree."""
+    if current_version(table) is not None:
+        raise ValueError(f"{table} is already a manifest table")
+    store = get_log_store(table)
+    files = sorted(
+        store.relativize(table, p)
+        for p in store.list_files_recursive(table, suffix=".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {table} to convert")
+    # Spark's own discovery supplies the schema AND typed partition
+    # columns for hive layouts (inconsistent layouts fail loudly here)
+    df = spark.read.option("basePath", table).parquet(table)
+    schema = df.schema
+    path_keys: set[str] = set()
+    for f in files:
+        path_keys |= set(_partition_values_from_path(f))
+    partitioning = [f.name for f in schema.fields if f.name in path_keys]
+    if partitioning:
+        _validate_partition_cols(schema, partitioning)
+    stats = None
+    if stats_cols:
+        from cashback_data_pipeline_spark.sinks import filestats
+
+        filestats.validate_stats_cols(schema, list(stats_cols))
+        stats = filestats.collect_file_stats(spark, table, files, list(stats_cols))
+    while True:
+        if current_version(table) is not None:
+            raise ValueError(f"{table} is already a manifest table")
+        if _try_commit(
+            table,
+            1,
+            files,
+            None,
+            schema.json(),
+            meta={"convert": {"n_files": len(files)}},
+            stats=stats,
+            operation="convert",
+            partitioning=partitioning or None,
+        ):
+            return 1
+
+
 def write_table(
     df: DataFrame,
     table: str,
@@ -3963,6 +4033,23 @@ def delete_where(spark: SparkSession, table: str, predicates, mode: str = "copy_
         cand, _ = filestats.prune_files_bloom(store, table, cand, stats, prune_preds)
         if not cand:
             return cur  # stats prove nothing matches — no version churn
+        # deletion-vector bookkeeping keys rows by the data/<commit>/
+        # suffix of their path; files IMPORTED by convert_to_table live
+        # outside that tree, so their tombstones would not round-trip —
+        # refuse loudly (copy_on_write works; a compact/optimize
+        # migrates imports into the native layout)
+        foreign = [
+            f for f in cand
+            if not f.replace(os.sep, "/").startswith("data/")
+            and "/data/" not in f.replace(os.sep, "/")
+        ]
+        if foreign:
+            raise ValueError(
+                f"merge_on_read DELETE touches {len(foreign)} imported "
+                f"file(s) (e.g. {foreign[0]!r}) that predate this table's "
+                "manifest (convert_to_table): use copy_on_write, or run "
+                "compact_table/optimize_table to migrate them first"
+            )
         # tombstones = (file, row_index) of the matching rows. The scan
         # projects ONLY the predicate columns + file metadata (column
         # pruning reaches the parquet reader); the anti-join against the

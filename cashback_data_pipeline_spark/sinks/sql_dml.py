@@ -14,6 +14,7 @@ Supported statements (case-insensitive keywords)::
     CREATE TABLE [IF NOT EXISTS] <t> (col type [, ...])
         [PARTITIONED BY (col, ...)]
     CREATE TABLE <t2> SHALLOW CLONE <t> [VERSION AS OF <n>]
+    CONVERT TO MANIFEST <t>
     INSERT INTO <t> SELECT ... [WHERE NOT EXISTS
         (SELECT 1 FROM <t> r WHERE r.k = s.k)]
     DELETE FROM <t> WHERE <predicate>
@@ -540,6 +541,12 @@ def execute(spark: SparkSession, statement: str, catalog: dict | None = None):
             body, key = idem
             return M.append_table_if_absent(spark, spark.sql(body), table, key=key)
         return M.write_table(spark.sql(sel), table, mode="append")
+
+    if kw == "CONVERT":
+        m = re.match(r"(?is)^CONVERT\s+TO\s+MANIFEST\s+(\S+)$", text)
+        if not m:
+            raise ValueError(f"malformed CONVERT (CONVERT TO MANIFEST t): {text!r}")
+        return M.convert_to_table(spark, _resolve_table(m.group(1).strip("`"), catalog))
 
     if kw == "DELETE":
         p = _Parser(text)
