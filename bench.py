@@ -166,6 +166,7 @@ HEADLINE = [
     "manifest_shallow_clone",
     "manifest_generated_columns",
     "manifest_convert_parquet",
+    "manifest_identity_column",
     "text_cjk_tokens",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join

@@ -3810,6 +3810,90 @@ def manifest_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_identity_column",
+    sql="""
+    SELECT CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seed,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loaded,
+           CAST(count(*) AS BIGINT) AS n_distinct_ids,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loaded_above_seed,
+           CAST(0 AS BIGINT) AS n_below_start
+    FROM orders
+    """,
+)
+def manifest_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (Delta's ``GENERATED BY DEFAULT AS IDENTITY``,
+    completing the generated-column family): declared through the SQL
+    front door on the empty serving table, then allocated by BOTH load
+    paths — a plain append and the reference's idempotent NOT-EXISTS
+    INSERT. The id VALUES are allocation-dependent (sparse per-task
+    ranges — the Delta contract), so the oracle checks the INVARIANTS
+    as deterministic aggregates computed from the actual ids:
+
+    - every row got an id and they are all DISTINCT
+      (``n_distinct_ids`` = total rows);
+    - the second load allocated strictly ABOVE the first commit's
+      maximum (``n_loaded_above_seed`` = every loaded row) — the
+      high-water advanced through the commit;
+    - no id fell below START WITH (``n_below_start`` = 0).
+
+    A verbatim re-run of the NOT-EXISTS INSERT must load 0 rows
+    (RAISES) — identity allocation composes with idempotent serving."""
+    import shutil
+    import tempfile
+
+    from cashback_data_pipeline_spark.sinks import manifest as M
+    from cashback_data_pipeline_spark.sinks import sql_dml
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    table = tempfile.mkdtemp(prefix="manifest_ident_")
+    staging = tempfile.mkdtemp(prefix="manifest_ident_s_")
+    cat = {"serving": table, "staging": staging}
+    ddl = ", ".join(f.name + " " + f.dataType.simpleString() for f in orders.schema.fields)
+    try:
+        M.write_table(
+            orders.filter(F.col("o_orderkey") % 2 == 1), staging,
+            cluster_by=["o_orderkey"], cluster_files=4,
+        )
+        sql_dml.execute(spark, f"CREATE TABLE serving ({ddl})", cat)
+        sql_dml.execute(
+            spark,
+            "ALTER TABLE serving ADD COLUMN rid BIGINT GENERATED BY DEFAULT "
+            "AS IDENTITY (START WITH 1000 INCREMENT BY 1)",
+            cat,
+        )
+        M.write_table(orders.filter(F.col("o_orderkey") % 2 == 0), table, mode="append")
+        max_seed = M.read_table(spark, table).agg(F.max("rid")).first()[0]
+        load = (
+            "INSERT INTO serving SELECT * FROM staging s WHERE NOT EXISTS "
+            "(SELECT 1 FROM serving r WHERE r.o_orderkey = s.o_orderkey)"
+        )
+        sql_dml.execute(spark, load, cat)
+        if sql_dml.execute(spark, load, cat) != 0:
+            raise ValueError("the idempotent load must re-insert nothing")
+        back = M.read_table(spark, table)
+        odd = F.col("o_orderkey") % 2 == 1
+        agg = back.agg(
+            F.sum((~odd).cast("long")).alias("n_seed"),
+            F.sum(odd.cast("long")).alias("n_loaded"),
+            F.count_distinct(F.col("rid")).alias("n_distinct_ids"),
+            F.sum((odd & (F.col("rid") > F.lit(int(max_seed)))).cast("long")).alias(
+                "n_loaded_above_seed"
+            ),
+            F.sum((F.col("rid") < 1000).cast("long")).alias("n_below_start"),
+        )
+        rows = agg.collect()  # materialize before the temp tables are deleted
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        for v_name in ("serving", "staging"):
+            spark.catalog.dropTempView(v_name)
+        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
     "incremental_append",
     sql="""
     SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS o_totalprice
@@ -8503,11 +8587,12 @@ _ROUND11_WINDOW = [
     "manifest_wap_publish",
     "manifest_apply_changes",
     "manifest_changes_rows",
-    "manifest_skip_disjunctive",
+    "manifest_identity_column",
     "streaming_manifest_sink",
     "streaming_manifest_cdf",
-    # CONVERT TO MANIFEST landed mid-round and takes the last slot
-    # (streaming_medallion_pipeline stays r8-latest, inside the bound)
+    # CONVERT TO MANIFEST and the identity column landed mid-round and
+    # take the last two slots (manifest_skip_disjunctive and
+    # streaming_medallion_pipeline stay r8-latest, inside the bound)
     "manifest_convert_parquet",
 ]
 

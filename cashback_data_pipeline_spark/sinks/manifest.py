@@ -205,7 +205,7 @@ def _encode_checkpoint(snap: dict, meta_latest: dict | None = None) -> bytes:
         for k in (
             "version", "parent", "schema", "meta", "bloom_conf",
             "column_mapping", "constraints", "layout", "partitioning",
-            "generated",
+            "generated", "identity",
         )
         if snap.get(k) is not None
     }
@@ -272,6 +272,8 @@ def _decode_checkpoint(data: bytes) -> dict:
         snap["partitioning"] = table_row["partitioning"]
     if table_row.get("generated"):
         snap["generated"] = table_row["generated"]
+    if table_row.get("identity"):
+        snap["identity"] = table_row["identity"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -319,6 +321,8 @@ def _apply_action(base: dict, doc: dict) -> dict:
         snap["partitioning"] = doc["partitioning"]
     if doc.get("generated"):
         snap["generated"] = doc["generated"]
+    if doc.get("identity"):
+        snap["identity"] = doc["identity"]
     if dv:
         snap["dv_files"] = sorted(dv)
     if stats:
@@ -548,6 +552,7 @@ def _try_commit(
     layout=_INHERIT_MAPPING,
     partitioning=_INHERIT_MAPPING,
     generated=_INHERIT_MAPPING,
+    identity=_INHERIT_MAPPING,
 ) -> bool:
     """Atomically publish ``version``; False if another writer won it.
 
@@ -602,6 +607,10 @@ def _try_commit(
     if generated is _INHERIT_MAPPING:
         # generated-column declarations auto-carry like constraints
         generated = parent_snap.get("generated") if parent_snap else None
+    if identity is _INHERIT_MAPPING:
+        # the identity property (incl. its high-water) auto-carries;
+        # allocating writes pass the ADVANCED property explicitly
+        identity = parent_snap.get("identity") if parent_snap else None
     doc = {
         "format": 2,
         "version": version,
@@ -624,6 +633,8 @@ def _try_commit(
         doc["partitioning"] = list(partitioning)
     if generated:
         doc["generated"] = generated
+    if identity:
+        doc["identity"] = identity
     dv_add = sorted(dv_set - parent_dv)
     dv_remove = sorted(parent_dv - dv_set)
     if dv_add:
@@ -1412,6 +1423,8 @@ def clone_table(src: str, dst: str, version: int | None = None) -> int:
             constraints=m.get("constraints"),
             layout=m.get("layout"),
             partitioning=m.get("partitioning"),
+            generated=m.get("generated"),
+            identity=m.get("identity"),
         ):
             return 1
 
@@ -1595,6 +1608,8 @@ def write_table(
     # table holds data, so one read is race-free
     gen0 = _generated(cur0_doc)
     df = _apply_generated(df, gen0, "this write")
+    ident0 = _identity(cur0_doc)
+    df, _ident_assigned = _assign_identity(df, ident0)
     # column mapping resolves BEFORE the data write: files of a mapped
     # table store physical names, whatever mode/layout follows
     mapping = _extend_mapping(_mapping(cur0_doc), df.columns)
@@ -1660,16 +1675,17 @@ def write_table(
         }
         written = set(_phys_cols(mapping, df.columns))
         phys_stats_cols = sorted(parent_tracked & written)
-    if gen0:
-        # generated columns auto-track in per-file stats: their stored
-        # values are validated-derivable, so a predicate on the derived
-        # column prunes files — the Delta partition-pruning trick
-        # without partitioning the layout
+    if gen0 or ident0:
+        # generated + identity columns auto-track in per-file stats:
+        # generated values are validated-derivable (so derived-column
+        # predicates prune files — the Delta partition-pruning trick
+        # without partitioning); identity high-waters ADVANCE from these
+        # very entries
         from cashback_data_pipeline_spark.sinks import filestats
 
         by_name = {f.name: f.dataType for f in df.schema.fields}
         extra = [
-            n for n in gen0
+            n for n in (*gen0, *ident0)
             if isinstance(by_name.get(n), filestats._STATS_OK_TYPES)
             and n not in (partitioning or [])
         ]
@@ -1717,6 +1733,7 @@ def write_table(
         stats = _build_bloom_sidecar(
             df.sparkSession, table, files, df.schema, bloom_conf, stats
         )
+    new_ident = _advance_identity(ident0, files, stats or {}) if ident0 else None
     while True:
         cur = current_version(table)
         cur_doc = read_manifest(table, cur) if cur is not None else None
@@ -1735,6 +1752,14 @@ def write_table(
             # they were not checked against (round-10 review)
             checked_cons = _constraints(cur_doc)
             _check_constraints(df, checked_cons, "this write")
+        if ident0 and _identity(cur_doc) != ident0:
+            # the high-water moved under us: system-assigned ids in the
+            # written files could collide with the winner's — loud,
+            # never silent (the written files become vacuum fodder)
+            raise RuntimeError(
+                f"identity high-water of {table} advanced concurrently "
+                "with this write; re-run it"
+            )
         if mode != "overwrite" and _partitioning(cur_doc) != parent_part:
             raise RuntimeError(
                 f"partitioning of {table} changed concurrently with this "
@@ -1789,6 +1814,7 @@ def write_table(
             # previous partitioning); append/dynamic-overwrite restate
             # the parent's, verified unchanged above
             partitioning=partitioning,
+            identity=new_ident if ident0 else _INHERIT_MAPPING,
         ):
             return (cur or 0) + 1
 
@@ -1991,6 +2017,8 @@ def rename_column(table: str, old: str, new: str) -> int:
             raise ValueError(f"column {new!r} already exists in {table}")
         _refuse_constrained_column_change(m, old, "rename")
         _refuse_generated_column_change(m, old, "rename")
+        if old in _identity(m):
+            raise ValueError(f"cannot rename identity column {old!r}")
         if old in _partitioning(m):
             raise ValueError(
                 f"column {old!r} is a partition column; its name is baked "
@@ -2052,6 +2080,8 @@ def drop_column(table: str, col: str) -> int:
             raise ValueError(f"cannot drop the last column of {table}")
         _refuse_constrained_column_change(m, col, "drop")
         _refuse_generated_column_change(m, col, "drop")
+        if col in _identity(m):
+            raise ValueError(f"cannot drop identity column {col!r}")
         if col in _partitioning(m):
             raise ValueError(
                 f"column {col!r} is a partition column; drop the partitions "
@@ -2550,6 +2580,136 @@ def add_generated_column(table: str, name: str, dtype: "T.DataType | str", expr:
             return cur + 1
 
 
+# ---------------------------------------------------------------------------
+# Identity columns (the Delta GENERATED BY DEFAULT AS IDENTITY shape,
+# completing the generated-column family): an ``identity`` table
+# property {name: {"start": s, "step": st, "next": n}} declared while
+# the table is EMPTY. A batch write missing the column gets ids
+# assigned as ``next + step * monotonically_increasing_id()`` — unique
+# and increasing across commits, NOT contiguous (exactly Delta's
+# contract: tasks allocate sparse ranges; gaps are normal). A batch
+# SUPPLYING the column is accepted verbatim (the BY DEFAULT semantics —
+# explicit ids are the caller's responsibility, e.g. CDC replication).
+# Either way the high-water ``next`` advances from the WRITTEN files'
+# footer stats (the identity column auto-tracks like generated
+# columns), so the allocator never re-evaluates a nondeterministic
+# expression and the property update rides the same commit CAS —
+# concurrent allocators SERIALIZE, and a writer whose parent's
+# high-water moved mid-flight fails loudly instead of committing
+# colliding ids. Write paths that cannot safely allocate/advance
+# (stage/publish, the raw Arrow sink, the foreachBatch streaming
+# routes) refuse identity tables loudly.
+# ---------------------------------------------------------------------------
+
+
+def _identity(m: dict | None) -> dict:
+    return dict((m or {}).get("identity") or {})
+
+
+def add_identity_column(table: str, name: str, start: int = 1, step: int = 1) -> int:
+    """``ALTER TABLE .. ADD COLUMN name BIGINT GENERATED BY DEFAULT AS
+    IDENTITY (START WITH s INCREMENT BY st)`` — refused on a non-empty
+    table (the generated-column creation-time rule; existing rows have
+    no ids to back-fill without a rewrite). Positive ``step`` only
+    (monotone-increasing allocation is what the footer-stats advance
+    relies on). Returns the committed version."""
+    if step <= 0:
+        raise ValueError(f"identity step must be positive, got {step}")
+    while True:
+        cur = current_version(table)
+        if cur is None:
+            raise FileNotFoundError(f"no committed version in {table}")
+        m = read_manifest(table, cur)
+        if m["files"]:
+            raise ValueError(
+                f"cannot add identity column {name!r} to non-empty {table}: "
+                "identity columns are declared while the table is empty"
+            )
+        schema = json.loads(m["schema"])
+        names = [f["name"] for f in schema["fields"]]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists in {table}")
+        schema["fields"].append(
+            json.loads(T.StructField(name, T.LongType(), True).json())
+        )
+        ident = _identity(m)
+        ident[name] = {"start": int(start), "step": int(step), "next": int(start)}
+        if _try_commit(
+            table,
+            cur + 1,
+            m["files"],
+            cur,
+            json.dumps(schema),
+            meta={"add_identity_column": {"column": name, "start": start, "step": step}},
+            operation="add_identity_column",
+            identity=ident,
+        ):
+            return cur + 1
+
+
+def _assign_identity(df: DataFrame, ident: dict) -> tuple[DataFrame, bool]:
+    """Assign ids for identity columns the batch does not carry;
+    supplied columns pass through verbatim (BY DEFAULT). Returns
+    (df, assigned_any) — the flag drives the CAS-loop collision check."""
+    assigned = False
+    for name, spec in ident.items():
+        if name not in df.columns:
+            df = df.withColumn(
+                name,
+                (
+                    F.lit(int(spec["next"]))
+                    + F.lit(int(spec["step"])) * F.monotonically_increasing_id()
+                ).cast("long"),
+            )
+            assigned = True
+    return df, assigned
+
+
+def _advance_identity(ident: dict, new_files: list[str], stats: dict) -> dict:
+    """The identity property with each column's high-water advanced past
+    the maximum id the NEW files actually hold (their footer stats —
+    the identity column auto-tracks, so the entries already exist).
+    A new file with no usable entry for an identity column means the
+    advance cannot be proven — refuse rather than risk re-allocation."""
+    if not ident or not new_files:
+        return ident
+    out = {k: dict(v) for k, v in ident.items()}
+    for name, spec in out.items():
+        hi = None
+        for f in new_files:
+            e = (stats.get(f) or {}).get("cols", {}).get(name)
+            if e is not None and e.get("nulls"):
+                raise ValueError(
+                    f"identity column {name!r} cannot hold NULLs "
+                    f"({e['nulls']} in {f!r})"
+                )
+            if e is None or e.get("max") is None:
+                rows = (stats.get(f) or {}).get("rows")
+                if rows == 0:
+                    continue  # an empty file allocates nothing
+                raise RuntimeError(
+                    f"cannot advance identity {name!r}: written file {f!r} "
+                    "has no usable footer stats for it"
+                )
+            hi = e["max"] if hi is None else max(hi, e["max"])
+        if hi is not None:
+            spec["next"] = max(int(spec["next"]), int(hi) + int(spec["step"]))
+    return out
+
+
+def _refuse_identity_missing(incoming_cols, m: dict | None, context: str) -> None:
+    """MERGE-family flows accept identity tables only when the batch
+    CARRIES the column (BY DEFAULT): silent null-fill through schema
+    reconciliation would violate the id contract."""
+    missing = [c for c in _identity(m) if c not in incoming_cols]
+    if missing:
+        raise ValueError(
+            f"{context} must supply identity column(s) {missing} explicitly "
+            "(BY DEFAULT semantics); automatic allocation happens on "
+            "write_table/append_table_if_absent"
+        )
+
+
 def _refuse_generated_column_change(m: dict, col: str, what: str) -> None:
     """rename/drop of a generated column, or of a column its expression
     mentions, would break the derivation — refuse loudly (same
@@ -2617,6 +2777,11 @@ def restore_table(table: str, version: int | None = None, as_of_ts: float | None
             layout=target.get("layout"),
             partitioning=target.get("partitioning"),
             generated=target.get("generated"),
+            # NOTE: restoring also restores the identity HIGH-WATER —
+            # ids allocated after the restored version may be re-issued
+            # (they exist only in the no-longer-current history), the
+            # Delta RESTORE + identity caveat
+            identity=target.get("identity"),
         ):
             return cur + 1
 
@@ -2662,6 +2827,7 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
             json.dumps(_partitioning(m)) if _partitioning(m) else None
         ),
         "generated": json.dumps(_generated(m)) if _generated(m) else None,
+        "identity": json.dumps(_identity(m)) if _identity(m) else None,
         "bloom_conf": (
             json.dumps(_bloom_table_conf(m)) if _bloom_table_conf(m) else None
         ),
@@ -2681,6 +2847,7 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
             T.StructField("layout", T.StringType()),
             T.StructField("partitioning", T.StringType()),
             T.StructField("generated", T.StringType()),
+            T.StructField("identity", T.StringType()),
             T.StructField("bloom_conf", T.StringType()),
         ]
     )
@@ -2751,6 +2918,13 @@ def stage_commit(df: DataFrame, table: str, stats_cols: list[str] | None = None)
     cur = current_version(table)
     cur_doc = read_manifest(table, cur) if cur is not None else None
     df = _apply_generated(df, _generated(cur_doc), "this staged write")
+    if _identity(cur_doc):
+        raise ValueError(
+            f"{table} declares identity column(s) "
+            f"{sorted(_identity(cur_doc))}: write-audit-publish cannot "
+            "allocate ids at stage time (the high-water advances at an "
+            "unknown future publish) — write through write_table"
+        )
     mapping = _extend_mapping(_mapping(cur_doc), df.columns)
     _check_constraints(df, _constraints(cur_doc), "this staged write")
     files = _write_data_files(
@@ -3560,6 +3734,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
         incoming_unique = _apply_generated(
             incoming_unique, _generated(m), "the MERGE source"
         )
+        _refuse_identity_missing(incoming_unique.columns, m, "the MERGE source")
         _check_constraints(incoming_unique, _constraints(m), "the MERGE source")
         cand, carried, stats = _merge_candidate_split(spark, table, m, key, incoming_unique)
         if cand:
@@ -3583,9 +3758,15 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             merged, table, mapping=_extend_mapping(_mapping(m), merged.columns),
             partition_by=_phys_partitioning(m),
         )
-        merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        merged_stats = _refresh_stats(
+            spark, table, stats, carried, new_files, extra_cols=list(_identity(m))
+        )
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, merged.schema, _bloom_table_conf(m), merged_stats
+        )
+        new_ident = (
+            _advance_identity(_identity(m), new_files, merged_stats)
+            if _identity(m) else None
         )
         if _try_commit(
             table,
@@ -3601,6 +3782,7 @@ def upsert_table(spark: SparkSession, incoming: DataFrame, table: str, key: str)
             dv_files=_dv_set(m),
             operation="merge",
             column_mapping=_extend_mapping(_mapping(m), merged.columns),
+            identity=new_ident if _identity(m) else _INHERIT_MAPPING,
         ):
             return cur + 1
 
@@ -3689,6 +3871,7 @@ def merge_table(
         incoming_unique = _apply_generated(
             incoming_unique, _generated(m), "the MERGE source"
         )
+        _refuse_identity_missing(incoming_unique.columns, m, "the MERGE source")
         src_cols = incoming_unique.columns
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         _validate_merge_clauses(wm, wnm, [f.name for f in schema.fields], src_cols)
@@ -3771,9 +3954,15 @@ def merge_table(
             merged, table, mapping=_mapping(m),
             partition_by=_phys_partitioning(m),
         )
-        merged_stats = _refresh_stats(spark, table, stats, carried, new_files)
+        merged_stats = _refresh_stats(
+            spark, table, stats, carried, new_files, extra_cols=list(_identity(m))
+        )
         merged_stats = _build_bloom_sidecar(
             spark, table, new_files, schema, _bloom_table_conf(m), merged_stats
+        )
+        new_ident = (
+            _advance_identity(_identity(m), new_files, merged_stats)
+            if _identity(m) else None
         )
         if _try_commit(
             table,
@@ -3786,21 +3975,31 @@ def merge_table(
             # carried files keep their tombstones (upsert_table's note)
             dv_files=_dv_set(m),
             operation="merge",
+            identity=new_ident if _identity(m) else _INHERIT_MAPPING,
         ):
             return cur + 1
 
 
 def _refresh_stats(
-    spark: SparkSession, table: str, stats: dict, carried: list[str], new_files: list[str]
+    spark: SparkSession,
+    table: str,
+    stats: dict,
+    carried: list[str],
+    new_files: list[str],
+    extra_cols: "tuple | list" = (),
 ) -> dict:
     """Stats for a partial-rewrite commit: carried files keep their
     entries verbatim; new files get fresh stats for the UNION of columns
     the parent tracked anywhere (so pruning compounds across DML/merges
     instead of eroding file by file). Stats-less parents stay
-    stats-less."""
+    stats-less. ``extra_cols`` forces collection for columns the parent
+    may not track yet (identity columns — their high-water advance reads
+    these entries)."""
     from cashback_data_pipeline_spark.sinks import filestats
 
-    stats_cols = sorted({c for e in stats.values() for c in (e.get("cols") or {})})
+    stats_cols = sorted(
+        {c for e in stats.values() for c in (e.get("cols") or {})} | set(extra_cols)
+    )
     new_stats = (
         filestats.collect_file_stats(spark, table, new_files, stats_cols)
         if stats_cols
@@ -3864,6 +4063,8 @@ def append_table_if_absent(
             else:
                 fresh = incoming_unique  # no existing file can hold these keys
         fresh = _apply_generated(fresh, _generated(m), "the NOT-EXISTS load")
+        ident = _identity(m)
+        fresh, _ = _assign_identity(fresh, ident)
         _check_constraints(
             fresh, _constraints(m) if m else {}, "the NOT-EXISTS load"
         )
@@ -3878,9 +4079,14 @@ def append_table_if_absent(
             )
             base = [] if m is None else m["files"]
             stats = (m or {}).get("stats") or {}
-            merged_stats = _refresh_stats(spark, table, stats, base, files)
+            merged_stats = _refresh_stats(
+                spark, table, stats, base, files, extra_cols=list(ident)
+            )
             merged_stats = _build_bloom_sidecar(
                 spark, table, files, fresh.schema, _bloom_table_conf(m), merged_stats
+            )
+            new_ident = (
+                _advance_identity(ident, files, merged_stats) if ident else None
             )
             # commit the RECONCILED schema (parent widened by the batch,
             # never narrowed) — the write_table append discipline; an
@@ -3900,6 +4106,7 @@ def append_table_if_absent(
                 dv_files=_dv_set(m),
                 operation="append_if_absent",
                 column_mapping=_extend_mapping(_mapping(m), fresh.columns),
+                identity=new_ident if ident else _INHERIT_MAPPING,
             ):
                 return n
             # CAS lost — a racing loader committed; recompute the
@@ -4113,7 +4320,14 @@ def update_where(spark: SparkSession, table: str, assignments: dict, predicates)
     :func:`delete_where`, :func:`upsert_table` (MERGE) and append
     commits this completes the DML surface."""
     cur0 = current_version(table)
-    gen = _generated(read_manifest(table, cur0)) if cur0 is not None else {}
+    m0 = read_manifest(table, cur0) if cur0 is not None else None
+    gen = _generated(m0)
+    bad_ident = [c for c in assignments if c in _identity(m0)]
+    if bad_ident:
+        raise ValueError(
+            f"UPDATE of identity column(s) {bad_ident} is refused: ids are "
+            "allocated, never reassigned"
+        )
 
     def transform(snap: DataFrame, matched):
         by_name = {f.name: f.dataType for f in snap.schema.fields}

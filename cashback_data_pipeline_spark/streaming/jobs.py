@@ -473,6 +473,13 @@ def route_batch_to_manifest(
             # CHECK constraints enforce on the foreachBatch streaming
             # path too (round 10): fail the micro-batch BEFORE writing —
             # the checkpoint replays it after the producer is fixed
+            if M._identity(m):
+                raise ValueError(
+                    f"{table} declares identity column(s) "
+                    f"{sorted(M._identity(m))}: the streaming routes cannot "
+                    "allocate/advance ids — batch-load identity tables via "
+                    "write_table/append_table_if_absent"
+                )
             batch = M._apply_generated(batch, M._generated(m), "this micro-batch")
             M._check_constraints(batch, M._constraints(m), "this micro-batch")
             files = M._write_data_files(
@@ -596,6 +603,11 @@ def _merge_aggregate_delta(
             return False
         merged = _merge_view(spark, delta, table, cur, keys)
         m_cur = M.read_manifest(table, cur) if cur is not None else None
+        if M._identity(m_cur):
+            raise ValueError(
+                f"{table} declares identity column(s): the maintained-view "
+                "fold cannot allocate/advance ids"
+            )
         merged = M._apply_generated(merged, M._generated(m_cur), "the maintained view")
         M._check_constraints(merged, M._constraints(m_cur), "the maintained view")
         mapping = M._extend_mapping(M._mapping(m_cur), merged.columns)

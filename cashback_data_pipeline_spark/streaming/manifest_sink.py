@@ -114,6 +114,13 @@ class ManifestStreamWriter(DataSourceStreamArrowWriter):
                 "materialize/validate them — write through foreachBatch "
                 "(streaming.route_stream_to_manifest) instead"
             )
+        if mf._identity(m0):
+            raise ValueError(
+                f"{self._table} declares identity column(s) "
+                f"{sorted(mf._identity(m0))}: the raw manifest sink cannot "
+                "allocate/advance ids — write through write_table in "
+                "foreachBatch instead"
+            )
         if mf._partitioning(m0):
             # executors write flat Arrow files; a partitioned table needs
             # the hive layout (write_table / foreachBatch) — refuse here
