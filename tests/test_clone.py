@@ -148,3 +148,23 @@ def test_clone_target_must_not_exist(spark, tmp_path):
     M.clone_table(src, dst)
     with pytest.raises(ValueError, match="already exists"):
         M.clone_table(src, dst)
+
+
+def test_clone_of_a_clone(spark, tmp_path):
+    """Chained shallow clones: absolute entries carry through unchanged,
+    so a fork of a fork still reads the original files zero-copy."""
+    src, df = _seed(spark, tmp_path / "src")
+    c1 = str(tmp_path / "c1")
+    c2 = str(tmp_path / "c2")
+    M.clone_table(src, c1)
+    M.update_where(spark, c1, {"price": "price + 1.0"}, ("k", "<", 5))
+    M.clone_table(c1, c2)
+    m = M.read_manifest(c2, 1)
+    assert all(os.path.isabs(f) for f in m["files"])
+    # c2 references BOTH roots: src's untouched files and c1's rewrite
+    assert any(f.startswith(src) for f in m["files"])
+    assert any(f.startswith(c1) for f in m["files"])
+    assert M.read_table(spark, c2).count() == 60
+    assert M.read_table(spark, c2).filter(F.col("k") < 5).agg(
+        F.min("price")
+    ).first()[0] >= 1.0

@@ -253,3 +253,18 @@ def test_partition_column_type_validation(spark, tmp_path):
         M.write_table(df, str(tmp_path / "t"), partition_by=["price"])
     with pytest.raises(ValueError, match="not in schema"):
         M.write_table(df, str(tmp_path / "t2"), partition_by=["nope"])
+
+
+def test_foreachbatch_route_into_partitioned_table(spark, tmp_path):
+    """The foreachBatch streaming route writes hive-partitioned files
+    into a partitioned table (the _write_data_files threading) — the
+    commit guard would refuse a flat layout."""
+    from cashback_data_pipeline_spark.streaming import jobs as SJ
+
+    t = str(tmp_path / "t")
+    df = spark.range(20).selectExpr("id AS k", "CAST(id % 2 AS INT) AS grp")
+    M.write_table(df.limit(4), t, partition_by=["grp"])
+    assert SJ.route_batch_to_manifest(df, 1, t)
+    m = M.read_manifest(t, M.current_version(t))
+    assert all("grp=" in f for f in m["files"])
+    assert M.read_table(spark, t).count() == 24

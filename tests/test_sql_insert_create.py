@@ -172,3 +172,49 @@ def test_malformed_insert_and_create_refuse(spark):
         sql_dml.execute(spark, "INSERT INTO t VALUES (1, 2)", {"t": "/tmp/x"})
     with pytest.raises(ValueError, match="malformed CREATE"):
         sql_dml.execute(spark, "CREATE TABLE t", {"t": "/tmp/x"})
+
+
+def test_insert_overwrite_whole_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    cat = {"serving": t}
+    sql_dml.execute(spark, "CREATE TABLE serving (k BIGINT, v STRING)", cat)
+    spark.range(6).selectExpr("id AS k", "CAST(id AS STRING) AS v").createOrReplaceTempView(
+        "ow_src"
+    )
+    try:
+        sql_dml.execute(spark, "INSERT INTO serving SELECT * FROM ow_src", cat)
+        sql_dml.execute(
+            spark, "INSERT OVERWRITE serving SELECT * FROM ow_src WHERE k < 2", cat
+        )
+        assert M.read_table(spark, t).count() == 2
+    finally:
+        spark.catalog.dropTempView("ow_src")
+
+
+def test_insert_overwrite_partitioned_is_dynamic(spark, tmp_path):
+    t = str(tmp_path / "t")
+    cat = {"pt": t}
+    sql_dml.execute(
+        spark, "CREATE TABLE pt (k BIGINT, grp INT) PARTITIONED BY (grp)", cat
+    )
+    df = spark.range(12).selectExpr("id AS k", "CAST(id % 3 AS INT) AS grp")
+    df.createOrReplaceTempView("ow_psrc")
+    try:
+        sql_dml.execute(spark, "INSERT INTO pt SELECT * FROM ow_psrc", cat)
+        # overwrite only grp=1 with a single row; grp 0/2 untouched
+        sql_dml.execute(
+            spark,
+            "INSERT OVERWRITE pt SELECT CAST(999 AS BIGINT) AS k, "
+            "CAST(1 AS INT) AS grp",
+            cat,
+        )
+        back = M.read_table(spark, t)
+        assert back.count() == 9  # 4+4 untouched + 1 replacement
+        assert back.filter(F.col("grp") == 1).count() == 1
+        ops = [
+            r["operation"]
+            for r in M.table_history(spark, t).orderBy("version").collect()
+        ]
+        assert ops[-1] == "overwrite_partitions"
+    finally:
+        spark.catalog.dropTempView("ow_psrc")
