@@ -743,6 +743,18 @@ class _HadoopSeekableFile:
 # bound the one-pass distributed scan wins
 HADOOP_FOOTER_MAX_FILES = 512
 
+# local-path commits read footers ON THE DRIVER below this bound
+# (OPTIMIZATION r11, guide §1/§5): a footer is two sub-ms pread()s, so
+# a commit-sized list costs single-digit ms — while the distributed
+# mapInPandas alternative launches a full Spark job whose 32 Arrow
+# Python workers charge worker spin-up + closure ship per COMMIT
+# (measured: 10-64 s of task time per footer stage in the manifest
+# lifecycle queries — the single largest overhead in the whole bench).
+# Past the bound (giant backfill/compaction) the distributed read still
+# wins and is kept verbatim. Same driver-work stance as the Hadoop
+# footer path above; env-tunable for clusters whose driver is weaker.
+DRIVER_FOOTER_MAX_FILES = int(os.environ.get("SPARK_GRAFT_DRIVER_FOOTER_MAX", "512"))
+
 
 def _hadoop_footer_stats(spark, abs_paths: list[str], stats_cols: list[str]) -> dict[str, dict]:
     """Footer stats through the Hadoop FileSystem API (driver-side):
@@ -812,6 +824,16 @@ def collect_file_stats(
 
     local = {rel: _local_path(p) for rel, p in abs_by_rel.items()}
     if all(p is not None for p in local.values()):
+        if len(rel_files) <= DRIVER_FOOTER_MAX_FILES:
+            # commit-sized list: same _footer_stats_batch fold, driver
+            # venue — zero Spark jobs, zero Python workers (see the
+            # DRIVER_FOOTER_MAX_FILES note above)
+            rows = _footer_stats_batch(list(local.values()), stats_cols)
+            by_path = {r["path"]: r for r in rows}
+            return {
+                rel: {"rows": by_path[p]["rows"], "cols": by_path[p]["cols"]}
+                for rel, p in local.items()
+            }
         import pandas as pd
 
         paths_df = spark.createDataFrame(
