@@ -25,27 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from cashback_data_pipeline_spark.operators.text import fingerprint_md5, simhash_signatures, tokens
-
-
-def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Widen a too-narrow input before a fan-out-heavy stage (shingle
-    explode, signature hashing): repartition to ``target`` (default
-    ``sc.defaultParallelism``) ONLY when the current scan has fewer
-    partitions.
-
-    Rationale: a small parquet file arrives as ONE input split, so an
-    explode that fans 1 doc → hundreds of shingles runs on one core
-    while the rest idle (measured 6 s → <1 s on a 5k-doc corpus,
-    local[32]). On a real 100 TB input the scan already has thousands of
-    splits, the condition is false, and NO shuffle is added — the check
-    makes the repartition free at scale and a win only when it's cheap
-    (narrow input ⇒ small input)."""
-    sc = df.sparkSession.sparkContext
-    n = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+from cashback_data_pipeline_spark.operators.text import (  # noqa: F401 — re-export
+    ensure_min_parallelism,
+    fingerprint_md5,
+    simhash_signatures,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------

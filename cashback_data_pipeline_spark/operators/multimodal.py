@@ -34,6 +34,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cashback_data_pipeline_spark.operators.text import ensure_min_parallelism
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -1511,7 +1513,7 @@ def extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return ensure_min_parallelism(df.select(id_col, payload_col)).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
 def image_dhash(payload: bytes, grid: tuple[int, int] = (8, 9)) -> int:
@@ -1587,7 +1589,7 @@ def image_near_dups(
                 }
             )
 
-    hashes = df.select(id_col, payload_col).mapInPandas(kernel, "id long, dhash long")
+    hashes = ensure_min_parallelism(df.select(id_col, payload_col)).mapInPandas(kernel, "id long, dhash long")
     return hamming_band_pairs(hashes, "dhash", max_hamming)
 
 
@@ -1702,7 +1704,7 @@ def audio_near_dups(
                 }
             )
 
-    hashes = df.select(id_col, payload_col).mapInPandas(kernel, "id long, fp long")
+    hashes = ensure_min_parallelism(df.select(id_col, payload_col)).mapInPandas(kernel, "id long, fp long")
     return hamming_band_pairs(hashes, "fp", max_hamming)
 
 
@@ -1893,7 +1895,7 @@ def video_frame_features(
                 columns=["id", "frame_index", "width", "height", "n_frames", "sum_px"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return ensure_min_parallelism(df.select(id_col, payload_col)).mapInPandas(
         kernel,
         "id long, frame_index int, width int, height int, n_frames int, sum_px long",
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from cashback_data_pipeline_spark.operators.text import ensure_min_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -125,7 +127,7 @@ def cosine_topk_pandas(
             )
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
+    scored = ensure_min_parallelism(corpus.select(id_col, vec_col)).mapInPandas(
         score, schema="query_id long, neighbor_id long, cos double"
     )
     if quantize_decimals is not None:
@@ -477,7 +479,7 @@ def embedding_pairs_fast(
                     {"id_a": bids[bi], "id_b": all_ids[aj], "cos": sims[bi, aj]}
                 )
 
-        return df.select(id_col, vec_col).mapInPandas(
+        return ensure_min_parallelism(df.select(id_col, vec_col)).mapInPandas(
             kernel, schema="id_a long, id_b long, cos double"
         )
 

@@ -5051,7 +5051,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "width", "height", "channels", "sum_px"]
             )
 
-    return docs.mapInPandas(
+    return text.ensure_min_parallelism(docs).mapInPandas(
         kernel, "doc_id long, width int, height int, channels int, sum_px long"
     )
 
@@ -5123,7 +5123,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "width", "height", "channels", "sum_px"]
             )
 
-    return docs.mapInPandas(
+    return text.ensure_min_parallelism(docs).mapInPandas(
         kernel, "doc_id long, width int, height int, channels int, sum_px long"
     )
 
@@ -5204,7 +5204,7 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc_id, multimodal.encode_png(px, 36, 16, 1)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    media = text.ensure_min_parallelism(docs).mapInPandas(kernel, "media_id long, payload binary")
     pairs = multimodal.image_near_dups(media, max_hamming=3)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 
@@ -5263,7 +5263,7 @@ def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc_id, multimodal.encode_avi_mjpeg(frames, 24, 16, fps=5)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    media = text.ensure_min_parallelism(docs).mapInPandas(kernel, "media_id long, payload binary")
     feats = multimodal.video_frame_features(media, every_n=1)
     return feats.select(
         F.col("id").alias("doc_id"), "frame_index", "width", "height",
@@ -5347,7 +5347,7 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(kernel, "media_id long, payload binary")
+    media = text.ensure_min_parallelism(docs).mapInPandas(kernel, "media_id long, payload binary")
     pairs = multimodal.audio_near_dups(media, max_hamming=3)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 
@@ -5428,7 +5428,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(
+    return text.ensure_min_parallelism(docs).mapInPandas(
         kernel,
         "doc_id long, sample_rate int, channels int, sample_width int, "
         "n_frames long, sum_samples long",
