@@ -185,6 +185,26 @@ def ivf_assign_topk(
     )
     scored = v.join(F.broadcast(cent), F.lit(True))
     scored = scored.withColumn("__cos", cosine_sim(F.col("__v"), F.col("__cv")))
+    if k == 1:
+        # OPTIMIZATION r11 (guide §2.3/§2.4): the k=1 argmax — the hot
+        # path (every ivf_assign, and each Lloyd round of kmeans_refine
+        # calls it) — as a hash aggregate instead of a window: max_by
+        # over (cos, -cid) picks EXACTLY the window's rank-1 row (max
+        # cos, ties to the LOWEST centroid id), but partial-aggregates
+        # map-side, so the exchange carries n rows instead of n·k and
+        # the post-shuffle SORT the window needed disappears.
+        best = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(F.col(vec_col).alias("__vec"), F.col("__cid")),
+                F.struct(F.col("__cos"), (-F.col("__cid")).alias("__nc")),
+            ).alias("__best")
+        )
+        return best.select(
+            id_col,
+            F.col("__best.__vec").alias(vec_col),
+            F.col("__best.__cid").alias(centroid_id),
+            F.lit(1).alias("member_rank"),
+        )
     w = W.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col("__cid").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
