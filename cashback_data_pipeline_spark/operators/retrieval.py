@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from cashback_data_pipeline_spark.session import local_rows_df
+
 
 def _q6(c: Column) -> Column:
     """1e-6 quantization — engine-portable floor-half-up."""
@@ -64,11 +66,19 @@ def doc_terms(
     ``mode="script"`` switches to the CJK-safe script-aware tokenizer
     (operators.text.SCRIPT_TOKEN_PATTERN) so term-level retrieval over
     unspaced scripts indexes per character instead of one giant "word"
-    per line — pass the SAME mode at index/query time."""
-    from cashback_data_pipeline_spark.operators.text import tokens
+    per line — pass the SAME mode at index/query time.
+
+    Widened before the explode (OPTIMIZATION r12, guide §2.6): a small
+    corpus arrives as ONE input split, so the tokenize+explode+partial-
+    aggregate map work of every downstream term aggregation ran on one
+    core (measured 5.5 s single-task stages in index_build — the whole
+    index family's dominant cost). At scale the scan already has many
+    splits and no shuffle is added — same guard the dedup/text shingle
+    paths use."""
+    from cashback_data_pipeline_spark.operators.text import ensure_min_parallelism, tokens
 
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        ensure_min_parallelism(docs.filter(F.col(text_col).isNotNull()))
         .select(F.col(id_col), F.explode(tokens(F.col(text_col), mode=mode)).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -125,8 +135,14 @@ def bm25_topk(
     and broadcast; each candidate doc contributes one row per matched
     query term; one aggregation sums the per-term contributions. Docs
     matching no query term score nothing (standard BM25 top-k)."""
+    from cashback_data_pipeline_spark.operators.text import ensure_min_parallelism
+
     spark = docs.sparkSession
-    base = docs.filter(F.col(text_col).isNotNull())
+    # widened once here: the corpus-stats pass below tokenizes every row
+    # (size of the token array) and would otherwise run on a 1-split scan
+    # single-task; doc_terms() sees the widened frame and adds no second
+    # exchange (guide §2.6 — no-op on multi-split inputs)
+    base = ensure_min_parallelism(docs.filter(F.col(text_col).isNotNull()))
     stats = base.select(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size(F.filter(_toks(text_col, mode), lambda t: t != ""))).alias("avgdl"),
@@ -146,7 +162,7 @@ def bm25_topk(
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
 
     terms = doc_terms(base, id_col, text_col, mode=mode)
-    qterms = spark.createDataFrame([(t,) for t in sorted(set(query_terms))], "term string")
+    qterms = local_rows_df(spark, [(t,) for t in sorted(set(query_terms))], "term string")
     tf = (
         terms.join(F.broadcast(qterms), "term")
         .groupBy(id_col, "term")
@@ -200,6 +216,27 @@ def rrf_fuse(
 
 def _bucket_of(term_col: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets))
+
+
+def _bucket_ids(spark, qterms: list[str], n_buckets: int) -> set[int]:
+    """Bucket ids of the query terms, via constant-folded LITERAL
+    expressions: Catalyst evaluates ``pmod(xxhash64('term'), nb)`` with
+    the exact engine hash during optimization, so ``first()`` collects
+    from a LocalRelation — zero tasks, zero Python workers
+    (OPTIMIZATION r12: the previous createDataFrame(qterms) probe
+    parallelized a default-parallelism pickled RDD, a 32-task +
+    32-Python-worker job per search just to hash ≤ 17 strings)."""
+
+    def q(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    row = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"pmod(xxhash64({q(t)}), {n_buckets}) AS b{i}" for i, t in enumerate(qterms)
+        )
+    ).first()
+    return {int(v) for v in row}
 
 
 def _doc_tf_dl(base: DataFrame, id_col: str, text_col: str):
@@ -372,7 +409,8 @@ def _commit_index_delta(
                 )
             )
             delta_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()["t"]
-            stats = spark.createDataFrame(
+            stats = local_rows_df(
+                spark,
                 [(old_stats[0] + n_new, old_stats[1] + int(delta_tokens))],
                 "n_docs long, total_tokens long",
             )
@@ -566,13 +604,7 @@ def search_inverted_index_manifest(
     avgdl = float(total_tokens) / n_docs
 
     qterms = sorted(set(query_terms))
-    want = {
-        r["b"]
-        for r in spark.createDataFrame([(t,) for t in qterms], "term string")
-        .select(_bucket_of(F.col("term"), nb).alias("b"))
-        .distinct()
-        .collect()
-    }
+    want = _bucket_ids(spark, qterms, nb)
 
     def bucket_filter(relpath: str) -> bool:
         mt = re.search(r"term_bucket=(\d+)", relpath)
@@ -658,15 +690,22 @@ def build_inverted_index(
 
     tf = _tf().persist() if cache_tf else _tf()
     try:
-        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-        dl.write.mode("overwrite").parquet(f"{path}/doclens")
         n_docs = base.count()
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        # size the doclens files by ROWS, not by core count (guide §6 /
+        # VERDICT r11 item 1): a (long, long) relation packs ~2M rows
+        # into a ~32 MB file, so a bench-scale corpus writes ONE file
+        # (searches open 1 footer instead of shuffle-partition-many) and
+        # a billion-doc corpus still fans out to hundreds of writers
+        dl_files = max(1, -(-n_docs // 2_000_000))
+        dl.repartition(dl_files).write.mode("overwrite").parquet(f"{path}/doclens")
         total_tokens = (
             spark.read.parquet(f"{path}/doclens")
             .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t"))
             .first()["t"]
         )
-        stats = spark.createDataFrame(
+        stats = local_rows_df(
+            spark,
             [(n_docs, (float(total_tokens) / n_docs) if n_docs else None)],
             "n_docs long, avgdl double",
         )
@@ -702,7 +741,7 @@ def build_inverted_index(
         "id_col": id_col,
         "id_field": docs.schema[id_col].jsonValue(),
     }
-    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(1).write.mode(
+    local_rows_df(spark, [(json.dumps(meta),)], "meta string").write.mode(
         "overwrite"
     ).parquet(f"{path}/_meta")
 
@@ -746,14 +785,9 @@ def search_inverted_index(
     qterms = sorted(set(query_terms))
 
     postings = spark.read.parquet(f"{path}/postings")
-    buckets = (
-        spark.createDataFrame([(t,) for t in qterms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("b"))
-        .distinct()
-        .collect()
-    )
+    buckets = _bucket_ids(spark, qterms, nb)
     hits = postings.filter(
-        F.col("term_bucket").isin([r["b"] for r in buckets]) & F.col("term").isin(qterms)
+        F.col("term_bucket").isin(sorted(buckets)) & F.col("term").isin(qterms)
     )
     dl = spark.read.parquet(f"{path}/doclens")
     idf = F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from cashback_data_pipeline_spark.functions import neq_null_safe
 from cashback_data_pipeline_spark.operators import curation, dedup, similarity, temporal, text
+from cashback_data_pipeline_spark.session import local_rows_df
 from cashback_data_pipeline_spark.sources import read_events_range, read_testdata
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1136,7 +1137,7 @@ def ann_ivf_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
             "rank",
         ).collect()
-        return spark.createDataFrame(rows, "query_id long, neighbor_id long, cos double, rank int")
+        return local_rows_df(spark, rows, "query_id long, neighbor_id long, cos double, rank int")
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1254,7 +1255,7 @@ def ann_ivf_retrain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos") * 1000000 + 0.5) / 1000000).alias("cos"),
             "rank",
         ).collect()
-        return spark.createDataFrame(rows, "query_id long, neighbor_id long, cos double, rank int")
+        return local_rows_df(spark, rows, "query_id long, neighbor_id long, cos double, rank int")
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1576,7 +1577,7 @@ def manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # /tmp can be deleted before returning — repeated gate/bench runs
         # must not accumulate orders-table copies
         rows = agg.collect()
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1636,7 +1637,7 @@ def manifest_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value")
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1716,7 +1717,7 @@ def manifest_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("bloom pruning skipped no files — bloom skipping is broken")
         back = M.read_table(spark, table, skip=skip)
         rows = back.collect()  # ≤3 keys' rows; materialize before rmtree
-        return spark.createDataFrame(rows, back.schema)
+        return local_rows_df(spark, rows, back.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1788,7 +1789,7 @@ def manifest_skip_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value")
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1835,7 +1836,7 @@ def manifest_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), dsum2(F.col("value")).alias("sum_value")
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1894,7 +1895,7 @@ def manifest_changes_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.write_table(v2_snapshot.filter(F.pmod("o_orderkey", F.lit(10)) != 7), table)
         delta = M.read_changes_rows(spark, table, from_version=1, key="o_orderkey")
         rows = delta.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, delta.schema)
+        return local_rows_df(spark, rows, delta.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -1998,7 +1999,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("max_value")).alias("max_value"),
         )
         rows = view.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, view.schema)
+        return local_rows_df(spark, rows, view.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2046,7 +2047,7 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
         rows = back.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, back.schema)
+        return local_rows_df(spark, rows, back.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2115,7 +2116,7 @@ def streaming_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("restarted stage landed nothing — incrementality broke")
         back = M.read_table(spark, silver)
         rows = back.collect()  # materialize before the temp tables are deleted
-        return spark.createDataFrame(rows, back.schema)
+        return local_rows_df(spark, rows, back.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2168,7 +2169,7 @@ def manifest_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2227,7 +2228,7 @@ def manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2291,7 +2292,7 @@ def manifest_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price")
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2348,7 +2349,7 @@ def manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2401,7 +2402,7 @@ def manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.publish_staged(table, tok)
         hist = M.table_history(spark, table).select("version", "operation")
         rows = hist.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, hist.schema)
+        return local_rows_df(spark, rows, hist.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2445,7 +2446,7 @@ def manifest_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("restore moved data — it must be a metadata-only commit")
         back = M.read_table(spark, table)
         rows = back.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, back.schema)
+        return local_rows_df(spark, rows, back.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2502,7 +2503,7 @@ def manifest_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError(f"apply_changes folded nothing: {counts}")
         back = M.read_table(spark, tgt)
         rows = back.collect()  # materialize before the temp tables are deleted
-        return spark.createDataFrame(rows, back.schema)
+        return local_rows_df(spark, rows, back.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2559,7 +2560,7 @@ def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2611,7 +2612,7 @@ def manifest_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("total_price")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2711,7 +2712,7 @@ def manifest_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2813,7 +2814,7 @@ def manifest_dml_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -2918,7 +2919,7 @@ def manifest_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o_orderpriority") == "updated").cast("long")).alias("n_updated"),
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         spark.catalog.dropTempView("merge_cdc_r10")
         shutil.rmtree(table, ignore_errors=True)
@@ -2998,7 +2999,7 @@ def manifest_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").alias("sum_cust"),
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3073,7 +3074,7 @@ def manifest_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3131,7 +3132,7 @@ def manifest_cdf_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3205,7 +3206,7 @@ def manifest_optimize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3294,7 +3295,7 @@ def manifest_batch_read_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = cur_agg.join(v1_agg, "order_month")
         rows = out.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         for v in ("orders_mt_cur", "orders_mt_v1"):
             spark.catalog.dropTempView(v)
@@ -3381,7 +3382,7 @@ def manifest_sql_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp tables are deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         for v_name in ("sqlins_seed_r11", "staging_rewards", "orders_t"):
             spark.catalog.dropTempView(v_name)
@@ -3484,7 +3485,7 @@ def manifest_partitioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2(F.col("o_totalprice")).alias("sum_price"),
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3560,7 +3561,7 @@ def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
         ).agg(F.count(F.lit(1)).alias("n"), dsum2(F.col("o_totalprice")).alias("sum_price"))
         rows = agg.collect()  # materialize before the temp tables are deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
@@ -3699,7 +3700,7 @@ def manifest_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2(F.col("o_totalprice")).alias("sum_price"),
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 
@@ -3804,7 +3805,7 @@ def manifest_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum2(F.col("o_totalprice")).alias("sum_price"),
         )
         rows = agg.collect()  # materialize before the temp table is deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         shutil.rmtree(_os.path.dirname(table), ignore_errors=True)
 
@@ -3885,7 +3886,7 @@ def manifest_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("rid") < 1000).cast("long")).alias("n_below_start"),
         )
         rows = agg.collect()  # materialize before the temp tables are deleted
-        return spark.createDataFrame(rows, agg.schema)
+        return local_rows_df(spark, rows, agg.schema)
     finally:
         for v_name in ("serving", "staging"):
             spark.catalog.dropTempView(v_name)
@@ -8243,7 +8244,7 @@ def indexed_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval.build_inverted_index(docs, path)
         out = retrieval.search_inverted_index(spark, path, _BM25_TERMS, k=10)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -8282,7 +8283,7 @@ def indexed_bm25_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval.upsert_inverted_index(delta, table, delta_id="delta-1")
         out = retrieval.search_inverted_index_manifest(spark, table, _BM25_TERMS, k=10)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(table, ignore_errors=True)
 

@@ -103,6 +103,23 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_rows_df(spark: SparkSession, rows, schema, rows_per_slice: int = 100_000):
+    """``createDataFrame`` for DRIVER-LOCAL row lists, sliced by ROWS
+    instead of core count (OPTIMIZATION r12, guide §2.6/§4: size task
+    counts by data volume). Plain ``createDataFrame(list)`` parallelizes
+    into ``defaultParallelism`` pickled slices, so every later scan of a
+    commit-sized materialized result launches one task + one Python
+    worker PER CORE just to unpickle a handful of rows (~0.2 s per
+    worker measured on the bench box — the dominant fixed cost of the
+    collect→recreate pattern the oracle-materializing queries use).
+    One slice per ``rows_per_slice`` rows keeps one worker per ~100k
+    rows with identical row semantics (same pickled-row path, schema
+    applied identically); a driver-local list is by construction small
+    enough for this to be safe."""
+    n = max(1, -(-len(rows) // rows_per_slice))
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Ids of currently persisted RDDs (includes localCheckpoint blocks)."""
     return set(spark.sparkContext._jsc.getPersistentRDDs().keys())
