@@ -179,12 +179,25 @@ def ivf_assign_topk(
     is what lifts SemDeDup recall without any LSH machinery. Same plan
     shape as ivf_assign (broadcast centroids, one window), k× the
     membership rows downstream."""
-    v = df.select(F.col(id_col), F.col(vec_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    # norms are projected BELOW the broadcast join (OPTIMIZATION r12,
+    # same move brute_force_topk made in r9): each vector's norm is
+    # computed once per ROW and each centroid's once per CENTROID
+    # instead of once per (row, centroid) pair — at k centroids that
+    # removes ~2/3 of the per-pair interpreted-expression arithmetic.
+    # Numerically identical: the cos expression performs the same IEEE
+    # ops in the same order (dot / (vn · cn)).
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__vn", norm(F.col("__v")))
     cent = centroids.select(
         F.col(centroid_id).alias("__cid"), F.col(centroid_vec).cast("array<double>").alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     scored = v.join(F.broadcast(cent), F.lit(True))
-    scored = scored.withColumn("__cos", cosine_sim(F.col("__v"), F.col("__cv")))
+    scored = scored.withColumn(
+        "__cos", dot(F.col("__v"), F.col("__cv")) / (F.col("__vn") * F.col("__cn"))
+    )
     if k == 1:
         # OPTIMIZATION r11 (guide §2.3/§2.4): the k=1 argmax — the hot
         # path (every ivf_assign, and each Lloyd round of kmeans_refine
@@ -1039,21 +1052,30 @@ def kmeans_refine(
     Each round ends in ``localCheckpoint`` — iterative DataFrames must
     truncate lineage per round (``cache()`` does NOT; analysis cost grows
     with plan depth otherwise). The checkpointed relation is k×dim
-    doubles — trivially small."""
+    doubles — trivially small.
+
+    OPTIMIZATION r12 (guide §2.3/§2.4): the element-wise mean is ONE
+    hash aggregate of ``dim`` ``avg(element_at(vec, i))`` columns
+    instead of posexplode → (centroid, pos) aggregate → collect_list →
+    array_sort — one shuffle of k×dim partials per round instead of a
+    n×dim-row explode shuffle plus a second aggregate, and three fewer
+    stages per round. Same values averaged per (centroid, position);
+    partial-sum order differences are absorbed by the float32 centroid
+    storage exactly as before (that is what it exists for)."""
+    first_vec = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first_vec is None:
+        return centroids  # empty corpus: nothing to assign, k unchanged
+    dim = int(first_vec["d"])
     current = centroids
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, current, id_col, vec_col)
-        elem = assigned.select(
-            "centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+        v = F.col(vec_col).cast("array<double>")
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.element_at(v, i + 1)).alias(f"__m{i}") for i in range(dim)]
         )
-        means = elem.groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
-        new_cents = (
-            means.groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid_new"),
-            )
+        new_cents = means.select(
+            "centroid_id",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("centroid_new"),
         )
         current = (
             current.join(new_cents, on="centroid_id", how="left")
@@ -1164,7 +1186,15 @@ def semantic_dedup(
     if refine_iters > 0:
         cents = kmeans_refine(df, cents, n_iter=refine_iters, id_col=id_col, vec_col=vec_col)
     if memberships > 1:
-        member = ivf_assign_topk(df, cents, k=memberships, id_col=id_col, vec_col=vec_col)
+        # checkpointed because BOTH downstream legs (the rank-1 primary
+        # assignment and the pair-pool prior) consume it: without this
+        # the n×k broadcast-score + window plan executes twice
+        # (OPTIMIZATION r12, guide §5 — reuse beats recompute here; the
+        # relation is n·k (id, vec, cid, rank) rows, memory-trivial
+        # relative to the corpus it derives from)
+        member = ivf_assign_topk(
+            df, cents, k=memberships, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
         assigned = member.filter(F.col("member_rank") == 1).drop("member_rank")
     else:
         assigned = ivf_assign(df, cents, id_col, vec_col)
