@@ -1337,7 +1337,9 @@ def bucket_pairs_gemm(
         # no skew: the cap costs exactly one (bucket, count) aggregate and
         # the plan IS the uncapped plan — no anti-join, no second scan
         return base.groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")
-    oversized = base.sparkSession.createDataFrame(oversized_rows, oversized_agg.schema)
+    from cashback_data_pipeline_spark.session import local_rows_df
+
+    oversized = local_rows_df(base.sparkSession, oversized_rows, oversized_agg.schema)
     normal_pairs = base.join(
         F.broadcast(oversized.select(*kcols)), kcols, "left_anti"
     ).groupBy(*kcols).applyInPandas(kernel, schema="id_a long, id_b long, cos double")

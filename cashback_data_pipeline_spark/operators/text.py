@@ -787,8 +787,10 @@ def bpe_train_merges(
         # release on BOTH paths: a task failure mid-round must not leave
         # corpus checkpoints pinned for the session's lifetime
         unpersist_rdd_ids(spark, prev_ids)
-    return spark.createDataFrame(
-        learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
+    from cashback_data_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark, learned, "rank int, lhs string, rhs string, pair_count long, corpus_tokens_after long"
     )
 
 

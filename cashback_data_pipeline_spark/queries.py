@@ -3755,7 +3755,16 @@ def manifest_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = tempfile.mkdtemp(prefix="manifest_convert_") + "/warehouse"
     cat = {"wh": table}
     try:
-        write_warehouse(staged, table, partition_by="order_month")
+        # hash-cluster the staging frame by the partition column before
+        # the K2 write (OPTIMIZATION r12, guide §2.6/§6): the 1-split
+        # source otherwise makes ONE task create all ~80 month files
+        # sequentially (measured 1.8 s single-task write stage); 16
+        # fixed (not core-count) tasks write the same one-file-per-month
+        # layout in parallel, so the zero-copy/pruning assertions below
+        # see an identical listing shape
+        write_warehouse(
+            staged.repartition(16, "order_month"), table, partition_by="order_month"
+        )
         def _listing():
             return sorted(
                 _os.path.join(r, f)

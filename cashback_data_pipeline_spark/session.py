@@ -39,6 +39,14 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # cached plans keep AQE partition coalescing (default false): the
+        # engine's DML/load paths cache commit-sized intermediates
+        # (count + write share one materialization), and without this
+        # every post-shuffle stage over a cached relation runs
+        # shuffle-partition-many tasks regardless of size — measured
+        # ~0.5 s per lifecycle query of pure per-task fixed cost
+        # (OPTIMIZATION r12, guide §2.2: fewer, larger partitions)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata stores TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long and convert (sources.readers.read_testdata)
@@ -87,6 +95,7 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         # the manifest batch DataSource prunes files from pushed filters

@@ -2851,7 +2851,9 @@ def describe_detail(spark: SparkSession, table: str) -> DataFrame:
             T.StructField("bloom_conf", T.StringType()),
         ]
     )
-    return spark.createDataFrame([row], schema)
+    from cashback_data_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(spark, [row], schema)
 
 
 def table_history(spark: SparkSession, table: str) -> DataFrame:
@@ -2893,7 +2895,10 @@ def table_history(spark: SparkSession, table: str) -> DataFrame:
                 json.dumps(meta, sort_keys=True) if meta else None,
             )
         )
-    return spark.createDataFrame(
+    from cashback_data_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark,
         rows,
         "version int, parent int, operation string, n_files int, "
         "n_dv_files int, committed_at double, meta string",

@@ -57,7 +57,9 @@ def read_json_records(
     """Materialize an in-memory list of JSON records (an API page) as a
     DataFrame. Only for connector-sized data — large volumes must land as
     JSONL and go through :func:`read_jsonl`."""
-    return spark.createDataFrame(list(records), schema=schema)
+    from cashback_data_pipeline_spark.session import local_rows_df
+
+    return local_rows_df(spark, list(records), schema)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: T.StructType, **options: Any) -> DataFrame:
