@@ -1611,6 +1611,13 @@ def hamming_band_pairs(
             f"max_hamming={max_hamming}: 4 bands guarantee exact recall only "
             "for Hamming <= 3 (pigeonhole); raise the band count for more"
         )
+    # materialize the hash relation ONCE (OPTIMIZATION r12, guide §5):
+    # both sides of the band self-join below consume it, and without
+    # this every upstream stage — including the decode/fingerprint
+    # Python kernels that produced the hashes — executes twice, once
+    # per side (measured: two full kernel stages per near-dup query).
+    # The relation is (id, hash) longs, ~16 bytes/row at any scale.
+    hashes = hashes.localCheckpoint()
     bands = hashes.select(
         "id",
         hash_col,

@@ -5214,7 +5214,12 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc_id, multimodal.encode_png(px, 36, 16, 1)))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    media = text.ensure_min_parallelism(docs).mapInPandas(kernel, "media_id long, payload binary")
+    # small_bytes (VERDICT r11 item 3): this synth+hash kernel is cheap
+    # per row; below 32 MB the widening exchange + per-core Python task
+    # fix-costs exceed single-task execution
+    media = text.ensure_min_parallelism(docs, small_bytes=32 << 20).mapInPandas(
+        kernel, "media_id long, payload binary"
+    )
     pairs = multimodal.image_near_dups(media, max_hamming=3)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 
@@ -5357,7 +5362,12 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    media = text.ensure_min_parallelism(docs).mapInPandas(kernel, "media_id long, payload binary")
+    # small_bytes (VERDICT r11 item 3): this synth+hash kernel is cheap
+    # per row; below 32 MB the widening exchange + per-core Python task
+    # fix-costs exceed single-task execution
+    media = text.ensure_min_parallelism(docs, small_bytes=32 << 20).mapInPandas(
+        kernel, "media_id long, payload binary"
+    )
     pairs = multimodal.audio_near_dups(media, max_hamming=3)
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 
