@@ -168,6 +168,11 @@ HEADLINE = [
     "manifest_convert_parquet",
     "manifest_identity_column",
     "text_cjk_tokens",
+    # round-12: the IVF k=1 max_by rewrite landed in the final minutes of
+    # r11 with no bench row (VERDICT r11 item 8) — pin both IVF paths so
+    # the assignment hot path stays measured
+    "ann_ivf_delta_topk",
+    "ann_ivf_quantized_topk",
     # curate_corpus joined the bench in round 7 (VERDICT r6 item 5): its
     # near-dup stage is now the exact prefix-filter join
     # (dedup.ngram_jaccard_pairs_prefix), which bounds candidate volume
@@ -732,25 +737,29 @@ def main() -> None:
     # ~60 queries near 1800 chars; if the surface grows past the
     # budget, the smallest entries are dropped from the LINE only
     # (they remain in the local artifact) and flagged.
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
-    with open(local_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "sf": sf,
-                "queries": timings,
-                "samples": samples,
-                "stalled": stalled,
-                "ref_total": ref_total,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+    local_doc = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "queries": timings,
+        "samples": samples,
+        "stalled": stalled,
+        "ref_total": ref_total,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    # per-CPU artifact ALONGSIDE the shared one (VERDICT r11 item 2/6:
+    # the driver's 8-CPU scaling run used to clobber the 32-CPU
+    # per-query data, leaving PERF with n_common=0 and a null geomean —
+    # now each core count keeps its own file and per-query times survive
+    # into the committed artifacts)
+    for local_path in (
+        os.path.join(here, "BENCH_LOCAL.json"),
+        os.path.join(here, f"BENCH_LOCAL_c{local_doc['cpus']}.json"),
+    ):
+        with open(local_path, "w") as fh:
+            json.dump(local_doc, fh, indent=1, sort_keys=True)
 
     # the driver's stdout window keeps the LAST 2000 chars; the line plus
     # its newline must fit ENTIRELY inside it or the driver records

@@ -1,7 +1,7 @@
 """Dump .explain("formatted") for named queries to plans/<tag>/<q>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py <suffix> query [query ...]
-       (suffix = "before" or "after"; tag fixed to r11 this round)
+       (suffix = "before" or "after"; tag from $SPARK_GRAFT_PLAN_TAG, default r12)
 
 The judge cannot run Spark: these committed files are the evidence for
 every plan-shape claim in OPTIMIZATION_r11.md (exchange counts, join
@@ -22,7 +22,7 @@ from cashback_data_pipeline_spark.session import get_spark  # noqa: E402
 from cashback_data_pipeline_spark import queries as Q  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_TAG", "r12"))
 
 
 def main() -> None:
