@@ -239,20 +239,24 @@ def _bucket_ids(spark, qterms: list[str], n_buckets: int) -> set[int]:
     return {int(v) for v in row}
 
 
-def _doc_tf_dl(base: DataFrame, id_col: str, text_col: str):
-    """(term, id, tf) postings and (id, dl) doclens for a doc batch.
-    doclens carries EVERY non-null-text doc (dl=0 for token-less docs):
-    it doubles as the index's doc-id registry, so redelivered empty docs
-    are still recognized by the upsert anti-join."""
-    tf = doc_terms(base, id_col, text_col).groupBy("term", id_col).agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = (
+def _doclens_from_tf(base: DataFrame, tf: DataFrame, id_col: str) -> DataFrame:
+    """(id, dl) doclens from a (term, id, tf) relation. Carries EVERY doc
+    of ``base`` (dl=0 for token-less docs): it doubles as the index's
+    doc-id registry, so redelivered empty docs are still recognized by
+    the upsert anti-join."""
+    return (
         base.select(F.col(id_col))
         .join(tf.groupBy(id_col).agg(F.sum("tf").alias("dl")), id_col, "left")
         .select(id_col, F.coalesce("dl", F.lit(0)).alias("dl"))
     )
-    return tf, dl
+
+
+def _doc_tf_dl(base: DataFrame, id_col: str, text_col: str):
+    """(term, id, tf) postings and (id, dl) doclens for a doc batch."""
+    tf = doc_terms(base, id_col, text_col).groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf, _doclens_from_tf(base, tf, id_col)
 
 
 def build_inverted_index_manifest(
@@ -390,9 +394,23 @@ def _commit_index_delta(
             # nothing even when the caller supplied no delta_id
             base = base.join(known, id_col, "left_anti")
         base = base.localCheckpoint()  # one tokenize source for tf/df/stats
+        tf = None
         try:
             tf, dl = _doc_tf_dl(base, id_col, text_col)
-            n_new = dl.count()
+            # OPTIMIZATION r12 (guide §5): the commit runs FIVE actions
+            # over tf/dl (sizing agg, postings/doclens/termstats/stats
+            # writes) and, without this, each re-ran the tokenize+explode
+            # aggregation from base — profiled as 3-4 full ~7 s 32-task
+            # tokenize stages per commit. tf is the compact (term, id,
+            # tf) relation; checkpoint it so tokenize runs once.
+            tf = tf.localCheckpoint()
+            dl = _doclens_from_tf(base, tf, id_col)
+            # one sizing pass instead of two (count + token sum)
+            srow = dl.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+            ).first()
+            n_new, delta_tokens = int(srow["n"]), int(srow["t"])
             if n_new == 0 and cur is not None:
                 return None  # nothing genuinely new — no version churn
             df_delta = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -426,24 +444,38 @@ def _commit_index_delta(
             cid = M.new_commit_id()
             cid_superseded = M.new_commit_id()
             postings = tf.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
-            files = M.write_store_files(
-                postings.repartition("term_bucket").sortWithinPartitions("term"),
-                table,
-                cid,
-                "postings",
-                partition_by="term_bucket",
-            )
-            files += M.write_store_files(dl, table, cid, "doclens")
-            files += M.write_store_files(
-                termstats.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
-                .repartition("term_bucket")
-                .sortWithinPartitions("term"),
-                table,
-                cid_superseded,
-                "termstats",
-                partition_by="term_bucket",
-            )
-            files += M.write_store_files(stats, table, cid_superseded, "stats")
+            # the four store writes are INDEPENDENT jobs over the
+            # checkpointed tf (or driver-local stats) — submit them from
+            # a small thread pool so each job's tail backfills the next
+            # job's tasks instead of serializing four scheduling
+            # latencies (OPTIMIZATION r12, guide §2.6 "overlap
+            # independent jobs"); files keep their deterministic order
+            from concurrent.futures import ThreadPoolExecutor
+
+            writes = [
+                (
+                    postings.repartition("term_bucket").sortWithinPartitions("term"),
+                    cid, "postings", "term_bucket",
+                ),
+                # doclens files sized by ROWS (same discipline as
+                # build_inverted_index): one footer per ~2M docs
+                (dl.repartition(max(1, -(-n_new // 2_000_000))), cid, "doclens", None),
+                (
+                    termstats.withColumn("term_bucket", _bucket_of(F.col("term"), nb))
+                    .repartition("term_bucket")
+                    .sortWithinPartitions("term"),
+                    cid_superseded, "termstats", "term_bucket",
+                ),
+                (stats, cid_superseded, "stats", None),
+            ]
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                futures = [
+                    pool.submit(
+                        M.write_store_files, wdf, table, wcid, wstore, partition_by=wpart
+                    )
+                    for wdf, wcid, wstore, wpart in writes
+                ]
+                files = [f for fut in futures for f in fut.result()]
 
             delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
             if delta_id is not None:
@@ -462,9 +494,12 @@ def _commit_index_delta(
                 unpersist_rdd_ids,
             )
 
-            rid = checkpointed_rdd_id(base)
-            if rid is not None:
-                unpersist_rdd_ids(spark, {rid})
+            rids = {checkpointed_rdd_id(base)}
+            if tf is not None:
+                rids.add(checkpointed_rdd_id(tf))
+            rids.discard(None)
+            if rids:
+                unpersist_rdd_ids(spark, rids)
 
 
 def compact_inverted_index(spark, table: str) -> int:
