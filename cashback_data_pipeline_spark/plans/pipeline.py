@@ -80,7 +80,18 @@ def run_pipeline(
         warehouse = M.read_table(spark, warehouse_path)
         loaded = M.append_table_if_absent(spark, warehouse, serving_path, key=key)
     else:
-        write_warehouse(cashback, warehouse_path, partition_by="transaction_date")
+        # REBALANCE by the partition column before the K2 write
+        # (OPTIMIZATION r12, guide §6): without it every post-join task
+        # writes a sliver of every partition dir (measured 97 files for
+        # 7 partitions at bench scale — file-count × open-cost paid
+        # again by the read-back and the serving anti-join). AQE sizes
+        # the rebalance by bytes and SPLITS a skewed date, so one hot
+        # partition never serializes into one writer at scale.
+        write_warehouse(
+            cashback.hint("rebalance", "transaction_date"),
+            warehouse_path,
+            partition_by="transaction_date",
+        )
         warehouse = spark.read.parquet(warehouse_path)
         loaded = append_if_absent(spark, warehouse, serving_path, key=key)
     return PipelineResult(
