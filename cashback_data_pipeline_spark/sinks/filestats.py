@@ -753,7 +753,15 @@ HADOOP_FOOTER_MAX_FILES = 512
 # Past the bound (giant backfill/compaction) the distributed read still
 # wins and is kept verbatim. Same driver-work stance as the Hadoop
 # footer path above; env-tunable for clusters whose driver is weaker.
-DRIVER_FOOTER_MAX_FILES = int(os.environ.get("SPARK_GRAFT_DRIVER_FOOTER_MAX", "512"))
+try:  # ADVICE r11: a malformed env value must not crash every import
+    DRIVER_FOOTER_MAX_FILES = int(os.environ.get("SPARK_GRAFT_DRIVER_FOOTER_MAX", "512"))
+except ValueError:
+    import warnings
+
+    warnings.warn(
+        "SPARK_GRAFT_DRIVER_FOOTER_MAX is not an integer; using the 512 default"
+    )
+    DRIVER_FOOTER_MAX_FILES = 512
 
 
 def _hadoop_footer_stats(spark, abs_paths: list[str], stats_cols: list[str]) -> dict[str, dict]:

@@ -218,3 +218,54 @@ def test_insert_overwrite_partitioned_is_dynamic(spark, tmp_path):
         assert ops[-1] == "overwrite_partitions"
     finally:
         spark.catalog.dropTempView("ow_psrc")
+
+
+def test_caller_view_staged_after_engine_registration_wins(spark, tmp_path):
+    """ADVICE r11: engine auto-registration must not clobber a view the
+    caller stages under the same name LATER — ownership is re-proven
+    from the live catalog on every statement, not from a one-shot map."""
+    serving = str(tmp_path / "serving")
+    staging = str(tmp_path / "staging")
+    cat = {"serving": serving, "staging": staging}
+    df = spark.range(4).selectExpr("id AS k", "CAST(id AS DOUBLE) AS p")
+    M.write_table(df, staging)
+    M.write_table(df.limit(0), serving)
+    try:
+        # first statement auto-registers "staging" as an engine view
+        sql_dml.execute(spark, "INSERT INTO serving SELECT * FROM staging", cat)
+        assert M.read_table(spark, serving).count() == 4
+        # caller now stages their OWN view under the same name
+        spark.range(1).selectExpr("CAST(99 AS BIGINT) AS k", "CAST(0.5 AS DOUBLE) AS p").createOrReplaceTempView("staging")
+        sql_dml.execute(spark, "INSERT INTO serving SELECT * FROM staging", cat)
+        got = {r["k"] for r in M.read_table(spark, serving).collect()}
+        assert 99 in got and got == {0, 1, 2, 3, 99}
+    finally:
+        spark.catalog.dropTempView("staging")
+        spark.catalog.dropTempView("serving")
+
+
+def test_engine_view_refreshes_snapshot_between_statements(spark, tmp_path):
+    """An engine-owned view pins its file list at registration; a later
+    statement must see commits made in between (re-registration), while
+    still resolving through the engine's native snapshot read."""
+    serving = str(tmp_path / "serving")
+    staging = str(tmp_path / "staging")
+    cat = {"serving": serving, "staging": staging}
+    df = spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS p")
+    M.write_table(df, staging)
+    M.write_table(df.limit(0), serving)
+    try:
+        sql_dml.execute(spark, "INSERT INTO serving SELECT * FROM staging", cat)
+        # advance the staging table AFTER the engine registered its view
+        M.write_table(
+            spark.range(3, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS p"),
+            staging,
+            mode="append",
+        )
+        sql_dml.execute(
+            spark, "INSERT INTO serving SELECT * FROM staging WHERE k >= 3", cat
+        )
+        assert M.read_table(spark, serving).count() == 5
+    finally:
+        spark.catalog.dropTempView("staging")
+        spark.catalog.dropTempView("serving")
