@@ -426,7 +426,6 @@ def _commit_index_delta(
                     ).alias("df"),
                 )
             )
-            delta_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()["t"]
             stats = local_rows_df(
                 spark,
                 [(old_stats[0] + n_new, old_stats[1] + int(delta_tokens))],
@@ -712,18 +711,22 @@ def build_inverted_index(
     # The (term, doc, tf) aggregate feeds both stores (postings and, as
     # dl = Σtf per doc, the doclens side table; avgdl = Σdl / N equals
     # averaging per-doc token counts over all non-null-text docs since
-    # zero-token docs contribute 0 to both). ``cache_tf`` trades one
-    # materialized tf for the second tokenize pass: measured 2× SLOWER
-    # at bench scale (cache write dominates), the right call once the
-    # corpus is large enough that re-tokenizing costs more than writing
-    # the compact (term, id, tf) relation — flip it for corpus-scale
-    # builds.
+    # zero-token docs contribute 0 to both). Tokenize ONCE: checkpoint
+    # the aggregate so the doclens and postings passes both read the
+    # compact (term, id, tf) relation instead of each re-running the
+    # explode+aggregate — the same move the delta-commit path made
+    # (profiled there: 3-4 full ~7 s 32-task tokenize stages per
+    # commit; here the plain build ran it twice). `cache_tf` (persist)
+    # predates this and measured 2× SLOWER at bench scale (cache-write
+    # overhead and no plan truncation); localCheckpoint materializes the
+    # relation the build is about to write anyway, so it is
+    # scale-appropriate at any corpus size.
     def _tf():
         return doc_terms(base, id_col, text_col).groupBy("term", id_col).agg(
             F.count(F.lit(1)).alias("tf")
         )
 
-    tf = _tf().persist() if cache_tf else _tf()
+    tf = _tf().persist() if cache_tf else _tf().localCheckpoint()
     try:
         n_docs = base.count()
         dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
@@ -746,10 +749,9 @@ def build_inverted_index(
         )
         stats.write.mode("overwrite").parquet(f"{path}/_stats")
 
-        tf2 = tf if cache_tf else _tf()
-        df_ = tf2.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         postings = (
-            tf2.join(df_, "term")
+            tf.join(df_, "term")
             .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)))
         )
         if not total_tokens:
@@ -767,6 +769,15 @@ def build_inverted_index(
     finally:
         if cache_tf:
             tf.unpersist()
+        else:
+            from cashback_data_pipeline_spark.session import (
+                checkpointed_rdd_id,
+                unpersist_rdd_ids,
+            )
+
+            rid = checkpointed_rdd_id(tf)
+            if rid is not None:
+                unpersist_rdd_ids(spark, {rid})
     # record the layout so searches hash terms with the same modulus and
     # reconstruct the id column (name AND type) exactly
     import json

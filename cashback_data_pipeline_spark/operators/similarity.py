@@ -752,20 +752,34 @@ def _commit_ivf_delta(
 
     from cashback_data_pipeline_spark.sinks import manifest as M
 
+    from cashback_data_pipeline_spark.session import (
+        checkpointed_rdd_id,
+        unpersist_rdd_ids,
+    )
+
     spark = vectors.sparkSession
     while True:
         cur = M.current_version(table)
+        ckpts: set = set()
         if cur is None:
             if n_centroids is None:
                 raise FileNotFoundError(
                     f"no committed IVF index in {table}; ivf_build_index_manifest first"
                 )
-            cents = make_centroids_from_sample(vectors, n_centroids, id_col, vec_col)
+            # checkpointed: the seed pipeline (scan + global sort + limit
+            # + window) otherwise executes THREE times — the emptiness
+            # check, the assign broadcast, and the centroids store write
+            # (OPTIMIZATION r12, guide §5; k rows, memory-trivial)
+            cents = make_centroids_from_sample(
+                vectors, n_centroids, id_col, vec_col
+            ).localCheckpoint()
+            ckpts.add(checkpointed_rdd_id(cents))
             if not cents.head(1):
                 # the quantizer is FROZEN at build: an empty centroid set
                 # would silently drop every future delta's vectors
                 # (ivf_assign against nothing) while still committing
                 # versions — refuse instead
+                unpersist_rdd_ids(spark, {i for i in ckpts if i is not None})
                 raise ValueError(
                     "cannot build an IVF manifest index from an empty corpus: "
                     "the frozen coarse quantizer would have no centroids and "
@@ -804,48 +818,75 @@ def _commit_ivf_delta(
                 # the manifest schema is the listed-vector schema
                 schema=T.StructType.fromJson(json.loads(prev["schema"])),
             ).select(F.col(id_col))
-            fresh = vectors.join(known, id_col, "left_anti")
+            # checkpointed: the anti-join otherwise executes twice (the
+            # no-op redelivery check and the commit write); the
+            # materialized relation is the delta batch itself — exactly
+            # what this commit is about to write (OPTIMIZATION r12,
+            # guide §5, same move as the inverted-index delta commit)
+            fresh = vectors.join(known, id_col, "left_anti").localCheckpoint()
+            ckpts.add(checkpointed_rdd_id(fresh))
             if not fresh.head(1):
+                unpersist_rdd_ids(spark, {i for i in ckpts if i is not None})
                 return None  # full redelivery — no version churn
 
-        # in-batch id dedup (deterministic winner by vector hash): a
-        # redelivered vector arriving twice IN ONE delta would insert two
-        # list entries — the anti-join above only screens committed ids
-        wdup = W.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)).asc())
-        fresh = (
-            fresh.withColumn("__rn", F.row_number().over(wdup))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        assigned = _assign_spill(fresh, cents, spill, id_col, vec_col)
-        if quantize:
-            assigned = quantize_embeddings_int8(assigned, id_col, vec_col, keep_cols=["centroid_id"])
-        listed = assigned.withColumn("__list", F.col("centroid_id"))
+        try:
+            # in-batch id dedup (deterministic winner by vector hash): a
+            # redelivered vector arriving twice IN ONE delta would insert two
+            # list entries — the anti-join above only screens committed ids
+            wdup = W.partitionBy(id_col).orderBy(F.xxhash64(F.col(vec_col)).asc())
+            fresh = (
+                fresh.withColumn("__rn", F.row_number().over(wdup))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            assigned = _assign_spill(fresh, cents, spill, id_col, vec_col)
+            if quantize:
+                assigned = quantize_embeddings_int8(assigned, id_col, vec_col, keep_cols=["centroid_id"])
+            listed = assigned.withColumn("__list", F.col("centroid_id"))
 
-        cid = M.new_commit_id()
-        files = M.write_store_files(
-            listed.repartition("__list"), table, cid, "lists", partition_by="__list"
-        )
-        if cur is None:
-            # own commit dir: a later compaction supersedes v1's lists
-            # but keeps the frozen centroids forever — sharing a dir
-            # would make v1's dead list files unreclaimable by the
-            # dir-granularity vacuum
-            files += M.write_store_files(cents, table, M.new_commit_id(), "centroids")
-        delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
-        if delta_id is not None:
-            delta_ids.append(delta_id)
-        meta = {"layout": layout, "delta_ids": delta_ids}
-        if M._try_commit(
-            table,
-            (cur or 0) + 1,
-            old_files + files,
-            cur,
-            json.dumps(listed.schema.jsonValue()),
-            meta=meta,
-        ):
-            return (cur or 0) + 1
-        # CAS lost — recompute against the winner (orphans → vacuum)
+            cid = M.new_commit_id()
+            if cur is None:
+                # own commit dir: a later compaction supersedes v1's lists
+                # but keeps the frozen centroids forever — sharing a dir
+                # would make v1's dead list files unreclaimable by the
+                # dir-granularity vacuum. The two store writes are
+                # independent jobs over checkpointed/literal inputs —
+                # overlap their scheduling latencies (guide §2.6)
+                from concurrent.futures import ThreadPoolExecutor
+
+                cid2 = M.new_commit_id()
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_lists = pool.submit(
+                        M.write_store_files,
+                        listed.repartition("__list"), table, cid, "lists",
+                        partition_by="__list",
+                    )
+                    f_cents = pool.submit(
+                        M.write_store_files, cents, table, cid2, "centroids"
+                    )
+                    files = f_lists.result() + f_cents.result()
+            else:
+                files = M.write_store_files(
+                    listed.repartition("__list"), table, cid, "lists", partition_by="__list"
+                )
+            delta_ids = list((prev or {}).get("meta", {}).get("delta_ids", []))
+            if delta_id is not None:
+                delta_ids.append(delta_id)
+            meta = {"layout": layout, "delta_ids": delta_ids}
+            if M._try_commit(
+                table,
+                (cur or 0) + 1,
+                old_files + files,
+                cur,
+                json.dumps(listed.schema.jsonValue()),
+                meta=meta,
+            ):
+                return (cur or 0) + 1
+            # CAS lost — recompute against the winner (orphans → vacuum)
+        finally:
+            rids = {i for i in ckpts if i is not None}
+            if rids:
+                unpersist_rdd_ids(spark, rids)
 
 
 def compact_ivf_index(
@@ -999,7 +1040,11 @@ def ivf_query_index_manifest(
         )
 
     cents = M.read_store(spark, table, "centroids", version=v)
-    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col)
+    # checkpointed: the probe pipeline (broadcast-join + window top-n)
+    # otherwise executes twice — once for the list-pruning id collect
+    # below and again inside the scoring plan's broadcast
+    # (OPTIMIZATION r12, guide §5; n_queries×n_probe rows)
+    probes = _probe_centroids(queries, cents, n_probe, id_col, vec_col).localCheckpoint()
     want = {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
     if not want:
         # empty query set (or an index with zero centroids): nothing to
@@ -1035,6 +1080,35 @@ def ivf_query_index_manifest(
     )
 
 
+def _float_sql_literal(x) -> str:
+    """A float32-exact SQL literal for one collected centroid element.
+    ``repr`` of a float32-exact double is its shortest round-tripping
+    decimal form, so parse→CAST(AS FLOAT) reproduces the value bit for
+    bit; NaN/±Infinity/NULL spelled in the forms Spark's parser takes."""
+    if x is None:
+        return "CAST(NULL AS FLOAT)"
+    if x != x:
+        return "CAST('NaN' AS FLOAT)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS FLOAT)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS FLOAT)"
+    return f"CAST({x!r} AS FLOAT)"
+
+
+def _centroids_literal_df(spark, rows: dict) -> DataFrame:
+    """(centroid_id, centroid array<float>) as a constant-folded VALUES
+    relation: ResolveInlineTables evaluates the foldable casts eagerly
+    into a LocalRelation, so broadcasting it (every ivf_assign) is a
+    driver-side executeCollect — zero jobs, zero tasks (the same
+    literal-SQL move as retrieval._bucket_ids)."""
+    vals = ", ".join(
+        f"({int(cid)}, array({', '.join(_float_sql_literal(x) for x in vec)}))"
+        for cid, vec in sorted(rows.items())
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(centroid_id, centroid)")
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -1066,11 +1140,32 @@ def kmeans_refine(
     n×dim-row explode shuffle plus a second aggregate, and three fewer
     stages per round. Same values averaged per (centroid, position);
     partial-sum order differences are absorbed by the float32 centroid
-    storage exactly as before (that is what it exists for)."""
+    storage exactly as before (that is what it exists for).
+
+    OPTIMIZATION r12b (guide §5): the k×dim float32 centroid table
+    lives on the DRIVER between rounds — each round is ONE
+    aggregate-and-collect job and the merged table re-enters the next
+    round's plan as a constant-folded literal (LocalRelation), so the
+    assign's broadcast needs no job and the per-round
+    join + localCheckpoint jobs disappear (profiled: semantic_dedup is
+    stage-count-bound, ~45 mostly-1-task stages for 2.1 s of task
+    time). Values are bit-identical: the float32 cast still happens in
+    the SAME plan position (on the collected aggregate), the
+    driver-side merge only replaces the empty-cluster
+    coalesce-with-previous, and repr→parse round-trips float32-exact
+    doubles exactly."""
     first_vec = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     if first_vec is None:
         return centroids  # empty corpus: nothing to assign, k unchanged
     dim = int(first_vec["d"])
+    spark = corpus.sparkSession
+    cur_rows = {
+        int(r["centroid_id"]): list(r["centroid"]) for r in centroids.collect()
+    }
+    if not cur_rows:
+        # no centroids to refine: every round would assign nothing and
+        # keep the (empty) table — return it unchanged, as before
+        return centroids
     current = centroids
     for _ in range(n_iter):
         assigned = ivf_assign(corpus, current, id_col, vec_col)
@@ -1080,18 +1175,16 @@ def kmeans_refine(
         )
         new_cents = means.select(
             "centroid_id",
-            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("centroid_new"),
+            F.array(*[F.col(f"__m{i}") for i in range(dim)])
+            .cast("array<float>")
+            .alias("centroid_new"),
         )
-        current = (
-            current.join(new_cents, on="centroid_id", how="left")
-            .select(
-                "centroid_id",
-                F.coalesce(
-                    F.col("centroid_new").cast("array<float>"), F.col("centroid")
-                ).alias("centroid"),
-            )
-            .localCheckpoint()
-        )
+        for r in new_cents.collect():
+            # clusters absent from the assignment keep their previous
+            # centroid, exactly as the old left-join + coalesce did
+            if r["centroid_id"] in cur_rows:
+                cur_rows[int(r["centroid_id"])] = list(r["centroid_new"])
+        current = _centroids_literal_df(spark, cur_rows)
     return current
 
 
