@@ -24,6 +24,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# Spark fans file listing out to a cluster job once a read names more
+# than this many paths (upstream default 32 — tuned for slow object
+# stores). Every manifest read_table enumerates its snapshot as explicit
+# file paths, so commit-sized tables (>32 files) paid a 32-159-task
+# listing job of pure scheduling overhead PER READ (profiled: ~0.4 s
+# each on local disk). 512 matches the driver-footer-stats bound: the
+# driver lists commit-sized file sets itself (threaded getFileStatus),
+# genuinely large snapshots still fan out (OPTIMIZATION r12, guide §6).
+DEFAULT_LISTING_THRESHOLD = os.environ.get("SPARK_GRAFT_LISTING_THRESHOLD", "512")
 
 
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
@@ -56,6 +65,10 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # on every timestamp column; micros is the modern interchange type
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            DEFAULT_LISTING_THRESHOLD,
+        )
     )
 
 
@@ -104,6 +117,10 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         # runtime-settable: the driver's plain session defaults to 200
         # shuffle partitions — needless task overhead at test scale
         ("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)),
+        (
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            DEFAULT_LISTING_THRESHOLD,
+        ),
     ]:
         try:
             spark.conf.set(key, value)
